@@ -1,0 +1,98 @@
+"""dgl1_tpu — a TPU-native graph neural network framework.
+
+A from-scratch rebuild of the capabilities of GaiYu0/dgl-1 (a fork of
+dmlc/dgl) designed for TPU hardware: graphs are immutable pytrees of
+static-shape arrays (COO + CSR + CSC), message passing lowers builtin
+message/reduce functions to fused g-SpMM / g-SDDMM computations (Pallas
+kernels on TPU with an XLA segment-op engine as oracle/fallback), neighbor
+sampling emits degree-bucketed padded blocks XLA can compile once, and
+multi-host scaling uses edge partitioning with halo exchange as collectives
+over ICI inside ``shard_map`` instead of RPC.
+
+Reference parity map (see SURVEY.md):
+  - ``python/dgl/heterograph.py :: DGLHeteroGraph``  -> :mod:`dgl1_tpu.graph`
+  - ``python/dgl/function``                          -> :mod:`dgl1_tpu.function`
+  - ``python/dgl/core.py``                           -> :mod:`dgl1_tpu.core`
+  - ``python/dgl/ops``                               -> :mod:`dgl1_tpu.ops`
+  - ``python/dgl/nn/pytorch``                        -> :mod:`dgl1_tpu.nn`
+  - ``python/dgl/sampling``, ``python/dgl/dataloading`` -> :mod:`dgl1_tpu.sampling`,
+    :mod:`dgl1_tpu.dataloading`
+  - ``python/dgl/distributed`` (DistDGL)             -> :mod:`dgl1_tpu.parallel`
+  - ``python/dgl/data``                              -> :mod:`dgl1_tpu.data`
+"""
+
+from dgl1_tpu.graph import (
+    Graph,
+    graph,
+    block,
+    rand_graph,
+    rand_bipartite,
+    from_scipy,
+    create_block,
+)
+from dgl1_tpu.heterograph import HeteroGraph, heterograph
+from dgl1_tpu.batch import batch, unbatch
+from dgl1_tpu import function
+from dgl1_tpu import ops
+from dgl1_tpu import transform
+from dgl1_tpu.transform import (
+    add_self_loop,
+    remove_self_loop,
+    reverse,
+    to_bidirected,
+    khop_graph,
+    node_subgraph,
+    edge_subgraph,
+    to_simple,
+    line_graph,
+    to_block,
+    compact_graphs,
+)
+from dgl1_tpu.ops.edge_softmax import edge_softmax
+from dgl1_tpu import sampling
+from dgl1_tpu import dataloading
+from dgl1_tpu import data
+from dgl1_tpu import nn
+from dgl1_tpu import parallel
+from dgl1_tpu import models
+from dgl1_tpu import utils
+
+# DistDGL-parity alias: `dgl.distributed` -> parallel package.
+distributed = parallel
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "graph",
+    "block",
+    "rand_graph",
+    "rand_bipartite",
+    "from_scipy",
+    "create_block",
+    "HeteroGraph",
+    "heterograph",
+    "batch",
+    "unbatch",
+    "function",
+    "ops",
+    "transform",
+    "add_self_loop",
+    "remove_self_loop",
+    "reverse",
+    "to_bidirected",
+    "khop_graph",
+    "node_subgraph",
+    "edge_subgraph",
+    "to_simple",
+    "line_graph",
+    "to_block",
+    "compact_graphs",
+    "edge_softmax",
+    "sampling",
+    "dataloading",
+    "data",
+    "nn",
+    "parallel",
+    "distributed",
+]

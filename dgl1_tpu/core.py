@@ -1,0 +1,250 @@
+"""Message-passing core: lowers ``update_all`` / ``apply_edges`` calls to
+fused sparse ops, with a UDF fallback.
+
+Parity: ``python/dgl/core.py`` (``message_passing``, ``invoke_gspmm``,
+``invoke_gsddmm``, ``invoke_udf_reduce`` with degree bucketing) and the
+0.4-era scheduler (``python/dgl/runtime/scheduler.py``). TPU-native: the
+builtin path is a closed lowering table onto :func:`dgl1_tpu.ops.gspmm` /
+:func:`dgl1_tpu.ops.gsddmm`; the UDF reduce path degree-buckets on host
+(eager-only — inside ``jit`` use builtins, which cover the entire fused
+kernel surface of the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from dgl1_tpu.function import BinaryMessage, CopyMessage, Reducer
+from dgl1_tpu.graph import Graph
+from dgl1_tpu.ops.sddmm import gsddmm
+from dgl1_tpu.ops.spmm import gspmm
+
+__all__ = ["update_all", "apply_edges", "send_and_recv", "EdgeBatch", "NodeBatch"]
+
+
+class _LazyDataView(dict):
+    """Dict-like view gathering node data onto edges lazily (UDF path).
+
+    Parity: ``python/dgl/udf.py`` EdgeBatch src/dst views.
+    """
+
+    def __init__(self, data: Dict, index):
+        super().__init__()
+        self._data = data
+        self._index = index
+
+    def __getitem__(self, key):
+        x = self._data[key]
+        if self._index is None:
+            return x
+        return jnp.take(x, self._index, axis=0, mode="clip")
+
+    def keys(self):
+        return self._data.keys()
+
+    def __contains__(self, key):
+        return key in self._data
+
+
+class EdgeBatch:
+    """Batch of edges passed to an edge UDF (parity: ``dgl.udf.EdgeBatch``)."""
+
+    def __init__(self, g: Graph, src_idx, dst_idx, edata: Dict):
+        self.src = _LazyDataView(g.srcdata, src_idx)
+        self.dst = _LazyDataView(g.dstdata, dst_idx)
+        self.data = edata
+        self._g = g
+
+    def edges(self):
+        return self._g.src, self._g.dst
+
+
+class NodeBatch:
+    """Batch of nodes passed to a node UDF (parity: ``dgl.udf.NodeBatch``)."""
+
+    def __init__(self, data: Dict, mailbox: Dict, nodes):
+        self.data = data
+        self.mailbox = mailbox
+        self._nodes = nodes
+
+    def nodes(self):
+        return self._nodes
+
+
+def _spmm_target_ok(m: Union[CopyMessage, BinaryMessage]) -> bool:
+    if isinstance(m, CopyMessage):
+        return m.target in ("u", "e")
+    return {m.lhs, m.rhs} <= {"u", "e"}
+
+
+def _fetch(g: Graph, target: str, field: str):
+    store = {"u": g.srcdata, "v": g.dstdata, "e": g.edata}[target]
+    if field not in store:
+        raise KeyError(f"field {field!r} not found in {target}-data")
+    return store[field]
+
+
+def invoke_gspmm(g: Graph, mfunc, rfunc: Reducer):
+    """Lower a builtin (message, reduce) pair to one fused gspmm call."""
+    if isinstance(mfunc, CopyMessage):
+        if mfunc.target == "u":
+            return gspmm(g, "copy_lhs", rfunc.op, _fetch(g, "u", mfunc.in_field),
+                         None)
+        return gspmm(g, "copy_rhs", rfunc.op, None,
+                     _fetch(g, "e", mfunc.in_field))
+    assert isinstance(mfunc, BinaryMessage)
+    lhs_data = _fetch(g, mfunc.lhs, mfunc.lhs_field)
+    rhs_data = _fetch(g, mfunc.rhs, mfunc.rhs_field)
+    op = mfunc.binary_op
+    if mfunc.lhs == "u" and mfunc.rhs == "e":
+        return gspmm(g, op, rfunc.op, lhs_data, rhs_data)
+    if mfunc.lhs == "e" and mfunc.rhs == "u":
+        # Commute or flip: gspmm's lhs is always u-data.
+        if op in ("add", "mul"):
+            return gspmm(g, op, rfunc.op, rhs_data, lhs_data)
+        flipped = {"sub": "sub", "div": "div"}[op]
+        # e - u = -(u - e); e / u = (u / e)^-1 — lower via gsddmm instead to
+        # keep the kernel table closed.
+        msg = gsddmm(g, flipped, lhs_data, rhs_data, lhs_target="e",
+                     rhs_target="u")
+        return gspmm(g, "copy_rhs", rfunc.op, None, msg)
+    raise AssertionError("not a gspmm-lowerable message")
+
+
+def invoke_gsddmm(g: Graph, mfunc):
+    """Lower a builtin message function to one fused gsddmm call."""
+    if isinstance(mfunc, CopyMessage):
+        if mfunc.target == "u":
+            return gsddmm(g, "copy_lhs", _fetch(g, "u", mfunc.in_field), None,
+                          lhs_target="u")
+        return _fetch(g, "e", mfunc.in_field)
+    assert isinstance(mfunc, BinaryMessage)
+    return gsddmm(
+        g,
+        mfunc.binary_op,
+        _fetch(g, mfunc.lhs, mfunc.lhs_field),
+        _fetch(g, mfunc.rhs, mfunc.rhs_field),
+        lhs_target=mfunc.lhs,
+        rhs_target=mfunc.rhs,
+    )
+
+
+def invoke_udf_reduce(g: Graph, msg: Dict[str, jnp.ndarray], rfunc: Callable):
+    """Degree-bucketed UDF reduce (parity: ``core.py :: invoke_udf_reduce`` /
+    0.4 ``runtime/degree_bucketing.py``). Eager-only: bucket boundaries are
+    data-dependent, which XLA cannot trace — use builtin reducers under jit.
+    """
+    num_dst = g.num_dst_nodes()
+    indptr = np.asarray(g.csc_indptr)
+    deg = np.diff(indptr)
+    eid_by_dst = np.asarray(g.csc_eid)
+    out_fields = None
+    results: Dict[str, list] = {}
+    node_chunks = []
+    for d in np.unique(deg):
+        nodes = np.nonzero(deg == d)[0].astype(np.int32)
+        node_chunks.append(nodes)
+        if d == 0:
+            # Zero-degree nodes produce zeros (reference zero-initializes).
+            results.setdefault("__zero__", []).append(nodes)
+            continue
+        # Gather each bucket's mailbox: (n_nodes, d, *feat) per msg field.
+        starts = indptr[nodes]
+        idx = starts[:, None] + np.arange(d)[None, :]
+        eids = eid_by_dst[idx]  # (n, d) user edge ids
+        mailbox = {
+            k: jnp.take(v, jnp.asarray(eids.reshape(-1)), axis=0,
+                        mode="clip").reshape(eids.shape + v.shape[1:])
+            for k, v in msg.items()
+        }
+        ndata = {k: jnp.take(v, jnp.asarray(nodes), axis=0)
+                 for k, v in g.dstdata.items()}
+        ret = rfunc(NodeBatch(ndata, mailbox, jnp.asarray(nodes)))
+        if out_fields is None:
+            out_fields = list(ret.keys())
+        for k, v in ret.items():
+            results.setdefault(k, []).append((nodes, v))
+    out = {}
+    for k in (out_fields or []):
+        pieces = results[k]
+        shape = (num_dst,) + tuple(pieces[0][1].shape[1:])
+        buf = jnp.zeros(shape, dtype=pieces[0][1].dtype)
+        for nodes, v in pieces:
+            buf = buf.at[jnp.asarray(nodes)].set(v)
+        out[k] = buf
+    return out
+
+
+def message_passing(g: Graph, mfunc, rfunc, afunc=None):
+    """Full message-passing driver (parity: ``core.py :: message_passing``)."""
+    builtin_m = isinstance(mfunc, (CopyMessage, BinaryMessage))
+    builtin_r = isinstance(rfunc, Reducer)
+    if builtin_m and builtin_r:
+        if _spmm_target_ok(mfunc):
+            out = invoke_gspmm(g, mfunc, rfunc)
+        else:
+            # Message touches v (e.g. u_dot_v): SDDMM to edges, then reduce.
+            msg = invoke_gsddmm(g, mfunc)
+            out = gspmm(g, "copy_rhs", rfunc.op, None, msg)
+        result = {rfunc.out_field: out}
+    else:
+        # UDF path: materialize messages (builtin or UDF), bucket-reduce.
+        if builtin_m:
+            msg = {mfunc.out_field: invoke_gsddmm(g, mfunc)}
+        else:
+            eb = EdgeBatch(g, g.src, g.dst, g.edata)
+            msg = mfunc(eb)
+        if builtin_r:
+            out = gspmm(g, "copy_rhs", rfunc.op, None, msg[rfunc.msg_field])
+            result = {rfunc.out_field: out}
+        else:
+            result = invoke_udf_reduce(g, msg, rfunc)
+    if afunc is not None:
+        ndata = dict(g.dstdata)
+        ndata.update(result)
+        nb = NodeBatch(ndata, {}, None)
+        result.update(afunc(nb))
+    return result
+
+
+def update_all(g: Graph, mfunc, rfunc, afunc=None):
+    result = message_passing(g, mfunc, rfunc, afunc)
+    g.dstdata.update(result)
+    if len(result) == 1:
+        return next(iter(result.values()))
+    return result
+
+
+def apply_edges(g: Graph, func, edges="__ALL__"):
+    if edges != "__ALL__":
+        raise NotImplementedError(
+            "apply_edges on an edge subset: take an edge_subgraph first "
+            "(parity: DGL lowers this the same way internally)."
+        )
+    if isinstance(func, (CopyMessage, BinaryMessage)):
+        out = {func.out_field: invoke_gsddmm(g, func)}
+    else:
+        eb = EdgeBatch(g, g.src, g.dst, g.edata)
+        out = func(eb)
+    g.edata.update(out)
+    if len(out) == 1:
+        return next(iter(out.values()))
+    return out
+
+
+def send_and_recv(g: Graph, edges, mfunc, rfunc, afunc=None):
+    """Message passing over an edge subset (eager-only; builds a subgraph).
+
+    Parity: ``DGLHeteroGraph.send_and_recv``.
+    """
+    from dgl1_tpu.transform import edge_subgraph
+
+    sub = edge_subgraph(g, edges, relabel_nodes=False)
+    result = message_passing(sub, mfunc, rfunc, afunc)
+    g.dstdata.update(result)
+    if len(result) == 1:
+        return next(iter(result.values()))
+    return result

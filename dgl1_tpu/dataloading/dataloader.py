@@ -1,0 +1,119 @@
+"""Node dataloader: seed batching + block sampling + prefetch.
+
+Parity: ``python/dgl/dataloading/dataloader.py`` (``NodeDataLoader`` /
+``NodeCollator`` wrapping torch DataLoader workers). TPU-native: the
+sampler runs on host CPU in a background prefetch thread (double
+buffering), producing static-shape padded batches so the device-side train
+step compiles exactly once; the last partial batch is padded to full size
+and carries a seed mask for the loss.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from dgl1_tpu.graph import Graph
+
+__all__ = ["NodeCollator", "NodeDataLoader", "DataLoader"]
+
+
+class NodeCollator:
+    """Collate a batch of seed nodes into (input_nodes, output_nodes,
+    blocks, seed_mask)."""
+
+    def __init__(self, g: Graph, sampler,
+                 rng: Optional[np.random.Generator] = None):
+        self.g = g
+        self.sampler = sampler
+        self.rng = rng or np.random.default_rng()
+
+    def collate(self, seeds: np.ndarray, batch_size: int):
+        seeds = np.asarray(seeds, dtype=np.int64)
+        n_real = len(seeds)
+        if n_real < batch_size:
+            pad = np.full((batch_size - n_real,), seeds[-1], dtype=np.int64)
+            seeds = np.concatenate([seeds, pad])
+        mask = np.zeros((batch_size,), dtype=bool)
+        mask[:n_real] = True
+        input_nodes, output_nodes, blocks = self.sampler.sample_blocks(
+            self.g, seeds, rng=self.rng
+        )
+        return input_nodes, output_nodes, blocks, mask
+
+
+class NodeDataLoader:
+    """Iterates mini-batches of blocks for the given seed node set.
+
+    ``prefetch`` > 0 runs the sampler in a background thread with a bounded
+    queue (the TPU-native analog of the reference's num_workers dataloader
+    processes; sampling is numpy so threads release the GIL on the hot ops).
+    """
+
+    def __init__(self, g: Graph, nids, sampler, batch_size: int = 1024,
+                 shuffle: bool = True, drop_last: bool = False,
+                 prefetch: int = 2, seed: Optional[int] = None):
+        self.g = g
+        self.nids = np.asarray(nids, dtype=np.int64)
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.collator = NodeCollator(g, sampler, rng=self.rng)
+
+    def __len__(self):
+        n = len(self.nids)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        order = (
+            self.rng.permutation(len(self.nids)) if self.shuffle
+            else np.arange(len(self.nids))
+        )
+        nids = self.nids[order]
+        nb = len(self)
+        for i in range(nb):
+            yield nids[i * self.batch_size:(i + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator:
+        if self.prefetch <= 0:
+            for seeds in self._batches():
+                yield self.collator.collate(seeds, self.batch_size)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+        err: list = []
+
+        def producer():
+            try:
+                for seeds in self._batches():
+                    q.put(self.collator.collate(seeds, self.batch_size))
+            except BaseException as e:  # surfaced in the consumer
+                err.append(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+            if err:
+                raise err[0]
+        finally:
+            t.join(timeout=1.0)
+
+
+# DGL >=0.8 exposes a unified DataLoader name.
+DataLoader = NodeDataLoader

@@ -1,0 +1,575 @@
+"""Graph structure core: an immutable-structure, static-shape graph pytree.
+
+Reference parity (SURVEY.md §2): this module replaces the reference's C++
+graph store — ``src/graph/unit_graph.cc :: UnitGraph`` (COO/CSR/CSC with
+format conversion & caching) and the Python facade
+``python/dgl/heterograph.py :: DGLHeteroGraph`` (ndata/edata views,
+update_all / apply_edges / send_and_recv, degrees, subgraphing).
+
+TPU-native design decisions (deliberately NOT a port):
+
+* **No FFI / C++ object store.** The graph is a plain Python object whose
+  structural arrays (COO, CSR, CSC) are ``jax.Array`` leaves of a registered
+  pytree; static metadata (node/edge counts, block-ness) lives in the pytree
+  aux data so ``jit`` recompiles only when the *shape* of the graph changes.
+* **All three formats precomputed on host at construction** with numpy
+  (argsort + searchsorted), instead of lazy C++ conversion. XLA never sees a
+  format conversion.
+* **Static shapes everywhere.** Edge arrays may be padded to a requested
+  multiple; padded entries carry sentinel endpoints equal to
+  ``num_{src,dst}_nodes`` so that segment reductions drop them natively
+  (XLA scatter semantics discard out-of-range indices) and an explicit
+  ``edge_mask`` is carried for ops that need it (e.g. masked edge softmax).
+* **Reversal is free**: CSR and CSC swap roles, no data movement — the
+  autodiff duality (∂SpMM needs the reverse graph) costs zero memory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Graph",
+    "graph",
+    "block",
+    "create_block",
+    "rand_graph",
+    "rand_bipartite",
+    "from_scipy",
+]
+
+ID_DTYPE = np.int32
+
+
+def _as_numpy_ids(x) -> np.ndarray:
+    arr = np.asarray(x)
+    if arr.dtype not in (np.int32, np.int64):
+        arr = arr.astype(np.int64)
+    return arr.astype(ID_DTYPE)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Graph:
+    """A (possibly bipartite) multigraph with static-shape COO/CSR/CSC.
+
+    Structural leaves (all ``int32`` except the boolean mask), with
+    ``E`` = padded edge count:
+
+    ``src, dst``              COO endpoints in user edge order; padded
+                              entries hold the sentinel ``num_src_nodes`` /
+                              ``num_dst_nodes``.
+    ``edge_mask``             bool, True for real edges.
+    ``csr_indptr``            (num_src_nodes+1,) out-edge row pointers.
+    ``csr_dst, csr_eid``      dst / user-edge-id sorted by src.
+    ``csr_src``               segment ids (src) aligned with csr_dst.
+    ``csc_indptr``            (num_dst_nodes+1,) in-edge row pointers.
+    ``csc_src, csc_eid``      src / user-edge-id sorted by dst.
+    ``csc_dst``               segment ids (dst) aligned with csc_src.
+
+    Feature storage: ``ndata`` / ``edata`` dicts (and ``srcdata`` /
+    ``dstdata`` for bipartite blocks) are part of the pytree, mirroring the
+    reference's Frame column store (``python/dgl/frame.py``). They may be
+    mutated in place from Python (DGL-style imperative use); the primary
+    compute API is functional and does not rely on them.
+    """
+
+    __slots__ = (
+        "src",
+        "dst",
+        "edge_mask",
+        "csr_indptr",
+        "csr_dst",
+        "csr_eid",
+        "csr_src",
+        "csc_indptr",
+        "csc_src",
+        "csc_eid",
+        "csc_dst",
+        "_num_src_nodes",
+        "_num_dst_nodes",
+        "_num_edges",
+        "_num_edges_padded",
+        "_is_block",
+        "ndata",
+        "edata",
+        "srcdata",
+        "dstdata",
+        "_batch_num_nodes",
+        "_batch_num_edges",
+        "meta",
+    )
+
+    def __init__(
+        self,
+        *,
+        src,
+        dst,
+        edge_mask,
+        csr_indptr,
+        csr_dst,
+        csr_eid,
+        csr_src,
+        csc_indptr,
+        csc_src,
+        csc_eid,
+        csc_dst,
+        num_src_nodes: int,
+        num_dst_nodes: int,
+        num_edges: int,
+        is_block: bool = False,
+        ndata: Optional[Dict[str, Any]] = None,
+        edata: Optional[Dict[str, Any]] = None,
+        srcdata: Optional[Dict[str, Any]] = None,
+        dstdata: Optional[Dict[str, Any]] = None,
+    ):
+        self.src = src
+        self.dst = dst
+        self.edge_mask = edge_mask
+        self.csr_indptr = csr_indptr
+        self.csr_dst = csr_dst
+        self.csr_eid = csr_eid
+        self.csr_src = csr_src
+        self.csc_indptr = csc_indptr
+        self.csc_src = csc_src
+        self.csc_eid = csc_eid
+        self.csc_dst = csc_dst
+        self._num_src_nodes = int(num_src_nodes)
+        self._num_dst_nodes = int(num_dst_nodes)
+        self._num_edges = int(num_edges)
+        self._num_edges_padded = int(np.shape(src)[0])
+        self._is_block = bool(is_block)
+        self.ndata = {} if ndata is None else dict(ndata)
+        self.edata = {} if edata is None else dict(edata)
+        self._batch_num_nodes = None
+        self._batch_num_edges = None
+        # Host-side annotations (e.g. real-vs-padded counts from to_block).
+        # Not part of the pytree: static bookkeeping only.
+        self.meta: Dict[str, Any] = {}
+        if is_block:
+            self.srcdata = {} if srcdata is None else dict(srcdata)
+            self.dstdata = {} if dstdata is None else dict(dstdata)
+        else:
+            # Homogeneous graph: srcdata/dstdata alias ndata (DGL semantics).
+            self.srcdata = self.ndata
+            self.dstdata = self.ndata
+
+    # ------------------------------------------------------------------
+    # Static metadata
+    # ------------------------------------------------------------------
+    @property
+    def is_block(self) -> bool:
+        return self._is_block
+
+    def num_nodes(self) -> int:
+        if self._is_block:
+            raise ValueError(
+                "num_nodes() is ambiguous on a block; use num_src_nodes() / "
+                "num_dst_nodes()."
+            )
+        return self._num_src_nodes
+
+    @property
+    def number_of_nodes(self):
+        return self.num_nodes
+
+    def num_src_nodes(self) -> int:
+        return self._num_src_nodes
+
+    def num_dst_nodes(self) -> int:
+        return self._num_dst_nodes
+
+    def num_edges(self) -> int:
+        """Number of *real* (unpadded) edges."""
+        return self._num_edges
+
+    def num_edges_padded(self) -> int:
+        """Static length of the edge arrays (>= num_edges)."""
+        return self._num_edges_padded
+
+    @property
+    def is_padded(self) -> bool:
+        return self._num_edges_padded != self._num_edges
+
+    # ------------------------------------------------------------------
+    # Queries
+    # ------------------------------------------------------------------
+    def edges(self, order: str = "eid"):
+        """Return (src, dst) in user edge order (padded length)."""
+        if order == "eid":
+            return self.src, self.dst
+        if order == "srcdst":
+            return self.csr_src, self.csr_dst
+        raise ValueError(f"unknown order {order!r}")
+
+    def in_degrees(self, v=None):
+        deg = jnp.diff(self.csc_indptr)
+        return deg if v is None else deg[v]
+
+    def out_degrees(self, u=None):
+        deg = jnp.diff(self.csr_indptr)
+        return deg if u is None else deg[u]
+
+    # ------------------------------------------------------------------
+    # Structure transforms that are pure pytree rewires (zero copy)
+    # ------------------------------------------------------------------
+    def reverse(self, copy_edata: bool = True) -> "Graph":
+        """Reverse all edges. CSR and CSC swap roles — no data movement.
+
+        Parity: ``dgl.reverse`` / ``src/graph/graph_op.cc``; here it is free,
+        which is what makes the SpMM<->SDDMM autodiff duality cheap.
+        """
+        g = Graph(
+            src=self.dst,
+            dst=self.src,
+            edge_mask=self.edge_mask,
+            csr_indptr=self.csc_indptr,
+            csr_dst=self.csc_src,
+            csr_eid=self.csc_eid,
+            csr_src=self.csc_dst,
+            csc_indptr=self.csr_indptr,
+            csc_src=self.csr_dst,
+            csc_eid=self.csr_eid,
+            csc_dst=self.csr_src,
+            num_src_nodes=self._num_dst_nodes,
+            num_dst_nodes=self._num_src_nodes,
+            num_edges=self._num_edges,
+            is_block=self._is_block,
+            edata=self.edata if copy_edata else None,
+        )
+        if self._is_block:
+            g.srcdata = dict(self.dstdata)
+            g.dstdata = dict(self.srcdata)
+        else:
+            g.ndata.update(self.ndata)
+            g.srcdata = g.ndata
+            g.dstdata = g.ndata
+        return g
+
+    # ------------------------------------------------------------------
+    # DGL-parity message passing API (delegates to core)
+    # ------------------------------------------------------------------
+    def update_all(self, message_func, reduce_func, apply_node_func=None):
+        """Compute ``reduce(message)`` over incoming edges for every node and
+        store the result into ``dstdata``. Returns the reduced tensor.
+
+        Parity: ``DGLHeteroGraph.update_all`` -> ``core.message_passing``.
+        """
+        from dgl1_tpu import core
+
+        return core.update_all(self, message_func, reduce_func, apply_node_func)
+
+    def apply_edges(self, func, edges="__ALL__"):
+        """Compute an edge-wise function and store into ``edata``.
+
+        Parity: ``DGLHeteroGraph.apply_edges`` -> g-SDDMM.
+        """
+        from dgl1_tpu import core
+
+        return core.apply_edges(self, func, edges)
+
+    def send_and_recv(self, edges, message_func, reduce_func, apply_node_func=None):
+        from dgl1_tpu import core
+
+        return core.send_and_recv(
+            self, edges, message_func, reduce_func, apply_node_func
+        )
+
+    def local_scope(self):
+        """Context manager restoring ndata/edata on exit (parity:
+        ``DGLHeteroGraph.local_scope``)."""
+        return _LocalScope(self)
+
+    # ------------------------------------------------------------------
+    # Pytree protocol
+    # ------------------------------------------------------------------
+    def _struct_leaves(self):
+        return (
+            self.src,
+            self.dst,
+            self.edge_mask,
+            self.csr_indptr,
+            self.csr_dst,
+            self.csr_eid,
+            self.csr_src,
+            self.csc_indptr,
+            self.csc_src,
+            self.csc_eid,
+            self.csc_dst,
+        )
+
+    def tree_flatten(self):
+        ndata = dict(self.ndata)
+        edata = dict(self.edata)
+        if self._is_block:
+            srcdata = dict(self.srcdata)
+            dstdata = dict(self.dstdata)
+        else:
+            srcdata = {}
+            dstdata = {}
+        children = (
+            self._struct_leaves(),
+            ndata,
+            edata,
+            srcdata,
+            dstdata,
+            self._batch_num_nodes,
+            self._batch_num_edges,
+        )
+        aux = (
+            self._num_src_nodes,
+            self._num_dst_nodes,
+            self._num_edges,
+            self._is_block,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        struct, ndata, edata, srcdata, dstdata, bnn, bne = children
+        num_src, num_dst, num_edges, is_block = aux
+        (
+            src,
+            dst,
+            edge_mask,
+            csr_indptr,
+            csr_dst,
+            csr_eid,
+            csr_src,
+            csc_indptr,
+            csc_src,
+            csc_eid,
+            csc_dst,
+        ) = struct
+        g = cls(
+            src=src,
+            dst=dst,
+            edge_mask=edge_mask,
+            csr_indptr=csr_indptr,
+            csr_dst=csr_dst,
+            csr_eid=csr_eid,
+            csr_src=csr_src,
+            csc_indptr=csc_indptr,
+            csc_src=csc_src,
+            csc_eid=csc_eid,
+            csc_dst=csc_dst,
+            num_src_nodes=num_src,
+            num_dst_nodes=num_dst,
+            num_edges=num_edges,
+            is_block=is_block,
+            ndata=ndata,
+            edata=edata,
+            srcdata=srcdata if is_block else None,
+            dstdata=dstdata if is_block else None,
+        )
+        g._batch_num_nodes = bnn
+        g._batch_num_edges = bne
+        return g
+
+    def __repr__(self):
+        kind = "Block" if self._is_block else "Graph"
+        return (
+            f"{kind}(num_src_nodes={self._num_src_nodes}, "
+            f"num_dst_nodes={self._num_dst_nodes}, "
+            f"num_edges={self._num_edges}"
+            + (f", padded_to={self._num_edges_padded}" if self.is_padded else "")
+            + ")"
+        )
+
+
+class _LocalScope:
+    def __init__(self, g: Graph):
+        self._g = g
+
+    def __enter__(self):
+        g = self._g
+        self._saved = (dict(g.ndata), dict(g.edata))
+        if g.is_block:
+            self._saved_bip = (dict(g.srcdata), dict(g.dstdata))
+        return g
+
+    def __exit__(self, *exc):
+        g = self._g
+        g.ndata.clear()
+        g.ndata.update(self._saved[0])
+        g.edata.clear()
+        g.edata.update(self._saved[1])
+        if g.is_block:
+            g.srcdata.clear()
+            g.srcdata.update(self._saved_bip[0])
+            g.dstdata.clear()
+            g.dstdata.update(self._saved_bip[1])
+        return False
+
+
+jax.tree_util.register_pytree_node(
+    Graph, Graph.tree_flatten, Graph.tree_unflatten
+)
+
+
+# ----------------------------------------------------------------------
+# Construction (host side, numpy)
+# ----------------------------------------------------------------------
+
+def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
+                   num_edges: int, num_padded: int):
+    """Build padded COO + CSR + CSC host-side.
+
+    Parity: ``src/array/array.cc`` COOToCSR/COOSort; implemented as numpy
+    argsort + bincount (stable sorts keep edge-id order within a row, which
+    preserves the reference's edge-order guarantees).
+    """
+    pad = num_padded - num_edges
+
+    def padded(a, sentinel):
+        if pad == 0:
+            return a.astype(ID_DTYPE)
+        return np.concatenate(
+            [a.astype(ID_DTYPE), np.full((pad,), sentinel, dtype=ID_DTYPE)]
+        )
+
+    coo_src = padded(src, num_src)
+    coo_dst = padded(dst, num_dst)
+    mask = np.zeros((num_padded,), dtype=bool)
+    mask[:num_edges] = True
+
+    eid = np.arange(num_edges, dtype=ID_DTYPE)
+
+    # CSR: sort by src (stable).
+    order = np.argsort(src, kind="stable").astype(ID_DTYPE)
+    csr_src = padded(src[order], num_src)
+    csr_dst = padded(dst[order], num_dst)
+    csr_eid = padded(eid[order], 0)
+    counts = np.bincount(src, minlength=num_src) if num_edges else np.zeros(num_src, dtype=np.int64)
+    csr_indptr = np.zeros((num_src + 1,), dtype=ID_DTYPE)
+    np.cumsum(counts, out=csr_indptr[1:])
+
+    # CSC: sort by dst (stable).
+    order = np.argsort(dst, kind="stable").astype(ID_DTYPE)
+    csc_dst = padded(dst[order], num_dst)
+    csc_src = padded(src[order], num_src)
+    csc_eid = padded(eid[order], 0)
+    counts = np.bincount(dst, minlength=num_dst) if num_edges else np.zeros(num_dst, dtype=np.int64)
+    csc_indptr = np.zeros((num_dst + 1,), dtype=ID_DTYPE)
+    np.cumsum(counts, out=csc_indptr[1:])
+
+    return dict(
+        src=coo_src,
+        dst=coo_dst,
+        edge_mask=mask,
+        csr_indptr=csr_indptr,
+        csr_dst=csr_dst,
+        csr_eid=csr_eid,
+        csr_src=csr_src,
+        csc_indptr=csc_indptr,
+        csc_src=csc_src,
+        csc_eid=csc_eid,
+        csc_dst=csc_dst,
+    )
+
+
+def graph(
+    data: Tuple,
+    num_nodes: Optional[int] = None,
+    pad_edges_to: Optional[int] = None,
+    pad_edges_multiple: Optional[int] = None,
+    device_arrays: bool = False,
+) -> Graph:
+    """Create a homogeneous graph from an edge list ``(src, dst)``.
+
+    Parity: ``dgl.graph`` (``python/dgl/convert.py``). ``pad_edges_to`` /
+    ``pad_edges_multiple`` pad the edge arrays to a static size so several
+    graphs share one compiled program (the TPU-native replacement for the
+    reference's dynamic nnz).
+    """
+    src, dst = data
+    src = _as_numpy_ids(src)
+    dst = _as_numpy_ids(dst)
+    if src.shape != dst.shape or src.ndim != 1:
+        raise ValueError("src/dst must be 1-D arrays of equal length")
+    num_edges = int(src.shape[0])
+    if num_nodes is None:
+        num_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+    if num_edges and (src.min() < 0 or dst.min() < 0 or
+                      src.max() >= num_nodes or dst.max() >= num_nodes):
+        raise ValueError("edge endpoint out of range")
+    num_padded = num_edges
+    if pad_edges_to is not None:
+        if pad_edges_to < num_edges:
+            raise ValueError("pad_edges_to < num_edges")
+        num_padded = int(pad_edges_to)
+    elif pad_edges_multiple:
+        num_padded = max(_round_up(num_edges, pad_edges_multiple), pad_edges_multiple)
+    arrays = _build_formats(src, dst, num_nodes, num_nodes, num_edges, num_padded)
+    if device_arrays:
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+    return Graph(
+        **arrays,
+        num_src_nodes=num_nodes,
+        num_dst_nodes=num_nodes,
+        num_edges=num_edges,
+    )
+
+
+def block(
+    data: Tuple,
+    num_src_nodes: Optional[int] = None,
+    num_dst_nodes: Optional[int] = None,
+    pad_edges_to: Optional[int] = None,
+) -> Graph:
+    """Create a bipartite message-flow block (parity: ``dgl.create_block`` /
+    ``src/graph/transform/to_bipartite.cc :: ToBlock`` output shape)."""
+    src, dst = data
+    src = _as_numpy_ids(src)
+    dst = _as_numpy_ids(dst)
+    num_edges = int(src.shape[0])
+    if num_src_nodes is None:
+        num_src_nodes = int(src.max(initial=-1) + 1)
+    if num_dst_nodes is None:
+        num_dst_nodes = int(dst.max(initial=-1) + 1)
+    num_padded = int(pad_edges_to) if pad_edges_to is not None else num_edges
+    arrays = _build_formats(
+        src, dst, num_src_nodes, num_dst_nodes, num_edges, num_padded
+    )
+    return Graph(
+        **arrays,
+        num_src_nodes=num_src_nodes,
+        num_dst_nodes=num_dst_nodes,
+        num_edges=num_edges,
+        is_block=True,
+    )
+
+
+create_block = block
+
+
+def rand_graph(num_nodes: int, num_edges: int, seed: int = 0, **kw) -> Graph:
+    """Uniform random multigraph (parity: ``dgl.rand_graph``), deterministic."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_nodes, size=num_edges)
+    dst = rng.integers(0, num_nodes, size=num_edges)
+    return graph((src, dst), num_nodes=num_nodes, **kw)
+
+
+def rand_bipartite(num_src: int, num_dst: int, num_edges: int, seed: int = 0,
+                   **kw) -> Graph:
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_src, size=num_edges)
+    dst = rng.integers(0, num_dst, size=num_edges)
+    return block((src, dst), num_src_nodes=num_src, num_dst_nodes=num_dst, **kw)
+
+
+def from_scipy(sp_mat, **kw) -> Graph:
+    """Create a graph from a scipy sparse matrix (parity: ``dgl.from_scipy``).
+
+    Row index is src, column index is dst.
+    """
+    coo = sp_mat.tocoo()
+    return graph((coo.row, coo.col), num_nodes=max(coo.shape), **kw)

@@ -1,0 +1,205 @@
+"""Heterogeneous graphs: multiple node/edge types.
+
+Parity: ``src/graph/heterograph.cc :: HeteroGraph`` +
+``python/dgl/heterograph.py`` — a heterograph is a metagraph over a set of
+relation (unit) graphs. TPU-native: a dict of bipartite :class:`Graph`
+pytrees keyed by canonical edge type; per-ntype feature dicts; per-etype
+message passing lowered through the same fused ops, with cross-type
+reduction done densely (the relation loop is unrolled at trace time — the
+metagraph is static).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgl1_tpu.function import BinaryMessage, CopyMessage, Reducer
+from dgl1_tpu.graph import Graph, block
+
+__all__ = ["HeteroGraph", "heterograph"]
+
+CanonicalEtype = Tuple[str, str, str]
+
+
+class HeteroGraph:
+    """Heterogeneous graph as a dict of relation blocks + per-ntype data."""
+
+    def __init__(self, rel_graphs: Dict[CanonicalEtype, Graph],
+                 num_nodes_dict: Dict[str, int],
+                 node_frames: Optional[Dict[str, Dict]] = None):
+        self.rel_graphs = dict(rel_graphs)
+        self._num_nodes = dict(num_nodes_dict)
+        self.nframes: Dict[str, Dict] = (
+            {nt: {} for nt in num_nodes_dict}
+            if node_frames is None
+            else {nt: dict(f) for nt, f in node_frames.items()}
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def ntypes(self):
+        return sorted(self._num_nodes.keys())
+
+    @property
+    def etypes(self):
+        return [et for (_, et, _) in self.canonical_etypes]
+
+    @property
+    def canonical_etypes(self):
+        return sorted(self.rel_graphs.keys())
+
+    def num_nodes(self, ntype: Optional[str] = None) -> int:
+        if ntype is None:
+            return sum(self._num_nodes.values())
+        return self._num_nodes[ntype]
+
+    def num_edges(self, etype=None) -> int:
+        if etype is None:
+            return sum(g.num_edges() for g in self.rel_graphs.values())
+        return self[etype].num_edges()
+
+    def to_canonical_etype(self, etype) -> CanonicalEtype:
+        if isinstance(etype, tuple):
+            return etype
+        matches = [c for c in self.rel_graphs if c[1] == etype]
+        if len(matches) != 1:
+            raise KeyError(
+                f"edge type {etype!r} is {'ambiguous' if matches else 'unknown'}"
+            )
+        return matches[0]
+
+    def __getitem__(self, etype) -> Graph:
+        """The relation graph (a bipartite block in this ntype pair's spaces)."""
+        return self.rel_graphs[self.to_canonical_etype(etype)]
+
+    def nodes_data(self, ntype: str) -> Dict:
+        return self.nframes[ntype]
+
+    def edges_data(self, etype) -> Dict:
+        return self[etype].edata
+
+    @property
+    def ndata(self):
+        if len(self._num_nodes) != 1:
+            raise ValueError("ndata is ambiguous: multiple node types")
+        return self.nframes[self.ntypes[0]]
+
+    # ------------------------------------------------------------------
+    def update_all(self, mfunc, rfunc, etype=None):
+        """Per-etype or all-etype message passing.
+
+        Parity: ``DGLHeteroGraph.update_all`` /
+        ``DGLHeteroGraph.multi_update_all`` with 'sum' cross reducer.
+        """
+        if etype is not None:
+            c = self.to_canonical_etype(etype)
+            return self.multi_update_all({c: (mfunc, rfunc)}, "sum")
+        return self.multi_update_all(
+            {c: (mfunc, rfunc) for c in self.canonical_etypes}, "sum"
+        )
+
+    def multi_update_all(self, etype_dict, cross_reducer: str = "sum"):
+        """Run message passing per relation and combine per-dsttype results.
+
+        The relation loop is a static Python loop — XLA sees one fused
+        program (parity: the reference iterates relations in C++;
+        structurally this is the grouped/expert pattern of §2.3 SURVEY.md).
+        """
+        from dgl1_tpu import core
+
+        per_dst: Dict[str, Dict[str, list]] = {}
+        for c, spec in etype_dict.items():
+            c = self.to_canonical_etype(c)
+            mfunc, rfunc = spec[0], spec[1]
+            srctype, _, dsttype = c
+            rel = self.rel_graphs[c]
+            # Wire per-ntype frames into the relation block.
+            rel.srcdata.clear()
+            rel.srcdata.update(self.nframes[srctype])
+            rel.dstdata.clear()
+            rel.dstdata.update(self.nframes[dsttype])
+            result = core.message_passing(rel, mfunc, rfunc, None)
+            for k, v in result.items():
+                per_dst.setdefault(dsttype, {}).setdefault(k, []).append(v)
+        out = {}
+        for dsttype, fields in per_dst.items():
+            for k, vs in fields.items():
+                if cross_reducer == "sum":
+                    v = sum(vs[1:], vs[0])
+                elif cross_reducer == "mean":
+                    v = sum(vs[1:], vs[0]) / len(vs)
+                elif cross_reducer == "max":
+                    v = vs[0]
+                    for w in vs[1:]:
+                        v = jnp.maximum(v, w)
+                elif cross_reducer == "min":
+                    v = vs[0]
+                    for w in vs[1:]:
+                        v = jnp.minimum(v, w)
+                elif cross_reducer == "stack":
+                    v = jnp.stack(vs, axis=1)
+                else:
+                    raise ValueError(f"unknown cross reducer {cross_reducer!r}")
+                self.nframes[dsttype][k] = v
+                out[(dsttype, k)] = v
+        return out
+
+    def __repr__(self):
+        return (
+            f"HeteroGraph(num_nodes={self._num_nodes}, "
+            f"num_edges={{{', '.join(f'{c}: {g.num_edges()}' for c, g in sorted(self.rel_graphs.items()))}}})"
+        )
+
+    # Pytree protocol -----------------------------------------------------
+    def tree_flatten(self):
+        keys = self.canonical_etypes
+        ntkeys = self.ntypes
+        children = (
+            [self.rel_graphs[k] for k in keys],
+            [self.nframes[nt] for nt in ntkeys],
+        )
+        aux = (tuple(keys), tuple(ntkeys),
+               tuple(self._num_nodes[nt] for nt in ntkeys))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, ntkeys, counts = aux
+        rels, frames = children
+        obj = cls.__new__(cls)
+        obj.rel_graphs = dict(zip(keys, rels))
+        obj._num_nodes = dict(zip(ntkeys, counts))
+        obj.nframes = dict(zip(ntkeys, frames))
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    HeteroGraph, HeteroGraph.tree_flatten, HeteroGraph.tree_unflatten
+)
+
+
+def heterograph(data_dict, num_nodes_dict: Optional[Dict[str, int]] = None
+                ) -> HeteroGraph:
+    """Create a heterograph from ``{(srctype, etype, dsttype): (src, dst)}``.
+
+    Parity: ``dgl.heterograph`` (``python/dgl/convert.py``).
+    """
+    counts: Dict[str, int] = dict(num_nodes_dict or {})
+    for (st, _, dt), (src, dst) in data_dict.items():
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        counts[st] = max(counts.get(st, 0), int(src.max(initial=-1)) + 1)
+        counts[dt] = max(counts.get(dt, 0), int(dst.max(initial=-1)) + 1)
+    rels = {}
+    for c, (src, dst) in data_dict.items():
+        st, _, dt = c
+        rels[c] = block(
+            (np.asarray(src), np.asarray(dst)),
+            num_src_nodes=counts[st],
+            num_dst_nodes=counts[dt],
+        )
+    return HeteroGraph(rels, counts)

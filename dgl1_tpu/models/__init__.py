@@ -1,0 +1,9 @@
+"""Reference model zoo (parity: ``examples/pytorch/{gcn,gat,graphsage,rgcn}``
+model definitions, as reusable flax modules)."""
+
+from dgl1_tpu.models.gcn import GCN
+from dgl1_tpu.models.gat import GAT
+from dgl1_tpu.models.graphsage import GraphSAGE
+from dgl1_tpu.models.rgcn import RGCN
+
+__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN"]

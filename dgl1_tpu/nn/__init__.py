@@ -1,0 +1,60 @@
+"""NN modules (flax.linen) — parity: ``python/dgl/nn/pytorch``.
+
+Every conv takes ``(graph, feat)`` functionally (the reference modules use
+``g.local_scope()`` + ndata mutation; here the graph is read-only and the
+features flow through the module), and lowers to the same fused-op calls.
+"""
+
+from dgl1_tpu.nn.conv import (
+    GraphConv,
+    GATConv,
+    SAGEConv,
+    RelGraphConv,
+    GINConv,
+    SGConv,
+    APPNPConv,
+    TAGConv,
+    ChebConv,
+    EdgeConv,
+    GatedGraphConv,
+    AGNNConv,
+    NNConv,
+    DenseGraphConv,
+    DenseSAGEConv,
+)
+from dgl1_tpu.nn.glob import (
+    SumPooling,
+    AvgPooling,
+    MaxPooling,
+    SortPooling,
+    GlobalAttentionPooling,
+    Set2Set,
+)
+from dgl1_tpu.nn.hetero import HeteroGraphConv
+from dgl1_tpu.nn.softmax import edge_softmax
+
+__all__ = [
+    "GraphConv",
+    "GATConv",
+    "SAGEConv",
+    "RelGraphConv",
+    "GINConv",
+    "SGConv",
+    "APPNPConv",
+    "TAGConv",
+    "ChebConv",
+    "EdgeConv",
+    "GatedGraphConv",
+    "AGNNConv",
+    "NNConv",
+    "DenseGraphConv",
+    "DenseSAGEConv",
+    "SumPooling",
+    "AvgPooling",
+    "MaxPooling",
+    "SortPooling",
+    "GlobalAttentionPooling",
+    "Set2Set",
+    "HeteroGraphConv",
+    "edge_softmax",
+]

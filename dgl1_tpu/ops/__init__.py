@@ -1,0 +1,34 @@
+"""``dgl1_tpu.ops`` — user/NN-facing sparse op API.
+
+Parity: ``python/dgl/ops`` (gspmm/gsddmm wrappers, op-specific sugar such as
+``copy_u_sum`` / ``u_dot_v``, ``edge_softmax``, segment ops).
+"""
+
+from dgl1_tpu.ops.spmm import *  # noqa: F401,F403
+from dgl1_tpu.ops.sddmm import *  # noqa: F401,F403
+from dgl1_tpu.ops import spmm as _spmm
+from dgl1_tpu.ops import sddmm as _sddmm
+from dgl1_tpu.ops.spmm import gspmm
+from dgl1_tpu.ops.sddmm import gsddmm
+from dgl1_tpu.ops.edge_softmax import edge_softmax
+from dgl1_tpu.ops.segment import (
+    segment_reduce,
+    segment_softmax,
+    segment_mm,
+    gather_mm,
+)
+from dgl1_tpu.ops.dispatch import set_engine, get_engine
+
+__all__ = (
+    list(_spmm.__all__)
+    + [n for n in _sddmm.__all__ if n not in ("copy_u", "copy_v")]
+    + [
+        "edge_softmax",
+        "segment_reduce",
+        "segment_softmax",
+        "segment_mm",
+        "gather_mm",
+        "set_engine",
+        "get_engine",
+    ]
+)

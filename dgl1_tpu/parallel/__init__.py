@@ -1,0 +1,41 @@
+"""Multi-chip / multi-host parallel layer (parity: DistDGL,
+``python/dgl/distributed``).
+
+TPU-native replacement for the reference's RPC/KVStore pull architecture
+(SURVEY.md §2.3): the graph is edge-partitioned by destination owner, halo
+(boundary) source features are exchanged per layer with ``all_to_all`` over
+ICI inside ``shard_map``, and gradients of replicated parameters are
+reduced by the ``shard_map`` transpose automatically.
+"""
+
+from dgl1_tpu.parallel.partition import (
+    partition_graph,
+    load_partition,
+    metis_partition_assignment,
+    greedy_partition_assignment,
+    random_partition_assignment,
+    edge_cut_fraction,
+)
+from dgl1_tpu.parallel.graph_partition_book import GraphPartitionBook
+from dgl1_tpu.parallel.halo import PartitionedGraph, build_partitioned_graph
+from dgl1_tpu.parallel.sharded_ops import (
+    sharded_gspmm,
+    halo_exchange,
+)
+from dgl1_tpu.parallel.dist_graph import DistGraph, DistTensor
+
+__all__ = [
+    "partition_graph",
+    "load_partition",
+    "metis_partition_assignment",
+    "greedy_partition_assignment",
+    "random_partition_assignment",
+    "edge_cut_fraction",
+    "GraphPartitionBook",
+    "PartitionedGraph",
+    "build_partitioned_graph",
+    "sharded_gspmm",
+    "halo_exchange",
+    "DistGraph",
+    "DistTensor",
+]

@@ -1,0 +1,216 @@
+"""Device-resident partitioned graph with a static halo-exchange plan.
+
+This is the TPU-native replacement for DistDGL's KVStore pull (SURVEY.md
+§2.3 "graph partition parallel"): instead of fetching remote features by
+RPC at run time, the partitioner precomputes, per (owner q -> consumer p)
+pair, WHICH owned nodes q must send to p; at every layer the features move
+in one ``all_to_all`` over ICI inside ``shard_map`` and land in fixed halo
+slots that the local edge arrays already index. Everything is padded to
+static shapes at build time so one compiled program serves every step.
+
+Reference anchors: ``src/graph/transform/partition_hetero.cc ::
+PartitionWithHalo`` (halo construction), ``python/dgl/distributed/
+kvstore.py`` (the pull being replaced).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgl1_tpu.graph import Graph
+from dgl1_tpu.parallel.graph_partition_book import GraphPartitionBook
+
+__all__ = ["PartitionedGraph", "build_partitioned_graph"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_PG_ARRAY_FIELDS = (
+    "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids"
+)
+_PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes")
+
+
+class PartitionedGraph:
+    """All arrays have leading axis P (the mesh axis to shard over).
+
+    Combined per-device feature index space: [0, n_loc) owned nodes,
+    [n_loc + q*m_halo, n_loc + (q+1)*m_halo) halo slots from owner q.
+
+    Array fields (pytree leaves):
+      edst      (P, e_loc)    int32 local dst ids, sorted; sentinel n_loc
+                               marks padding
+      esrc      (P, e_loc)    int32 combined src index
+      send_idx  (P, P, m_halo) int32: [p][q] = local ids p sends to q
+      in_deg    (P, n_loc)    float32 global in-degree
+      out_deg   (P, n_loc)    float32 global out-degree
+      node_mask (P, n_loc)    bool — real owned node
+      orig_ids  (P, n_loc)    int32 global id (sentinel 0)
+    Static fields (pytree aux): num_parts, n_loc, e_loc, m_halo, num_nodes.
+    """
+
+    __slots__ = _PG_ARRAY_FIELDS + _PG_STATIC_FIELDS
+
+    def __init__(self, *, edst, esrc, send_idx, in_deg, out_deg, node_mask,
+                 orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes):
+        self.edst = edst
+        self.esrc = esrc
+        self.send_idx = send_idx
+        self.in_deg = in_deg
+        self.out_deg = out_deg
+        self.node_mask = node_mask
+        self.orig_ids = orig_ids
+        self.num_parts = int(num_parts)
+        self.n_loc = int(n_loc)
+        self.e_loc = int(e_loc)
+        self.m_halo = int(m_halo)
+        self.num_nodes = int(num_nodes)
+
+    def tree_flatten(self):
+        return (
+            tuple(getattr(self, f) for f in _PG_ARRAY_FIELDS),
+            tuple(getattr(self, f) for f in _PG_STATIC_FIELDS),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kw = dict(zip(_PG_ARRAY_FIELDS, children))
+        kw.update(dict(zip(_PG_STATIC_FIELDS, aux)))
+        return cls(**kw)
+
+    # ------------------------------------------------------------------
+    def shard_node_data(self, data) -> jnp.ndarray:
+        """(N, *f) global node data -> (P, n_loc, *f) part-local layout."""
+        data = jnp.asarray(data)
+        idx = self.orig_ids.reshape(-1)
+        out = jnp.take(data, idx, axis=0, mode="clip")
+        if jnp.issubdtype(out.dtype, jnp.floating):
+            # Zero phantom rows so padded nodes can't leak values.
+            mask = self.node_mask.reshape((-1,) + (1,) * (data.ndim - 1))
+            out = out * mask.astype(out.dtype)
+        return out.reshape((self.num_parts, self.n_loc) + data.shape[1:])
+
+    def unshard_node_data(self, data) -> jnp.ndarray:
+        """(P, n_loc, *f) -> (N, *f) global layout."""
+        flat = data.reshape((-1,) + data.shape[2:])
+        ids = self.orig_ids.reshape(-1)
+        mask = self.node_mask.reshape(-1)
+        out = jnp.zeros((self.num_nodes,) + data.shape[2:], dtype=data.dtype)
+        # Drop phantom rows: route them to an out-of-range index.
+        safe_ids = jnp.where(mask, ids, self.num_nodes)
+        return out.at[safe_ids].set(flat, mode="drop")
+
+
+jax.tree_util.register_pytree_node(
+    PartitionedGraph,
+    PartitionedGraph.tree_flatten,
+    PartitionedGraph.tree_unflatten,
+)
+
+
+def build_partitioned_graph(
+    g: Graph,
+    part: np.ndarray,
+    num_parts: int,
+    pad_nodes_multiple: int = 8,
+    pad_edges_multiple: int = 128,
+    pad_halo_multiple: int = 8,
+) -> PartitionedGraph:
+    """Build the device-resident partitioned structure from an assignment.
+
+    Edges are owned by their destination's part (aggregation stays local);
+    remote sources become halo slots. All dimensions are padded to the max
+    across parts (static shapes for shard_map).
+    """
+    part = np.asarray(part).astype(np.int32)
+    book = GraphPartitionBook(part, num_parts)
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e].astype(np.int64)
+    dst = np.asarray(g.dst)[:e].astype(np.int64)
+    in_deg_g = np.zeros(g.num_nodes(), dtype=np.int64)
+    np.add.at(in_deg_g, dst, 1)
+    out_deg_g = np.zeros(g.num_nodes(), dtype=np.int64)
+    np.add.at(out_deg_g, src, 1)
+
+    own_nodes = [book.partid2nids(p) for p in range(num_parts)]
+    n_loc = _round_up(max(len(o) for o in own_nodes), pad_nodes_multiple)
+
+    # Per-part edge sets and halo requirements.
+    halo_sets: Dict[int, Dict[int, np.ndarray]] = {}
+    part_edges = []
+    for p in range(num_parts):
+        eids = np.nonzero(part[dst] == p)[0]
+        part_edges.append(eids)
+        remote = part[src[eids]] != p
+        req: Dict[int, np.ndarray] = {}
+        rsrc = np.unique(src[eids][remote])
+        for q in range(num_parts):
+            req[q] = rsrc[part[rsrc] == q]
+        halo_sets[p] = req
+
+    m_halo = max(
+        (len(halo_sets[p][q]) for p in range(num_parts)
+         for q in range(num_parts)),
+        default=0,
+    )
+    m_halo = max(_round_up(max(m_halo, 1), pad_halo_multiple), pad_halo_multiple)
+    e_loc = _round_up(max(len(pe) for pe in part_edges), pad_edges_multiple)
+
+    edst = np.full((num_parts, e_loc), n_loc, dtype=np.int32)
+    esrc = np.zeros((num_parts, e_loc), dtype=np.int32)
+    send_idx = np.zeros((num_parts, num_parts, m_halo), dtype=np.int32)
+    in_deg = np.zeros((num_parts, n_loc), dtype=np.float32)
+    out_deg = np.zeros((num_parts, n_loc), dtype=np.float32)
+    node_mask = np.zeros((num_parts, n_loc), dtype=bool)
+    orig_ids = np.zeros((num_parts, n_loc), dtype=np.int32)
+
+    for p in range(num_parts):
+        own = own_nodes[p]
+        k = len(own)
+        node_mask[p, :k] = True
+        orig_ids[p, :k] = own
+        in_deg[p, :k] = in_deg_g[own]
+        out_deg[p, :k] = out_deg_g[own]
+
+        # Combined index for remote sources: halo slot of (owner, position).
+        halo_pos = {}
+        for q in range(num_parts):
+            nodes_q = halo_sets[p][q]
+            # Position within q's send block for destination p.
+            send_idx[q, p, : len(nodes_q)] = book.nid2localnid(nodes_q)
+            for j, nd in enumerate(nodes_q):
+                halo_pos[int(nd)] = n_loc + q * m_halo + j
+
+        eids = part_edges[p]
+        ldst = book.nid2localnid(dst[eids])
+        esrc_p = np.empty(len(eids), dtype=np.int64)
+        local_src = part[src[eids]] == p
+        esrc_p[local_src] = book.nid2localnid(src[eids][local_src])
+        remote_ids = src[eids][~local_src]
+        esrc_p[~local_src] = np.array(
+            [halo_pos[int(s)] for s in remote_ids], dtype=np.int64
+        ) if len(remote_ids) else np.zeros(0, dtype=np.int64)
+        order = np.argsort(ldst, kind="stable")
+        edst[p, : len(eids)] = ldst[order]
+        esrc[p, : len(eids)] = esrc_p[order]
+
+    return PartitionedGraph(
+        edst=jnp.asarray(edst),
+        esrc=jnp.asarray(esrc),
+        send_idx=jnp.asarray(send_idx),
+        in_deg=jnp.asarray(in_deg),
+        out_deg=jnp.asarray(out_deg),
+        node_mask=jnp.asarray(node_mask),
+        orig_ids=jnp.asarray(orig_ids),
+        num_parts=num_parts,
+        n_loc=n_loc,
+        e_loc=e_loc,
+        m_halo=m_halo,
+        num_nodes=g.num_nodes(),
+    )

@@ -1,0 +1,216 @@
+"""Graph partitioning for multi-chip training.
+
+Parity: ``python/dgl/distributed/partition.py :: partition_graph`` and
+``src/graph/transform/metis_partition.cc``. The reference wraps METIS;
+METIS is not available here, so the quality partitioner is a batched
+LDG-style greedy (linear deterministic greedy: assign each node to the
+part holding most of its neighbors, discounted by part fullness), with a
+random/hash assignment as the cheap fallback. Cut quality is measurable
+via :func:`edge_cut_fraction` and reported by the scaling benchmarks.
+
+On-disk contract mirrors the reference (json book + per-part containers):
+``{out_path}/{name}.json`` + ``{out_path}/part{i}/graph.npz`` +
+``part{i}/node_feat.npz``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from dgl1_tpu.graph import Graph, graph
+
+__all__ = [
+    "random_partition_assignment",
+    "greedy_partition_assignment",
+    "metis_partition_assignment",
+    "edge_cut_fraction",
+    "partition_graph",
+    "load_partition",
+]
+
+
+def random_partition_assignment(g: Graph, k: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, k, size=g.num_nodes()).astype(np.int32)
+
+
+def greedy_partition_assignment(
+    g: Graph, k: int, batch: int = 4096, slack: float = 1.05,
+    sweeps: int = 2, seed: int = 0,
+) -> np.ndarray:
+    """Batched LDG streaming partitioner.
+
+    Nodes are processed in descending-degree order in batches; each node
+    scores parts by (neighbors already in part) * (1 - size/capacity) and
+    takes the argmax. Additional sweeps refine the initial assignment.
+    """
+    n = g.num_nodes()
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e].astype(np.int64)
+    dst = np.asarray(g.dst)[:e].astype(np.int64)
+    # Undirected adjacency in CSR form for neighbor queries.
+    us = np.concatenate([src, dst])
+    vs = np.concatenate([dst, src])
+    order = np.argsort(us, kind="stable")
+    us, vs = us[order], vs[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(us, minlength=n), out=indptr[1:])
+
+    deg = np.diff(indptr)
+    visit = np.argsort(-deg, kind="stable")
+    cap = slack * n / k
+
+    part = np.full(n, -1, dtype=np.int32)
+    sizes = np.zeros(k, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+
+    for sweep in range(sweeps):
+        for lo in range(0, n, batch):
+            nodes = visit[lo:lo + batch]
+            counts = deg[nodes]
+            flat_nbrs = vs[
+                np.concatenate(
+                    [np.arange(indptr[v], indptr[v + 1]) for v in nodes]
+                ) if counts.sum() else np.zeros(0, dtype=np.int64)
+            ]
+            owner = np.repeat(np.arange(len(nodes)), counts)
+            nbr_part = part[flat_nbrs]
+            valid = nbr_part >= 0
+            hist = np.zeros((len(nodes), k), dtype=np.float64)
+            np.add.at(hist, (owner[valid], nbr_part[valid]), 1.0)
+            if sweep > 0:
+                # Refinement: don't count the node's own current part seat.
+                cur = part[nodes]
+                sizes[:] = np.bincount(part[part >= 0], minlength=k)
+                np.subtract.at(sizes, cur[cur >= 0], 1)
+            score = (hist + 1e-3 * rng.random(hist.shape)) * np.maximum(
+                1.0 - sizes[None, :] / cap, 1e-6
+            )
+            choice = score.argmax(axis=1).astype(np.int32)
+            if sweep > 0:
+                old = part[nodes]
+                np.subtract.at(sizes, old[old >= 0], 0)  # sizes rebuilt above
+            part[nodes] = choice
+            sizes[:] = np.bincount(part[part >= 0], minlength=k)
+    return part
+
+
+def metis_partition_assignment(g: Graph, k: int, **kw) -> np.ndarray:
+    """Parity name for ``dgl.distributed.metis_partition_assignment``.
+
+    METIS itself is not bundled; this delegates to the LDG greedy
+    partitioner (documented divergence — cut quality is tracked by the
+    scaling benchmark instead of assumed).
+    """
+    return greedy_partition_assignment(g, k, **kw)
+
+
+def edge_cut_fraction(g: Graph, part: np.ndarray) -> float:
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e]
+    dst = np.asarray(g.dst)[:e]
+    if e == 0:
+        return 0.0
+    return float(np.mean(part[src] != part[dst]))
+
+
+def partition_graph(
+    g: Graph,
+    graph_name: str,
+    num_parts: int,
+    out_path: str,
+    part_method: str = "greedy",
+    balance_edges: bool = False,
+    seed: int = 0,
+) -> np.ndarray:
+    """Partition + persist (parity: ``dgl.distributed.partition_graph``).
+
+    Each part stores its *destination-owned* edges plus 1-hop halo source
+    nodes, with ``inner_node`` / ``inner_edge`` flags and original ids —
+    the same artifact shape as the reference's ``PartitionWithHalo``.
+    Returns the assignment array.
+    """
+    if part_method == "random":
+        part = random_partition_assignment(g, num_parts, seed)
+    elif part_method in ("greedy", "metis"):
+        part = greedy_partition_assignment(g, num_parts, seed=seed)
+    else:
+        raise ValueError(f"unknown part_method {part_method!r}")
+
+    out = Path(out_path)
+    out.mkdir(parents=True, exist_ok=True)
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e].astype(np.int64)
+    dst = np.asarray(g.dst)[:e].astype(np.int64)
+
+    node_map = []
+    edge_map = []
+    for p in range(num_parts):
+        own_nodes = np.nonzero(part == p)[0]
+        own_edges = np.nonzero(part[dst] == p)[0]
+        halo = np.setdiff1d(np.unique(src[own_edges]), own_nodes)
+        local_nodes = np.concatenate([own_nodes, halo])
+        relabel = np.full(g.num_nodes(), -1, dtype=np.int64)
+        relabel[local_nodes] = np.arange(len(local_nodes))
+        pdir = out / f"part{p}"
+        pdir.mkdir(exist_ok=True)
+        np.savez_compressed(
+            pdir / "graph.npz",
+            src=relabel[src[own_edges]].astype(np.int32),
+            dst=relabel[dst[own_edges]].astype(np.int32),
+            orig_nid=local_nodes.astype(np.int64),
+            orig_eid=own_edges.astype(np.int64),
+            inner_node=(np.arange(len(local_nodes)) < len(own_nodes)),
+            inner_edge=np.ones(len(own_edges), dtype=bool),
+            num_nodes=np.asarray([len(local_nodes)]),
+        )
+        feats = {
+            k: np.asarray(v)[own_nodes]
+            for k, v in g.ndata.items()
+        }
+        np.savez_compressed(pdir / "node_feat.npz", **feats)
+        node_map.append(own_nodes)
+        edge_map.append(own_edges)
+
+    book = {
+        "graph_name": graph_name,
+        "num_parts": num_parts,
+        "num_nodes": g.num_nodes(),
+        "num_edges": e,
+        "part_method": part_method,
+        "edge_cut_fraction": edge_cut_fraction(g, part),
+        "node_map": [m.tolist() if len(m) < 100000 else None
+                     for m in node_map],
+    }
+    np.save(out / "node_part.npy", part)
+    with open(out / f"{graph_name}.json", "w") as f:
+        json.dump(book, f)
+    return part
+
+
+def load_partition(out_path: str, graph_name: str, part_id: int):
+    """Load one partition (parity: ``dgl.distributed.load_partition``).
+
+    Returns (local_graph, node_feats, book_metadata).
+    """
+    out = Path(out_path)
+    with open(out / f"{graph_name}.json") as f:
+        book = json.load(f)
+    pdir = out / f"part{part_id}"
+    with np.load(pdir / "graph.npz") as z:
+        lg = graph(
+            (z["src"], z["dst"]), num_nodes=int(z["num_nodes"][0])
+        )
+        import jax.numpy as jnp
+
+        lg.ndata["orig_id"] = jnp.asarray(z["orig_nid"].astype(np.int64))
+        lg.ndata["inner_node"] = jnp.asarray(z["inner_node"])
+        lg.edata["orig_id"] = jnp.asarray(z["orig_eid"].astype(np.int64))
+    with np.load(pdir / "node_feat.npz") as z:
+        feats = {k: np.array(z[k]) for k in z.files}
+    book["part_assignment"] = np.load(out / "node_part.npy")
+    return lg, feats, book

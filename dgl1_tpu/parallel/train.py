@@ -1,0 +1,78 @@
+"""Partitioned full-graph GCN training step (the multi-chip reference path).
+
+Structure (SURVEY.md §2.3): node features sharded by partition over the
+mesh axis; per layer, one halo ``all_to_all`` + local segment aggregation
+inside ``shard_map``; dense projections run outside shard_map on the
+sharded activations (GSPMD partitions them batch-parallel); parameters are
+replicated and their gradients are globally reduced by the shard_map /
+GSPMD transposes automatically — no hand-written allreduce, which is the
+whole point vs the reference's torch-DDP + RPC split.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dgl1_tpu.parallel.halo import PartitionedGraph
+from dgl1_tpu.parallel.sharded_ops import make_sharded_gcn_matvec
+
+__all__ = ["make_gcn_train_step", "init_gcn_params"]
+
+
+def init_gcn_params(key, in_feats: int, hidden: int, num_classes: int,
+                    dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    glorot = jax.nn.initializers.glorot_uniform()
+    return {
+        "w1": glorot(k1, (in_feats, hidden), dtype),
+        "b1": jnp.zeros((hidden,), dtype),
+        "w2": glorot(k2, (hidden, num_classes), dtype),
+        "b2": jnp.zeros((num_classes,), dtype),
+    }
+
+
+def make_gcn_train_step(
+    pg: PartitionedGraph,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    num_classes: int,
+):
+    """Returns a jitted ``step(params, opt_state, x, labels, mask) ->
+    (params, opt_state, loss)`` with x/labels/mask sharded over axis 'p'.
+    """
+    matvec = make_sharded_gcn_matvec(pg, mesh)
+
+    def loss_fn(params, x, labels, mask):
+        h = matvec(x)
+        h = jax.nn.relu(
+            jnp.einsum("pnf,fh->pnh", h, params["w1"]) + params["b1"]
+        )
+        h = matvec(h)
+        logits = jnp.einsum("pnh,hc->pnc", h, params["w2"]) + params["b2"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+        ce = -jnp.sum(logp * onehot, axis=-1)
+        m = mask.astype(logits.dtype)
+        return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def step(params, opt_state, x, labels, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    shard = NamedSharding(mesh, P("p"))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        step,
+        in_shardings=(repl, repl, shard, shard, shard),
+        out_shardings=(repl, repl, repl),
+    )
+    return jitted, loss_fn

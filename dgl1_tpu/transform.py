@@ -1,0 +1,270 @@
+"""Graph transforms (host-side, numpy — structure construction is not a jit
+concern; the *outputs* are static-shape graphs XLA consumes).
+
+Parity: ``python/dgl/transform.py`` and the C++ ops it wraps —
+``src/graph/transform/*.cc`` (``ToBlock``, ``CompactGraphs``, subgraphs),
+``src/graph/graph_op.cc`` (reverse, self-loops, line graph, khop).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from dgl1_tpu.graph import Graph, block, graph
+
+__all__ = [
+    "add_self_loop",
+    "remove_self_loop",
+    "reverse",
+    "to_bidirected",
+    "khop_graph",
+    "node_subgraph",
+    "edge_subgraph",
+    "to_simple",
+    "line_graph",
+    "to_block",
+    "compact_graphs",
+]
+
+
+def _coo(g: Graph):
+    """Real (unpadded) COO as numpy."""
+    e = g.num_edges()
+    return np.asarray(g.src)[:e], np.asarray(g.dst)[:e]
+
+
+def _slice_rows(data: dict, idx: np.ndarray) -> dict:
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(idx)
+    return {k: jnp.take(v, idx, axis=0, mode="clip") for k, v in data.items()}
+
+
+def reverse(g: Graph, copy_edata: bool = True) -> Graph:
+    """Parity: ``dgl.reverse``. Free pytree rewire (CSR<->CSC swap)."""
+    return g.reverse(copy_edata=copy_edata)
+
+
+def add_self_loop(g: Graph) -> Graph:
+    """Append one (i, i) edge per node (parity: ``dgl.add_self_loop``;
+    existing self-loops are kept, matching the reference)."""
+    if g.is_block:
+        raise ValueError("add_self_loop on a block is ill-defined")
+    src, dst = _coo(g)
+    n = g.num_nodes()
+    loops = np.arange(n, dtype=src.dtype)
+    new = graph(
+        (np.concatenate([src, loops]), np.concatenate([dst, loops])),
+        num_nodes=n,
+    )
+    new.ndata.update(g.ndata)
+    if g.edata:
+        import jax.numpy as jnp
+
+        for k, v in g.edata.items():
+            pad = jnp.zeros((n,) + v.shape[1:], dtype=v.dtype)
+            new.edata[k] = jnp.concatenate([v[: g.num_edges()], pad], axis=0)
+    return new
+
+
+def remove_self_loop(g: Graph) -> Graph:
+    src, dst = _coo(g)
+    keep = src != dst
+    new = graph((src[keep], dst[keep]), num_nodes=g.num_nodes())
+    new.ndata.update(g.ndata)
+    if g.edata:
+        new.edata.update(_slice_rows(g.edata, np.nonzero(keep)[0]))
+    return new
+
+
+def to_bidirected(g: Graph) -> Graph:
+    """Add reverse edges and deduplicate (parity: ``dgl.to_bidirected``)."""
+    src, dst = _coo(g)
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    pairs = np.unique(np.stack([s, d], axis=1), axis=0)
+    return graph((pairs[:, 0], pairs[:, 1]), num_nodes=g.num_nodes())
+
+
+def to_simple(g: Graph) -> Graph:
+    """Remove duplicate edges (parity: ``dgl.to_simple``)."""
+    src, dst = _coo(g)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    new = graph((pairs[:, 0], pairs[:, 1]), num_nodes=g.num_nodes())
+    new.ndata.update(g.ndata)
+    return new
+
+
+def khop_graph(g: Graph, k: int) -> Graph:
+    """Graph whose edges connect k-hop reachable pairs, with multiplicity
+    equal to path counts (parity: ``dgl.khop_graph``)."""
+    import scipy.sparse as sp
+
+    src, dst = _coo(g)
+    n = g.num_nodes()
+    adj = sp.csr_matrix(
+        (np.ones(len(src), dtype=np.int64), (src, dst)), shape=(n, n)
+    )
+    out = adj ** k
+    coo = out.tocoo()
+    s = np.repeat(coo.row, coo.data)
+    d = np.repeat(coo.col, coo.data)
+    return graph((s, d), num_nodes=n)
+
+
+def node_subgraph(g: Graph, nodes) -> Graph:
+    """Node-induced subgraph with relabeled ids (parity: ``dgl.node_subgraph``).
+    Stores original ids in ``ndata['_ID']`` / ``edata['_ID']``."""
+    import jax.numpy as jnp
+
+    nodes = np.asarray(nodes)
+    if nodes.dtype == bool:
+        nodes = np.nonzero(nodes)[0]
+    nodes = nodes.astype(np.int64)
+    src, dst = _coo(g)
+    relabel = np.full((g.num_nodes(),), -1, dtype=np.int64)
+    relabel[nodes] = np.arange(len(nodes))
+    keep = (relabel[src] >= 0) & (relabel[dst] >= 0)
+    eids = np.nonzero(keep)[0]
+    new = graph(
+        (relabel[src[keep]], relabel[dst[keep]]), num_nodes=len(nodes)
+    )
+    new.ndata.update(_slice_rows(g.ndata, nodes))
+    new.ndata["_ID"] = jnp.asarray(nodes.astype(np.int32))
+    new.edata.update(_slice_rows(g.edata, eids))
+    new.edata["_ID"] = jnp.asarray(eids.astype(np.int32))
+    return new
+
+
+def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True) -> Graph:
+    """Edge-induced subgraph (parity: ``dgl.edge_subgraph``)."""
+    import jax.numpy as jnp
+
+    edges = np.asarray(edges)
+    if edges.dtype == bool:
+        edges = np.nonzero(edges)[0]
+    edges = edges.astype(np.int64)
+    src, dst = _coo(g)
+    s, d = src[edges], dst[edges]
+    if relabel_nodes:
+        nodes = np.unique(np.concatenate([s, d]))
+        relabel = np.full((g.num_src_nodes(),), -1, dtype=np.int64)
+        relabel[nodes] = np.arange(len(nodes))
+        new = graph((relabel[s], relabel[d]), num_nodes=len(nodes))
+        new.ndata.update(_slice_rows(g.ndata, nodes))
+        new.ndata["_ID"] = jnp.asarray(nodes.astype(np.int32))
+    else:
+        new = graph((s, d), num_nodes=g.num_src_nodes())
+        new.ndata.update(g.ndata)
+    new.edata.update(_slice_rows(g.edata, edges))
+    new.edata["_ID"] = jnp.asarray(edges.astype(np.int32))
+    return new
+
+
+def line_graph(g: Graph, backtracking: bool = True) -> Graph:
+    """Line graph: nodes are edges of g; edge (e1->e2) iff dst(e1)==src(e2)
+    (parity: ``dgl.line_graph``). ``backtracking=False`` drops pairs where
+    e2 is the reverse of e1."""
+    src, dst = _coo(g)
+    e = len(src)
+    # Group edges by their source node for fast successor lookup.
+    order = np.argsort(src, kind="stable")
+    sorted_src = src[order]
+    starts = np.searchsorted(sorted_src, dst, side="left")
+    ends = np.searchsorted(sorted_src, dst, side="right")
+    counts = ends - starts
+    e1 = np.repeat(np.arange(e), counts)
+    flat = np.concatenate(
+        [order[s:t] for s, t in zip(starts, ends)]
+    ) if e else np.zeros((0,), dtype=np.int64)
+    e2 = flat
+    if not backtracking and e:
+        keep = ~((dst[e2] == src[e1]) & (src[e2] == dst[e1]))
+        e1, e2 = e1[keep], e2[keep]
+    return graph((e1, e2), num_nodes=e)
+
+
+def to_block(frontier: Graph, dst_nodes, include_dst_in_src: bool = True,
+             num_real_dst: Optional[int] = None,
+             pad_src_to: Optional[int] = None,
+             pad_edges_to: Optional[int] = None) -> Graph:
+    """Convert a frontier graph (edges into seed nodes, in parent ids) to a
+    bipartite message-flow block with compact local ids.
+
+    Parity: ``src/graph/transform/to_bipartite.cc :: ToBlock`` — dst nodes
+    get local ids [0, len(dst)); src side is dst (if included) followed by
+    the remaining unique source endpoints, preserving first-seen order.
+    Original parent ids are stored in ``srcdata['_ID']`` / ``dstdata['_ID']``.
+
+    TPU-native static-shape contract: ``dst_nodes`` may carry a phantom
+    tail — only the first ``num_real_dst`` entries are real seeds (the rest
+    are padding from an inner block's ``pad_src_to``). ``pad_src_to`` /
+    ``pad_edges_to`` emit a fixed-shape block so every mini-batch of an
+    epoch reuses ONE compiled program. Real ids always occupy a prefix;
+    ``meta['num_real_src']`` / ``meta['num_real_dst']`` record the prefix
+    lengths.
+    """
+    import jax.numpy as jnp
+
+    dst_nodes = np.asarray(dst_nodes).astype(np.int64)
+    if num_real_dst is None:
+        num_real_dst = len(dst_nodes)
+    real_dst = dst_nodes[:num_real_dst]
+    src, dst = _coo(frontier)
+
+    relabel_dst = np.full((frontier.num_dst_nodes(),), -1, dtype=np.int64)
+    relabel_dst[real_dst] = np.arange(num_real_dst)
+    if np.any(relabel_dst[dst] < 0):
+        raise ValueError("frontier contains an edge to a non-seed dst node")
+
+    relabel_src = np.full((frontier.num_src_nodes(),), -1, dtype=np.int64)
+    if include_dst_in_src:
+        src_ids = real_dst.copy()
+        relabel_src[real_dst] = np.arange(num_real_dst)
+    else:
+        src_ids = np.zeros((0,), dtype=np.int64)
+    # Append new unique srcs in first-seen order (stable unique).
+    new_mask = relabel_src[src] < 0
+    new_srcs = src[new_mask]
+    if len(new_srcs):
+        _, first = np.unique(new_srcs, return_index=True)
+        uniq = new_srcs[np.sort(first)]
+        relabel_src[uniq] = len(src_ids) + np.arange(len(uniq))
+        src_ids = np.concatenate([src_ids, uniq])
+
+    num_src = int(pad_src_to) if pad_src_to is not None else len(src_ids)
+    if num_src < len(src_ids):
+        raise ValueError(
+            f"pad_src_to={num_src} smaller than actual src count {len(src_ids)}"
+        )
+    b = block(
+        (relabel_src[src], relabel_dst[dst]),
+        num_src_nodes=num_src,
+        num_dst_nodes=len(dst_nodes),
+        pad_edges_to=pad_edges_to,
+    )
+    src_id_arr = np.zeros((num_src,), dtype=np.int32)
+    src_id_arr[: len(src_ids)] = src_ids
+    b.srcdata["_ID"] = jnp.asarray(src_id_arr)
+    b.dstdata["_ID"] = jnp.asarray(dst_nodes.astype(np.int32))
+    b.meta["num_real_src"] = int(len(src_ids))
+    b.meta["num_real_dst"] = int(num_real_dst)
+    return b
+
+
+def compact_graphs(graphs):
+    """Remove nodes isolated in *all* given graphs, relabeling consistently
+    (parity: ``src/graph/transform/compact.cc``). Accepts one graph or a list;
+    returns the same structure."""
+    single = isinstance(graphs, Graph)
+    gs = [graphs] if single else list(graphs)
+    n = gs[0].num_nodes()
+    used = np.zeros((n,), dtype=bool)
+    for g in gs:
+        src, dst = _coo(g)
+        used[src] = True
+        used[dst] = True
+    out = [node_subgraph(g, used) for g in gs]
+    return out[0] if single else out

@@ -1,0 +1,124 @@
+"""Graph structure tests (parity role: ``tests/compute/test_graph.py`` /
+``test_heterograph.py``): construction, format consistency, degrees,
+reversal, padding invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl1_tpu as dgl
+
+
+def test_construction_and_formats():
+    src = np.array([0, 1, 2, 2, 3])
+    dst = np.array([1, 2, 3, 3, 0])
+    g = dgl.graph((src, dst), num_nodes=5)
+    assert g.num_nodes() == 5
+    assert g.num_edges() == 5
+    # CSR: edges grouped by src, edge ids preserved within groups.
+    indptr = np.asarray(g.csr_indptr)
+    np.testing.assert_array_equal(indptr, [0, 1, 2, 4, 5, 5])
+    np.testing.assert_array_equal(np.asarray(g.csr_dst), [1, 2, 3, 3, 0])
+    # CSC: grouped by dst.
+    indptr_c = np.asarray(g.csc_indptr)
+    np.testing.assert_array_equal(indptr_c, [0, 1, 2, 3, 5, 5])
+    # COO round-trip through csr_eid.
+    np.testing.assert_array_equal(
+        np.asarray(g.src)[np.asarray(g.csr_eid)], np.asarray(g.csr_src)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g.dst)[np.asarray(g.csc_eid)], np.asarray(g.csc_dst)
+    )
+
+
+def test_degrees():
+    g = dgl.rand_graph(20, 100, seed=3)
+    src = np.asarray(g.src)
+    dst = np.asarray(g.dst)
+    np.testing.assert_array_equal(
+        np.asarray(g.out_degrees()), np.bincount(src, minlength=20)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g.in_degrees()), np.bincount(dst, minlength=20)
+    )
+
+
+def test_reverse_is_free_and_correct():
+    g = dgl.rand_graph(10, 40, seed=1)
+    r = g.reverse()
+    np.testing.assert_array_equal(np.asarray(r.src), np.asarray(g.dst))
+    np.testing.assert_array_equal(np.asarray(r.dst), np.asarray(g.src))
+    np.testing.assert_array_equal(
+        np.asarray(r.in_degrees()), np.asarray(g.out_degrees())
+    )
+    # Structural arrays are shared (no copies).
+    assert r.csr_indptr is g.csc_indptr
+
+
+def test_padding_sentinels():
+    g = dgl.graph((np.array([0, 1]), np.array([1, 0])), num_nodes=2,
+                  pad_edges_to=8)
+    assert g.num_edges() == 2
+    assert g.num_edges_padded() == 8
+    assert np.asarray(g.edge_mask).sum() == 2
+    # Padded COO endpoints hold the sentinel (== num_nodes).
+    assert np.all(np.asarray(g.src)[2:] == 2)
+    assert np.all(np.asarray(g.csc_dst)[2:] == 2)
+
+
+def test_graph_is_pytree():
+    g = dgl.rand_graph(6, 12, seed=0)
+    g.ndata["h"] = jnp.ones((6, 3))
+    leaves = jax.tree.leaves(g)
+    assert any(l.shape == (6, 3) for l in leaves)
+
+    @jax.jit
+    def f(graph):
+        return dgl.ops.copy_u_sum(graph, graph.ndata["h"])
+
+    out = f(g)
+    np.testing.assert_allclose(
+        out, np.asarray(dgl.ops.copy_u_sum(g, g.ndata["h"]))
+    )
+
+
+def test_zero_edge_graph():
+    g = dgl.graph((np.array([], np.int64), np.array([], np.int64)),
+                  num_nodes=4)
+    out = dgl.ops.copy_u_sum(g, jnp.ones((4, 2)))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_heterograph_basics():
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): (np.array([0, 1]), np.array([1, 2])),
+        ("user", "plays", "game"): (np.array([0, 2]), np.array([0, 1])),
+    })
+    assert hg.num_nodes("user") == 3
+    assert hg.num_nodes("game") == 2
+    assert hg.num_edges("plays") == 2
+    assert hg.to_canonical_etype("plays") == ("user", "plays", "game")
+
+    hg.nodes_data("user")["h"] = jnp.ones((3, 4))
+    out = hg.update_all(
+        dgl.function.copy_u("h", "m"), dgl.function.sum("m", "agg"),
+        etype="plays",
+    )
+    agg = hg.nodes_data("game")["agg"]
+    np.testing.assert_allclose(np.asarray(agg), [[1, 1, 1, 1], [1, 1, 1, 1]])
+
+
+def test_batch_unbatch():
+    g1 = dgl.rand_graph(4, 6, seed=1)
+    g2 = dgl.rand_graph(3, 5, seed=2)
+    g1.ndata["h"] = jnp.ones((4, 2))
+    g2.ndata["h"] = 2 * jnp.ones((3, 2))
+    bg = dgl.batch([g1, g2])
+    assert bg.num_nodes() == 7
+    assert bg.num_edges() == 11
+    gs = dgl.unbatch(bg)
+    assert [g.num_nodes() for g in gs] == [4, 3]
+    np.testing.assert_array_equal(np.asarray(gs[1].src),
+                                  np.asarray(g2.src))
+    np.testing.assert_allclose(np.asarray(gs[1].ndata["h"]), 2.0)

@@ -1,0 +1,203 @@
+"""NN module tests (parity role: ``tests/pytorch/test_nn.py``): shape and
+gradient smoke tests per conv, plus exact-math checks where cheap."""
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl1_tpu as dgl
+from dgl1_tpu import nn
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make(n=12, e=48, f=6):
+    g = dgl.rand_graph(n, e, seed=1)
+    feat = jnp.asarray(
+        np.random.default_rng(1).normal(size=(n, f)).astype(np.float32)
+    )
+    return g, feat
+
+
+def check_grads(module, g, feat, *args, **kwargs):
+    params = module.init(KEY, g, feat, *args, **kwargs)
+    out = module.apply(params, g, feat, *args, **kwargs)
+
+    def loss(p, x):
+        return jnp.sum(module.apply(p, g, x, *args, **kwargs) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1))(params, feat)
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+    assert any(np.any(np.asarray(l) != 0) for l in flat)
+    return out
+
+
+def test_graphconv_math():
+    g = dgl.add_self_loop(dgl.rand_graph(8, 20, seed=2))
+    feat = jnp.asarray(
+        np.random.default_rng(2).normal(size=(8, 5)).astype(np.float32)
+    )
+    conv = nn.GraphConv(3)
+    params = conv.init(KEY, g, feat)
+    out = conv.apply(params, g, feat)
+    assert out.shape == (8, 3)
+    # Exact check: D^-1/2 A D^-1/2 X W + b.
+    W = np.asarray(params["params"]["weight"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+    e = g.num_edges()
+    src, dst = np.asarray(g.src)[:e], np.asarray(g.dst)[:e]
+    A = np.zeros((8, 8), np.float32)
+    np.add.at(A, (dst, src), 1.0)
+    dout = np.maximum(A.sum(0), 1)
+    din = np.maximum(A.sum(1), 1)
+    ref = (np.diag(din ** -0.5) @ A @ np.diag(dout ** -0.5)
+           @ np.asarray(feat) @ W + b)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gatconv():
+    g, feat = make()
+    out = check_grads(nn.GATConv(4, num_heads=3), g, feat)
+    assert out.shape == (12, 3, 4)
+    # Attention weights per dst sum to one -> with all-equal features the
+    # output is a convex combination; just check finiteness + shape here.
+
+
+def test_sageconv_aggregators():
+    g, feat = make()
+    for agg in ["mean", "gcn", "pool"]:
+        out = check_grads(nn.SAGEConv(7, aggregator_type=agg), g, feat)
+        assert out.shape == (12, 7)
+
+
+def test_sageconv_mean_math():
+    g, feat = make()
+    conv = nn.SAGEConv(4, aggregator_type="mean", use_bias=False)
+    params = conv.init(KEY, g, feat)
+    out = conv.apply(params, g, feat)
+    Wn = np.asarray(params["params"]["fc_neigh"]["kernel"])
+    Ws = np.asarray(params["params"]["fc_self"]["kernel"])
+    e = g.num_edges()
+    src, dst = np.asarray(g.src)[:e], np.asarray(g.dst)[:e]
+    A = np.zeros((12, 12), np.float32)
+    np.add.at(A, (dst, src), 1.0)
+    mean_n = A @ np.asarray(feat) / np.maximum(A.sum(1, keepdims=True), 1)
+    ref = np.asarray(feat) @ Ws + mean_n @ Wn
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_relgraphconv():
+    g, feat = make()
+    etypes = jnp.asarray(
+        np.random.default_rng(3).integers(0, 3, size=48).astype(np.int32)
+    )
+    conv = nn.RelGraphConv(6, 5, num_rels=3)
+    params = conv.init(KEY, g, feat, etypes)
+    out = conv.apply(params, g, feat, etypes)
+    assert out.shape == (12, 5)
+    # Against per-edge loop.
+    W = np.asarray(params["params"]["weight"])
+    Wl = np.asarray(params["params"]["loop_weight"])
+    e = g.num_edges()
+    src, dst = np.asarray(g.src)[:e], np.asarray(g.dst)[:e]
+    ref = np.asarray(feat) @ Wl
+    for i in range(e):
+        ref[dst[i]] += np.asarray(feat)[src[i]] @ W[int(etypes[i])]
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_relgraphconv_basis_and_presorted():
+    g, feat = make()
+    rng = np.random.default_rng(4)
+    et = np.sort(rng.integers(0, 4, size=48)).astype(np.int32)
+    counts = jnp.asarray(np.bincount(et, minlength=4).astype(np.int32))
+    conv = nn.RelGraphConv(6, 5, num_rels=4, regularizer="basis", num_bases=2)
+    # NOTE: presorted requires the graph's edges sorted by etype in user
+    # order, which holds here because we assign sorted etypes to user ids.
+    params = conv.init(KEY, g, feat, jnp.asarray(et))
+    out1 = conv.apply(params, g, feat, jnp.asarray(et))
+    out2 = conv.apply(params, g, feat, jnp.asarray(et), presorted=True,
+                      etype_counts=counts)
+    np.testing.assert_allclose(out1, out2, rtol=1e-4, atol=1e-4)
+
+
+def test_other_convs_smoke():
+    g, feat = make()
+    g_sl = dgl.add_self_loop(g)
+    for mod, graph in [
+        (nn.GINConv(), g),
+        (nn.SGConv(5, k=2), g_sl),
+        (nn.APPNPConv(k=3), g_sl),
+        (nn.TAGConv(5, k=2), g_sl),
+        (nn.ChebConv(5, k=3), g_sl),
+        (nn.EdgeConv(5), g),
+        (nn.AGNNConv(), g),
+        (nn.GatedGraphConv(6, n_steps=2), g),
+    ]:
+        out = check_grads(mod, graph, feat)
+        assert out.shape[0] == 12
+
+
+def test_dense_conv_matches_sparse():
+    g, feat = make()
+    e = g.num_edges()
+    src, dst = np.asarray(g.src)[:e], np.asarray(g.dst)[:e]
+    A = np.zeros((12, 12), np.float32)
+    np.add.at(A, (dst, src), 1.0)
+    sparse = nn.GraphConv(4)
+    dense = nn.DenseGraphConv(4)
+    ps = sparse.init(KEY, g, feat)
+    out_s = sparse.apply(ps, g, feat)
+    pd = {"params": {"weight": ps["params"]["weight"],
+                     "bias": ps["params"]["bias"]}}
+    out_d = dense.apply(pd, jnp.asarray(A), feat)
+    np.testing.assert_allclose(out_s, out_d, rtol=1e-4, atol=1e-4)
+
+
+def test_readouts():
+    g1 = dgl.rand_graph(5, 10, seed=5)
+    g2 = dgl.rand_graph(7, 14, seed=6)
+    bg = dgl.batch([g1, g2])
+    feat = jnp.asarray(
+        np.random.default_rng(5).normal(size=(12, 3)).astype(np.float32)
+    )
+    sum_out = nn.SumPooling().apply({}, bg, feat)
+    np.testing.assert_allclose(
+        sum_out,
+        np.stack([np.asarray(feat)[:5].sum(0), np.asarray(feat)[5:].sum(0)]),
+        rtol=1e-5,
+    )
+    avg_out = nn.AvgPooling().apply({}, bg, feat)
+    np.testing.assert_allclose(
+        avg_out,
+        np.stack([np.asarray(feat)[:5].mean(0), np.asarray(feat)[5:].mean(0)]),
+        rtol=1e-5,
+    )
+    max_out = nn.MaxPooling().apply({}, bg, feat)
+    np.testing.assert_allclose(
+        max_out,
+        np.stack([np.asarray(feat)[:5].max(0), np.asarray(feat)[5:].max(0)]),
+        rtol=1e-5,
+    )
+
+
+def test_hetero_graph_conv():
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): (np.array([0, 1]), np.array([1, 2])),
+        ("game", "played_by", "user"): (np.array([0, 1]), np.array([2, 0])),
+    })
+    conv = nn.HeteroGraphConv(
+        {"follows": nn.GraphConv(4, norm="right"),
+         "played_by": nn.GraphConv(4, norm="right")},
+        aggregate="sum",
+    )
+    inputs = {
+        "user": jnp.ones((3, 5)),
+        "game": jnp.ones((2, 5)),
+    }
+    params = conv.init(KEY, hg, inputs)
+    out = conv.apply(params, hg, inputs)
+    assert out["user"].shape == (3, 4)

@@ -1,0 +1,119 @@
+"""Sampling tests (parity role: ``tests/compute/test_sampler.py``):
+fanout respected, no-replacement uniqueness, block pipeline invariants."""
+
+import numpy as np
+import pytest
+
+import dgl1_tpu as dgl
+from dgl1_tpu.dataloading import (
+    MultiLayerFullNeighborSampler,
+    NeighborSampler,
+    NodeDataLoader,
+)
+from dgl1_tpu.sampling import random_walk, sample_neighbors
+
+
+def test_sample_neighbors_fanout_and_uniqueness():
+    g = dgl.rand_graph(50, 500, seed=7)
+    rng = np.random.default_rng(0)
+    seeds = np.array([0, 1, 2, 3, 4])
+    f = sample_neighbors(g, seeds, fanout=3, rng=rng)
+    src = np.asarray(f.src)[:f.num_edges()]
+    dst = np.asarray(f.dst)[:f.num_edges()]
+    in_deg = np.asarray(g.in_degrees())
+    counts = {int(s): 0 for s in seeds}
+    for d in dst:
+        counts[int(d)] += 1
+    for s in seeds:
+        assert counts[int(s)] == min(3, in_deg[s])
+    # Without replacement: edge ids unique.
+    eids = np.asarray(f.edata["_ID"])
+    assert len(np.unique(eids)) == len(eids)
+    # Every sampled edge is a real parent edge into its seed.
+    np.testing.assert_array_equal(np.asarray(g.src)[eids], src)
+    np.testing.assert_array_equal(np.asarray(g.dst)[eids], dst)
+
+
+def test_sample_neighbors_replace():
+    g = dgl.rand_graph(20, 60, seed=8)
+    rng = np.random.default_rng(1)
+    seeds = np.arange(10)
+    f = sample_neighbors(g, seeds, fanout=5, replace=True, rng=rng)
+    dst = np.asarray(f.dst)[:f.num_edges()]
+    in_deg = np.asarray(g.in_degrees())
+    c = np.bincount(dst, minlength=20)
+    for s in seeds:
+        assert c[s] == (5 if in_deg[s] > 0 else 0)
+
+
+def test_sample_distribution_uniform():
+    # One seed with many in-edges: each should be picked ~uniformly.
+    n = 101
+    src = np.arange(1, n)
+    dst = np.zeros(n - 1, dtype=np.int64)
+    g = dgl.graph((src, dst), num_nodes=n)
+    rng = np.random.default_rng(2)
+    hits = np.zeros(n)
+    for _ in range(300):
+        f = sample_neighbors(g, [0], fanout=10, rng=rng)
+        hits[np.asarray(f.src)[:f.num_edges()]] += 1
+    p = hits[1:] / hits[1:].sum()
+    assert abs(p.mean() - 1.0 / (n - 1)) < 1e-9
+    assert p.std() < 3.0 / (n - 1)  # loose uniformity check
+
+
+def test_neighbor_sampler_blocks_static_shapes():
+    g = dgl.rand_graph(200, 2000, seed=9)
+    sampler = NeighborSampler([3, 5])
+    rng = np.random.default_rng(3)
+    shapes = set()
+    for _ in range(3):
+        seeds = rng.integers(0, 200, size=16)
+        inp, out, blocks = sampler.sample_blocks(g, seeds, rng=rng)
+        shapes.add(tuple(
+            (b.num_src_nodes(), b.num_dst_nodes(), b.num_edges_padded())
+            for b in blocks
+        ))
+        # Block chaining: dst array of outer == src array of inner.
+        assert blocks[0].num_dst_nodes() == blocks[1].num_src_nodes()
+    assert len(shapes) == 1  # static across batches
+
+
+def test_blocks_compute_correct_aggregation():
+    """Mean-aggregation through sampled full-neighborhood blocks must match
+    full-graph aggregation."""
+    import jax.numpy as jnp
+
+    g = dgl.rand_graph(30, 200, seed=10)
+    feat = np.random.default_rng(4).normal(size=(30, 4)).astype(np.float32)
+    sampler = MultiLayerFullNeighborSampler(1)
+    seeds = np.array([3, 7, 9])
+    inp, out, blocks = sampler.sample_blocks(g, seeds)
+    blk = blocks[0]
+    h_src = jnp.asarray(feat[np.asarray(blk.srcdata["_ID"])])
+    agg = dgl.ops.copy_u_mean(blk, h_src)
+    full = dgl.ops.copy_u_mean(g, jnp.asarray(feat))
+    np.testing.assert_allclose(
+        np.asarray(agg)[:3], np.asarray(full)[seeds], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_node_dataloader_iterates_all_seeds():
+    g = dgl.rand_graph(100, 600, seed=11)
+    sampler = NeighborSampler([2])
+    loader = NodeDataLoader(g, np.arange(50), sampler, batch_size=16,
+                            shuffle=True, seed=0)
+    seen = []
+    for inp, out, blocks, mask in loader:
+        assert len(out) == 16
+        seen.extend(np.asarray(out)[mask].tolist())
+    assert sorted(seen) == list(range(50))
+
+
+def test_random_walk():
+    g = dgl.graph((np.array([0, 1, 2, 3]), np.array([1, 2, 3, 0])),
+                  num_nodes=4)
+    traces = random_walk(g, [0, 1], length=4,
+                        rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(traces[0], [0, 1, 2, 3, 0])
+    np.testing.assert_array_equal(traces[1], [1, 2, 3, 0, 1])
