@@ -41,9 +41,20 @@ __all__ = [
     "rand_graph",
     "rand_bipartite",
     "from_scipy",
+    "TILE_EDGES",
+    "TILE_ROWS",
 ]
 
 ID_DTYPE = np.int32
+
+# Edge-tile geometry for the Pallas segment-reduce kernel (see
+# ops/engine_pallas.py): T edges per tile, R output rows per row-block.
+# The per-tile reduce is a (T x R)^T @ (T x F) matmul on the MXU, so R
+# bounds the FLOP cost per edge (2*R per feature element) while T only
+# sets the DMA granularity. T must be a multiple of 1024 so 1-D int32
+# tile arrays match XLA's (1024)-element tiled layout on TPU.
+TILE_EDGES = 1024
+TILE_ROWS = 128
 
 
 def _as_numpy_ids(x) -> np.ndarray:
@@ -93,6 +104,8 @@ class Graph:
         "csc_src",
         "csc_eid",
         "csc_dst",
+        "tdst",
+        "tsrc",
         "_num_src_nodes",
         "_num_dst_nodes",
         "_num_edges",
@@ -125,6 +138,8 @@ class Graph:
         num_dst_nodes: int,
         num_edges: int,
         is_block: bool = False,
+        tdst: Optional[Dict[str, Any]] = None,
+        tsrc: Optional[Dict[str, Any]] = None,
         ndata: Optional[Dict[str, Any]] = None,
         edata: Optional[Dict[str, Any]] = None,
         srcdata: Optional[Dict[str, Any]] = None,
@@ -141,6 +156,11 @@ class Graph:
         self.csc_src = csc_src
         self.csc_eid = csc_eid
         self.csc_dst = csc_dst
+        # Edge-tile descriptors for the Pallas reduce kernel: reduce-by-dst
+        # (tdst) and reduce-by-src (tsrc, used by the backward pass on the
+        # reverse graph). None when built without tiles.
+        self.tdst = tdst
+        self.tsrc = tsrc
         self._num_src_nodes = int(num_src_nodes)
         self._num_dst_nodes = int(num_dst_nodes)
         self._num_edges = int(num_edges)
@@ -238,6 +258,8 @@ class Graph:
             csc_src=self.csr_dst,
             csc_eid=self.csr_eid,
             csc_dst=self.csr_src,
+            tdst=self.tsrc,
+            tsrc=self.tdst,
             num_src_nodes=self._num_dst_nodes,
             num_dst_nodes=self._num_src_nodes,
             num_edges=self._num_edges,
@@ -303,6 +325,8 @@ class Graph:
             self.csc_src,
             self.csc_eid,
             self.csc_dst,
+            self.tdst,
+            self.tsrc,
         )
 
     def tree_flatten(self):
@@ -347,6 +371,8 @@ class Graph:
             csc_src,
             csc_eid,
             csc_dst,
+            tdst,
+            tsrc,
         ) = struct
         g = cls(
             src=src,
@@ -364,6 +390,8 @@ class Graph:
             num_dst_nodes=num_dst,
             num_edges=num_edges,
             is_block=is_block,
+            tdst=tdst,
+            tsrc=tsrc,
             ndata=ndata,
             edata=edata,
             srcdata=srcdata if is_block else None,
@@ -472,6 +500,80 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         csc_src=csc_src,
         csc_eid=csc_eid,
         csc_dst=csc_dst,
+        tdst=_build_tiles(csc_dst, csc_src, csc_eid, num_edges, num_dst),
+        tsrc=_build_tiles(csr_src, csr_dst, csr_eid, num_edges, num_src),
+    )
+
+
+def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
+                 eid_sorted: np.ndarray, num_edges: int, num_target: int):
+    """Build the edge-tile descriptors for the Pallas segment-reduce kernel.
+
+    Input arrays are in target-sorted order (CSC for reduce-by-dst, CSR for
+    reduce-by-src), possibly padded with sentinel targets >= num_target at
+    the end (which are excluded here). Layout: output rows are grouped into
+    blocks of TILE_ROWS; each block's edges occupy whole tiles of
+    TILE_EDGES slots (padded with lid = -1). This is the TPU-native
+    replacement for the reference's atomic-scatter CUDA SpMM
+    (``src/array/cuda/spmm.cu``): reduction becomes a per-tile one-hot
+    matmul with sequential accumulation, which XLA scatter cannot match on
+    TPU (no atomics, pathological scatter lowering).
+
+    Returns dict of numpy arrays:
+      rows   (n_tiles,)       int32 row-block index of each tile
+      first  (n_tiles,)       int32 1 if tile is the first of its block
+      lid    (n_tiles, T)     int32 target id within block, -1 padding
+      gather (n_tiles*T,)     int32 source-side node id per slot (0 pad)
+      eid    (n_tiles*T,)     int32 user edge id per slot (0 pad)
+    """
+    T, R = TILE_EDGES, TILE_ROWS
+    tgt = target_sorted[:num_edges].astype(np.int64)
+    gat = gather_sorted[:num_edges].astype(np.int64)
+    eid = eid_sorted[:num_edges].astype(np.int64)
+
+    n_blocks = max((num_target + R - 1) // R, 1)
+    blk = tgt // R
+    cnt = np.bincount(blk, minlength=n_blocks) if num_edges else np.zeros(
+        n_blocks, dtype=np.int64
+    )
+    tiles_per_block = (cnt + T - 1) // T
+    n_tiles = int(tiles_per_block.sum())
+    if n_tiles == 0:
+        return dict(
+            rows=np.zeros((1,), ID_DTYPE),
+            first=np.ones((1,), ID_DTYPE),
+            lid=np.full((1, T), -1, ID_DTYPE),
+            gather=np.zeros((T,), ID_DTYPE),
+            eid=np.zeros((T,), ID_DTYPE),
+        )
+
+    nz = np.nonzero(tiles_per_block)[0]
+    rows = np.repeat(nz, tiles_per_block[nz]).astype(ID_DTYPE)
+    first = np.zeros((n_tiles,), ID_DTYPE)
+    first[np.concatenate([[0], np.cumsum(tiles_per_block[nz])[:-1]])] = 1
+
+    # Slot index per edge: edges of block b start at slot_start[b] and are
+    # contiguous (they are contiguous in the sorted edge order).
+    slot_start = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(tiles_per_block[:-1] * T, out=slot_start[1:])
+    edge_start = np.zeros(n_blocks, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=edge_start[1:])
+    pos_in_block = np.arange(num_edges) - edge_start[blk]
+    slot = slot_start[blk] + pos_in_block
+
+    n_slots = n_tiles * T
+    lid = np.full((n_slots,), -1, dtype=ID_DTYPE)
+    gather = np.zeros((n_slots,), dtype=ID_DTYPE)
+    eid_out = np.zeros((n_slots,), dtype=ID_DTYPE)
+    lid[slot] = (tgt - blk * R).astype(ID_DTYPE)
+    gather[slot] = gat.astype(ID_DTYPE)
+    eid_out[slot] = eid.astype(ID_DTYPE)
+    return dict(
+        rows=rows,
+        first=first,
+        lid=lid.reshape(n_tiles, T),
+        gather=gather,
+        eid=eid_out,
     )
 
 
@@ -509,7 +611,7 @@ def graph(
         num_padded = max(_round_up(num_edges, pad_edges_multiple), pad_edges_multiple)
     arrays = _build_formats(src, dst, num_nodes, num_nodes, num_edges, num_padded)
     if device_arrays:
-        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        arrays = jax.tree.map(jnp.asarray, arrays)
     return Graph(
         **arrays,
         num_src_nodes=num_nodes,

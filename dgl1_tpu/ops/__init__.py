@@ -19,6 +19,14 @@ from dgl1_tpu.ops.segment import (
 )
 from dgl1_tpu.ops.dispatch import set_engine, get_engine
 
+# Register the Pallas TPU fast path (falls back per-call when not covered).
+try:
+    from dgl1_tpu.ops import engine_pallas as _engine_pallas
+
+    _engine_pallas.register()
+except ImportError:  # pragma: no cover — pallas unavailable on this build
+    pass
+
 __all__ = (
     list(_spmm.__all__)
     + [n for n in _sddmm.__all__ if n not in ("copy_u", "copy_v")]
