@@ -536,21 +536,15 @@ def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
     cnt = np.bincount(blk, minlength=n_blocks) if num_edges else np.zeros(
         n_blocks, dtype=np.int64
     )
-    tiles_per_block = (cnt + T - 1) // T
+    # Every row block gets >= 1 tile: a block with no edges still needs
+    # its (zero-initializing) first tile, otherwise its output rows are
+    # never written and hold uninitialized memory.
+    tiles_per_block = np.maximum((cnt + T - 1) // T, 1)
     n_tiles = int(tiles_per_block.sum())
-    if n_tiles == 0:
-        return dict(
-            rows=np.zeros((1,), ID_DTYPE),
-            first=np.ones((1,), ID_DTYPE),
-            lid=np.full((1, T), -1, ID_DTYPE),
-            gather=np.zeros((T,), ID_DTYPE),
-            eid=np.zeros((T,), ID_DTYPE),
-        )
 
-    nz = np.nonzero(tiles_per_block)[0]
-    rows = np.repeat(nz, tiles_per_block[nz]).astype(ID_DTYPE)
+    rows = np.repeat(np.arange(n_blocks), tiles_per_block).astype(ID_DTYPE)
     first = np.zeros((n_tiles,), ID_DTYPE)
-    first[np.concatenate([[0], np.cumsum(tiles_per_block[nz])[:-1]])] = 1
+    first[np.concatenate([[0], np.cumsum(tiles_per_block)[:-1]])] = 1
 
     # Slot index per edge: edges of block b start at slot_start[b] and are
     # contiguous (they are contiguous in the sorted edge order).

@@ -11,6 +11,7 @@ stable (per-destination max subtraction).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dgl1_tpu.graph import Graph
@@ -39,7 +40,12 @@ def edge_softmax(g: Graph, logits, norm_by: str = "dst"):
     # Padded logits must not poison the per-destination max.
     neg_inf = jnp.asarray(-jnp.inf, dtype=logits.dtype)
     safe_logits = jnp.where(mask, logits, neg_inf)
-    mx = gspmm(g, "copy_rhs", "max", None, safe_logits)
+    # Softmax is shift-invariant, so the max is a constant for autodiff —
+    # stop_gradient matches the reference's EdgeSoftmax backward (which
+    # ignores the max term) and skips a useless max-VJP.
+    mx = jax.lax.stop_gradient(
+        gspmm(g, "copy_rhs", "max", None, safe_logits)
+    )
     shifted = gsddmm(g, "sub", logits, mx, lhs_target="e", rhs_target="v")
     ex = jnp.where(mask, jnp.exp(shifted), jnp.zeros_like(shifted))
     denom = gspmm(g, "copy_rhs", "sum", None, ex)

@@ -72,6 +72,101 @@ def _reduce_kernel(rows_ref, first_ref, lid_ref, msg_ref, out_ref):
         out_ref[:] = out_ref[:] + partial.astype(out_ref.dtype)
 
 
+def _minmax_kernel(is_max: bool, rows_ref, first_ref, lid_ref, msg_ref,
+                   out_ref):
+    """Per-tile segmented max/min without scatter: a segmented scan along
+    the (dst-sorted) tile followed by a last-of-segment one-hot matmul.
+
+    The scan is log2(T) shifted-combine steps on the VPU; segment
+    boundaries come from lid equality. The rightmost slot of each segment
+    then holds the segment extremum, and extracting it is the same
+    S^T @ msg MXU pattern as the sum kernel (each output row has exactly
+    one contributor). Rows untouched by this tile get the identity (-inf /
+    +inf), and tiles combine into the output block with max/min instead of
+    add. Replaces the reference's atomic CUDA max-SpMM.
+    """
+    t = pl.program_id(1)
+    T = TILE_EDGES
+    ident = jnp.asarray(
+        -jnp.inf if is_max else jnp.inf, dtype=msg_ref.dtype
+    )
+    vals = msg_ref[:]  # (T, FB)
+    seg = lid_ref[:].reshape(T, 1)  # keep 2-D for Mosaic-friendly rolls
+    pos = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    # Inclusive segmented scan (combine = max/min) over the T axis.
+    shift = 1
+    while shift < T:
+        prev_vals = pltpu.roll(vals, shift, axis=0)
+        prev_seg = pltpu.roll(seg, shift, axis=0)
+        valid = (pos >= shift) & (prev_seg == seg)
+        cand = jnp.where(valid, prev_vals, ident)
+        vals = jnp.maximum(vals, cand) if is_max else jnp.minimum(vals, cand)
+        shift *= 2
+    # Last slot of each segment: next slot has a different lid. Rolling
+    # forward by T-1 is the circular equivalent of shifting back by one
+    # (pltpu.roll requires non-negative shifts).
+    nxt = pltpu.roll(seg, T - 1, axis=0)
+    is_last = ((nxt != seg) | (pos == T - 1)) & (seg >= 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_EDGES, TILE_ROWS), 1)
+    onehot = ((seg == iota) & is_last).astype(vals.dtype)
+    hit = jnp.sum(onehot, axis=0)  # (R,) 1 if row present in tile
+    # Padding slots hold +/-inf; 0 * inf = NaN in the extraction matmul,
+    # so zero them first (their one-hot rows are zero anyway).
+    vals_safe = jnp.where(jnp.isfinite(vals), vals, jnp.zeros_like(vals))
+    picked = jax.lax.dot_general(
+        onehot, vals_safe, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+    partial = jnp.where(hit[:, None] > 0, picked, ident)
+
+    @pl.when(first_ref[t] == 1)
+    def _init():
+        out_ref[:] = partial
+
+    @pl.when(first_ref[t] != 1)
+    def _accum():
+        if is_max:
+            out_ref[:] = jnp.maximum(out_ref[:], partial)
+        else:
+            out_ref[:] = jnp.minimum(out_ref[:], partial)
+
+
+def _segment_tiles_call(kernel, rows, first, lid, msg, n_row_blocks: int):
+    """Shared pallas_call wrapper for the tiled reduce kernels."""
+    n_tiles = lid.shape[0]
+    f_pad = msg.shape[1]
+    n_fb = f_pad // FEAT_BLOCK
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rows, first
+        grid=(n_fb, n_tiles),
+        in_specs=[
+            pl.BlockSpec((TILE_EDGES,), lambda fb, t, rows, first: (t,)),
+            pl.BlockSpec(
+                (TILE_EDGES, FEAT_BLOCK), lambda fb, t, rows, first: (t, fb)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_ROWS, FEAT_BLOCK), lambda fb, t, rows, first: (rows[t], fb)
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_row_blocks * TILE_ROWS, f_pad), msg.dtype
+        ),
+        interpret=_interpret(),
+    )(rows, first, lid.reshape(-1), msg)
+
+
+def _segment_minmax_tiles(is_max, rows, first, lid, msg, n_row_blocks: int):
+    return _segment_tiles_call(
+        functools.partial(_minmax_kernel, is_max), rows, first, lid, msg,
+        n_row_blocks,
+    )
+
+
 def _segment_sum_tiles(rows, first, lid, msg, n_row_blocks: int):
     """msg: (n_tiles*T, F_pad) with F_pad % FEAT_BLOCK == 0. Returns
     (n_row_blocks*R, F_pad)."""
@@ -197,21 +292,27 @@ def _float0_like(tree):
     )
 
 
+def _mask_e_grad(ge, emask):
+    """Zero cotangents of padded edge rows (they never contributed)."""
+    m = emask.reshape((-1,) + (1,) * (ge.ndim - 1))
+    return jnp.where(m, ge, jnp.zeros_like(ge))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gspmm_sum(static: _Static, tdst, tsrc, coo_src, coo_dst, u, e):
+def _gspmm_sum(static: _Static, tdst, tsrc, coo_src, coo_dst, emask, u, e):
     return _tiled_reduce(
         static.op, tdst, u if static.has_u else None,
         e if static.has_e else None, static.num_dst,
     )
 
 
-def _gspmm_sum_fwd(static, tdst, tsrc, coo_src, coo_dst, u, e):
-    out = _gspmm_sum(static, tdst, tsrc, coo_src, coo_dst, u, e)
-    return out, (tdst, tsrc, coo_src, coo_dst, u, e)
+def _gspmm_sum_fwd(static, tdst, tsrc, coo_src, coo_dst, emask, u, e):
+    out = _gspmm_sum(static, tdst, tsrc, coo_src, coo_dst, emask, u, e)
+    return out, (tdst, tsrc, coo_src, coo_dst, emask, u, e)
 
 
 def _gspmm_sum_bwd(static, res, ct):
-    tdst, tsrc, coo_src, coo_dst, u, e = res
+    tdst, tsrc, coo_src, coo_dst, emask, u, e = res
     op = static.op
 
     def take_ct_dst():
@@ -226,21 +327,26 @@ def _gspmm_sum_bwd(static, res, ct):
             static.u_feat,
         )
     elif op == "copy_rhs":
-        ge = _sum_to_shape(take_ct_dst(), static.e_feat)
+        ge = _sum_to_shape(_mask_e_grad(take_ct_dst(), emask), static.e_feat)
     elif op in ("add", "sub"):
         gu = _sum_to_shape(
             _tiled_reduce("copy_lhs", tsrc, ct, None, static.num_src),
             static.u_feat,
         )
         ge_full = take_ct_dst()
-        ge = _sum_to_shape(ge_full if op == "add" else -ge_full,
-                           static.e_feat)
+        ge = _sum_to_shape(
+            _mask_e_grad(ge_full if op == "add" else -ge_full, emask),
+            static.e_feat,
+        )
     elif op == "mul":
         gu = _sum_to_shape(
             _tiled_reduce("mul", tsrc, ct, e, static.num_src), static.u_feat
         )
         ge = _sum_to_shape(
-            jnp.take(u, coo_src, axis=0, mode="clip") * take_ct_dst(),
+            _mask_e_grad(
+                jnp.take(u, coo_src, axis=0, mode="clip") * take_ct_dst(),
+                emask,
+            ),
             static.e_feat,
         )
     elif op == "div":
@@ -249,25 +355,157 @@ def _gspmm_sum_bwd(static, res, ct):
             static.u_feat,
         )
         ge = _sum_to_shape(
-            -jnp.take(u, coo_src, axis=0, mode="clip") * take_ct_dst()
-            / (e * e),
+            _mask_e_grad(
+                -jnp.take(u, coo_src, axis=0, mode="clip") * take_ct_dst()
+                / (e * e),
+                emask,
+            ),
             static.e_feat,
         )
     else:  # pragma: no cover
         raise ValueError(op)
 
-    int_ct = np.zeros((), dtype=jax.dtypes.float0)
     return (
         _float0_like(tdst),
         _float0_like(tsrc),
         np.zeros(coo_src.shape, dtype=jax.dtypes.float0),
         np.zeros(coo_dst.shape, dtype=jax.dtypes.float0),
+        np.zeros(emask.shape, dtype=jax.dtypes.float0),
         gu,
         ge,
     )
 
 
 _gspmm_sum.defvjp(_gspmm_sum_fwd, _gspmm_sum_bwd)
+
+
+# ----------------------------------------------------------------------
+# max / min reduce with argmax-style backward (no scatter anywhere)
+# ----------------------------------------------------------------------
+
+def _tiled_minmax(op, is_max, tiles, u, e, num_target):
+    """Forward max/min in the given tile direction; empty rows -> 0."""
+    lid = tiles["lid"]
+    n_slots = lid.shape[0] * TILE_EDGES
+
+    ug = None if u is None else jnp.take(u, tiles["gather"], axis=0,
+                                         mode="clip")
+    eg = None if e is None else jnp.take(e, tiles["eid"], axis=0, mode="clip")
+    if op == "copy_lhs":
+        msg = ug
+    elif op == "copy_rhs":
+        msg = eg
+    else:
+        msg = _binary(op, ug, eg)
+
+    feat_shape = msg.shape[1:]
+    flat = int(np.prod(feat_shape)) if feat_shape else 1
+    msg2 = msg.reshape(n_slots, flat)
+    ident = jnp.asarray(-jnp.inf if is_max else jnp.inf, dtype=msg2.dtype)
+    valid = (lid.reshape(-1) >= 0)[:, None]
+    msg2 = jnp.where(valid, msg2, ident)
+
+    f_pad = _round_up(max(flat, 1), FEAT_BLOCK)
+    if f_pad != flat:
+        msg2 = jnp.pad(
+            msg2, ((0, 0), (0, f_pad - flat)),
+            constant_values=-np.inf if is_max else np.inf,
+        )
+
+    n_row_blocks = max((num_target + TILE_ROWS - 1) // TILE_ROWS, 1)
+    out = _segment_minmax_tiles(is_max, tiles["rows"], tiles["first"], lid,
+                                msg2, n_row_blocks)
+    out = out[:num_target, :flat]
+    # Rows with no edges hold the identity; the reference zero-fills.
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+    return out.reshape((num_target,) + feat_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gspmm_minmax(static: _Static, is_max: bool, tdst, tsrc, coo_src,
+                  coo_dst, emask, u, e):
+    return _tiled_minmax(
+        static.op, is_max, tdst, u if static.has_u else None,
+        e if static.has_e else None, static.num_dst,
+    )
+
+
+def _gspmm_minmax_fwd(static, is_max, tdst, tsrc, coo_src, coo_dst, emask,
+                      u, e):
+    out = _gspmm_minmax(static, is_max, tdst, tsrc, coo_src, coo_dst, emask,
+                        u, e)
+    return out, (tdst, tsrc, coo_src, coo_dst, emask, u, e, out)
+
+
+def _gspmm_minmax_bwd(static, is_max, res, ct):
+    """Route ct through the extremum edges (ties share evenly, matching
+    jnp AD of the dense reference). All ops are gathers + one tiled-sum —
+    scatter-free, recompute-based (no argmax residual, TPU-idiomatic
+    rematerialization)."""
+    tdst, tsrc, coo_src, coo_dst, emask, u, e, out = res
+    op = static.op
+
+    ug = jnp.take(u, coo_src, axis=0, mode="clip") if static.has_u else None
+    eg = e if static.has_e else None
+    if op == "copy_lhs":
+        msg = ug
+    elif op == "copy_rhs":
+        msg = eg
+    else:
+        msg = _binary(op, ug, eg)
+
+    out_e = jnp.take(out, coo_dst, axis=0, mode="clip")
+    m = emask.reshape((-1,) + (1,) * (msg.ndim - 1))
+    eq = ((msg == out_e) & m).astype(msg.dtype)
+    # Tie counts per destination row, then even split.
+    ties = _tiled_reduce("copy_rhs", tdst, None, eq, static.num_dst)
+    ties_e = jnp.maximum(jnp.take(ties, coo_dst, axis=0, mode="clip"), 1.0)
+    gmsg = eq * jnp.take(ct, coo_dst, axis=0, mode="clip") / ties_e
+
+    gu = jnp.zeros_like(u)
+    ge = jnp.zeros_like(e)
+    if op in ("copy_lhs", "add", "sub"):
+        if static.has_u:
+            gu = _sum_to_shape(
+                _tiled_reduce("copy_rhs", tsrc, None, gmsg, static.num_src),
+                static.u_feat,
+            )
+    elif op == "mul":
+        gu = _sum_to_shape(
+            _tiled_reduce("copy_rhs", tsrc, None, gmsg * eg, static.num_src),
+            static.u_feat,
+        )
+    elif op == "div":
+        gu = _sum_to_shape(
+            _tiled_reduce("copy_rhs", tsrc, None, gmsg / eg, static.num_src),
+            static.u_feat,
+        )
+
+    if static.has_e:
+        if op in ("copy_rhs", "add"):
+            ge_full = gmsg
+        elif op == "sub":
+            ge_full = -gmsg
+        elif op == "mul":
+            ge_full = gmsg * ug
+        elif op == "div":
+            ge_full = -gmsg * ug / (eg * eg)
+        else:
+            ge_full = jnp.zeros_like(e)
+        ge = _sum_to_shape(_mask_e_grad(ge_full, emask), static.e_feat)
+
+    return (
+        _float0_like(tdst),
+        _float0_like(tsrc),
+        np.zeros(coo_src.shape, dtype=jax.dtypes.float0),
+        np.zeros(coo_dst.shape, dtype=jax.dtypes.float0),
+        np.zeros(emask.shape, dtype=jax.dtypes.float0),
+        gu,
+        ge,
+    )
+
+
+_gspmm_minmax.defvjp(_gspmm_minmax_fwd, _gspmm_minmax_bwd)
 
 
 # ----------------------------------------------------------------------
@@ -282,7 +520,8 @@ def gspmm_pallas(g: Graph, op: str, reduce_op: str, u, e):
     (dispatch then falls back to the XLA engine)."""
     if g.tdst is None or g.tsrc is None:
         return None
-    if op not in _SUPPORTED_OPS or reduce_op not in ("sum", "mean"):
+    if op not in _SUPPORTED_OPS or reduce_op not in ("sum", "mean", "max",
+                                                     "min"):
         return None
     for data in (u, e):
         if data is not None and not jnp.issubdtype(data.dtype, jnp.floating):
@@ -300,7 +539,11 @@ def gspmm_pallas(g: Graph, op: str, reduce_op: str, u, e):
     dtype = (u if u is not None else e).dtype
     u_in = u if u is not None else jnp.zeros((1, 1), dtype)
     e_in = e if e is not None else jnp.zeros((1, 1), dtype)
-    out = _gspmm_sum(static, g.tdst, g.tsrc, g.src, g.dst, u_in, e_in)
+    if reduce_op in ("max", "min"):
+        return _gspmm_minmax(static, reduce_op == "max", g.tdst, g.tsrc,
+                             g.src, g.dst, g.edge_mask, u_in, e_in)
+    out = _gspmm_sum(static, g.tdst, g.tsrc, g.src, g.dst, g.edge_mask,
+                     u_in, e_in)
     if reduce_op == "mean":
         deg = jnp.maximum(g.in_degrees().astype(out.dtype), 1.0)
         out = out / deg.reshape((out.shape[0],) + (1,) * (out.ndim - 1))

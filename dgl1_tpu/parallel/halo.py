@@ -32,7 +32,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 _PG_ARRAY_FIELDS = (
-    "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids"
+    "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids",
+    "tiles_fwd", "tiles_rev",
 )
 _PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes")
 
@@ -58,7 +59,8 @@ class PartitionedGraph:
     __slots__ = _PG_ARRAY_FIELDS + _PG_STATIC_FIELDS
 
     def __init__(self, *, edst, esrc, send_idx, in_deg, out_deg, node_mask,
-                 orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes):
+                 orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes,
+                 tiles_fwd=None, tiles_rev=None):
         self.edst = edst
         self.esrc = esrc
         self.send_idx = send_idx
@@ -66,6 +68,13 @@ class PartitionedGraph:
         self.out_deg = out_deg
         self.node_mask = node_mask
         self.orig_ids = orig_ids
+        # Per-device Pallas tile descriptors (each a dict of arrays with
+        # leading P axis): fwd reduces local edges into owned rows; rev
+        # reduces into the combined [owned + halo-slot] index space for
+        # the backward pass (the all_to_all transpose then returns halo
+        # cotangents to their owners).
+        self.tiles_fwd = tiles_fwd
+        self.tiles_rev = tiles_rev
         self.num_parts = int(num_parts)
         self.n_loc = int(n_loc)
         self.e_loc = int(e_loc)
@@ -162,6 +171,30 @@ def build_partitioned_graph(
     m_halo = max(_round_up(max(m_halo, 1), pad_halo_multiple), pad_halo_multiple)
     e_loc = _round_up(max(len(pe) for pe in part_edges), pad_edges_multiple)
 
+    from dgl1_tpu.graph import TILE_EDGES, TILE_ROWS, _build_tiles
+
+    n_comb = n_loc + num_parts * m_halo
+
+    def _pad_tiles(tiles_list, num_target):
+        """Stack per-part tile dicts, padding tile counts to the max with
+        no-op tiles aimed at a scratch row block past the real ones."""
+        scratch_block = (num_target + TILE_ROWS - 1) // TILE_ROWS
+        n_tiles = max(t["rows"].shape[0] for t in tiles_list)
+        out = {k: [] for k in ("rows", "first", "lid", "gather")}
+        for t in tiles_list:
+            pad = n_tiles - t["rows"].shape[0]
+            out["rows"].append(np.concatenate(
+                [t["rows"], np.full(pad, scratch_block, np.int32)]))
+            out["first"].append(np.concatenate(
+                [t["first"], np.ones(pad, np.int32)]))
+            out["lid"].append(np.concatenate(
+                [t["lid"], np.full((pad, TILE_EDGES), -1, np.int32)]))
+            out["gather"].append(np.concatenate(
+                [t["gather"], np.zeros(pad * TILE_EDGES, np.int32)]))
+        return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+    tiles_fwd_list, tiles_rev_list = [], []
+
     edst = np.full((num_parts, e_loc), n_loc, dtype=np.int32)
     esrc = np.zeros((num_parts, e_loc), dtype=np.int32)
     send_idx = np.zeros((num_parts, num_parts, m_halo), dtype=np.int32)
@@ -200,7 +233,25 @@ def build_partitioned_graph(
         edst[p, : len(eids)] = ldst[order]
         esrc[p, : len(eids)] = esrc_p[order]
 
+        # Pallas tile descriptors for this part, both directions.
+        dummy_eid = np.zeros(len(eids), np.int32)
+        tiles_fwd_list.append(_build_tiles(
+            ldst[order].astype(np.int32), esrc_p[order].astype(np.int32),
+            dummy_eid, len(eids), n_loc,
+        ))
+        rev_order = np.argsort(esrc_p, kind="stable")
+        tiles_rev_list.append(_build_tiles(
+            esrc_p[rev_order].astype(np.int32),
+            ldst[rev_order].astype(np.int32),
+            dummy_eid, len(eids), n_comb,
+        ))
+
+    tiles_fwd = _pad_tiles(tiles_fwd_list, n_loc)
+    tiles_rev = _pad_tiles(tiles_rev_list, n_comb)
+
     return PartitionedGraph(
+        tiles_fwd=tiles_fwd,
+        tiles_rev=tiles_rev,
         edst=jnp.asarray(edst),
         esrc=jnp.asarray(esrc),
         send_idx=jnp.asarray(send_idx),

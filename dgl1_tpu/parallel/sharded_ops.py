@@ -50,12 +50,81 @@ def halo_exchange(pg: PartitionedGraph, feat_local: jnp.ndarray,
     return jnp.concatenate([feat_local, halo], axis=0)
 
 
+def _tiles_device_view(tiles):
+    """Strip the leading per-device axis shard_map leaves on each array."""
+    return {k: v[0] for k, v in tiles.items()}
+
+
+def _tiled_sum(tiles, values, num_target: int):
+    """Scatter-free local reduce via the Pallas tile kernel (values are
+    gathered rows of the combined feature table)."""
+    from dgl1_tpu.ops.engine_pallas import (
+        FEAT_BLOCK,
+        _interpret,
+        _segment_sum_tiles,
+    )
+    from dgl1_tpu.graph import TILE_EDGES, TILE_ROWS
+
+    lid = tiles["lid"]
+    n_slots = lid.shape[0] * TILE_EDGES
+    msg = jnp.take(values, tiles["gather"], axis=0, mode="clip")
+    feat = msg.shape[1:]
+    flat = int(np.prod(feat)) if feat else 1
+    msg2 = msg.reshape(n_slots, flat)
+    msg2 = jnp.where((lid.reshape(-1) >= 0)[:, None], msg2,
+                     jnp.zeros_like(msg2))
+    f_pad = -(-max(flat, 1) // FEAT_BLOCK) * FEAT_BLOCK
+    if f_pad != flat:
+        msg2 = jnp.pad(msg2, ((0, 0), (0, f_pad - flat)))
+    # +1 scratch row block absorbs the cross-part tile-count padding.
+    n_row_blocks = -(-num_target // TILE_ROWS) + 1
+    out = _segment_sum_tiles(tiles["rows"], tiles["first"], lid, msg2,
+                             n_row_blocks)
+    return out[:num_target, :flat].reshape((num_target,) + feat)
+
+
+def make_local_spmm(n_loc: int, n_comb: int):
+    """Build the custom-vjp local SpMM for fixed (n_loc, n_comb): forward
+    reduces into owned rows, backward reduces the cotangent into the
+    combined space via the reverse tiling — scatter-free both ways. The
+    surrounding halo_exchange's AD (all_to_all transpose) then routes halo
+    cotangents back to their owners."""
+
+    @jax.custom_vjp
+    def fn(tiles_fwd, tiles_rev, combined):
+        return _tiled_sum(tiles_fwd, combined, n_loc)
+
+    def fwd(tiles_fwd, tiles_rev, combined):
+        return fn(tiles_fwd, tiles_rev, combined), (tiles_fwd, tiles_rev)
+
+    def bwd(res, ct):
+        tiles_fwd, tiles_rev = res
+        g_combined = _tiled_sum(tiles_rev, ct, n_comb)
+        f0 = jax.tree.map(
+            lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), tiles_fwd
+        )
+        f0r = jax.tree.map(
+            lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), tiles_rev
+        )
+        return f0, f0r, g_combined
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
     """Per-device segment-sum over destination-owned edges.
 
-    ``combined``: (n_loc + P*m_halo, F). Returns (n_loc, F). Padded edges
-    carry sentinel dst == n_loc and are dropped by scatter OOB semantics.
+    ``combined``: (n_loc + P*m_halo, F). Returns (n_loc, F). Uses the
+    Pallas tile kernel when descriptors are present, else the XLA
+    segment engine (padded edges carry sentinel dst == n_loc, dropped by
+    scatter OOB semantics).
     """
+    if pg.tiles_fwd is not None:
+        n_comb = pg.n_loc + pg.num_parts * pg.m_halo
+        fn = make_local_spmm(pg.n_loc, n_comb)
+        return fn(_tiles_device_view(pg.tiles_fwd),
+                  _tiles_device_view(pg.tiles_rev), combined)
     msg = jnp.take(combined, pg.esrc[0], axis=0, mode="clip")
     return jax.ops.segment_sum(
         msg, pg.edst[0], num_segments=pg.n_loc, indices_are_sorted=True
@@ -65,11 +134,12 @@ def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
 def sharded_gspmm(pg: PartitionedGraph, feat_local: jnp.ndarray,
                   axis_name: str = "p", edge_weight: Optional[jnp.ndarray] = None
                   ) -> jnp.ndarray:
-    """copy_u/u_mul_e + sum over the partitioned graph (per-device view)."""
+    """copy_u + sum over the partitioned graph (per-device view)."""
     combined = halo_exchange(pg, feat_local, axis_name)
+    if edge_weight is None:
+        return local_spmm_sum(pg, combined)
     msg = jnp.take(combined, pg.esrc[0], axis=0, mode="clip")
-    if edge_weight is not None:
-        msg = msg * edge_weight[0]
+    msg = msg * edge_weight[0]
     return jax.ops.segment_sum(
         msg, pg.edst[0], num_segments=pg.n_loc, indices_are_sorted=True
     )
@@ -100,5 +170,8 @@ def make_sharded_gcn_matvec(pg: PartitionedGraph, mesh: Mesh,
         mesh=mesh,
         in_specs=(spec_pg, P(axis_name)),
         out_specs=P(axis_name),
+        # pallas_call inside the body does not annotate varying-mesh-axes;
+        # skip the vma check (all operands are explicitly 'p'-sharded).
+        check_vma=False,
     )
     return functools.partial(fn, pg)

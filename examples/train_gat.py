@@ -1,0 +1,104 @@
+"""Full-graph GAT training (BASELINE config #2: 8-head GAT on Pubmed).
+
+Parity: ``examples/pytorch/gat/train.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="pubmed",
+                   choices=["cora", "citeseer", "pubmed"])
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--hidden", type=int, default=8)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import dgl1_tpu as dgl
+    from dgl1_tpu.models import GAT
+
+    ds = {
+        "cora": dgl.data.CoraGraphDataset,
+        "citeseer": dgl.data.CiteseerGraphDataset,
+        "pubmed": dgl.data.PubmedGraphDataset,
+    }[args.dataset]()
+    g = ds[0]
+    if ds.is_synthetic:
+        print(f"[data] {args.dataset}: synthetic fallback "
+              f"({g.num_nodes()} nodes, {g.num_edges()} edges)")
+    g = dgl.add_self_loop(dgl.remove_self_loop(g))
+
+    feat = g.ndata["feat"]
+    labels = g.ndata["label"].astype(jnp.int32)
+    train_mask = g.ndata["train_mask"]
+    val_mask = g.ndata["val_mask"]
+    test_mask = g.ndata["test_mask"]
+    num_classes = int(np.asarray(labels).max()) + 1
+
+    model = GAT(hidden_feats=args.hidden, out_feats=num_classes,
+                heads=args.heads)
+    params = model.init(jax.random.PRNGKey(0), g, feat)
+    opt = optax.adamw(args.lr, weight_decay=5e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, rng):
+        logits = model.apply(params, g, feat, deterministic=False,
+                             rngs={"dropout": rng})
+        logp = jax.nn.log_softmax(logits)
+        m = train_mask.astype(jnp.float32)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        return jnp.sum(ce * m) / jnp.sum(m)
+
+    @jax.jit
+    def train_step(params, opt_state, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, rng)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def evaluate(params):
+        logits = model.apply(params, g, feat)
+        pred = jnp.argmax(logits, axis=1)
+        correct = (pred == labels).astype(jnp.float32)
+
+        def acc(mask):
+            m = mask.astype(jnp.float32)
+            return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        return acc(train_mask), acc(val_mask), acc(test_mask)
+
+    key = jax.random.PRNGKey(1)
+    best_val = best_test = 0.0
+    t0 = time.perf_counter()
+    for epoch in range(args.epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub)
+        if (epoch + 1) % 20 == 0 or epoch == 0:
+            tr, va, te = evaluate(params)
+            if float(va) > best_val:
+                best_val, best_test = float(va), float(te)
+            print(f"epoch {epoch + 1:4d} loss {float(loss):.4f} "
+                  f"train {float(tr):.4f} val {float(va):.4f} "
+                  f"test {float(te):.4f}")
+    dt = time.perf_counter() - t0
+    print(f"done in {dt:.1f}s; best val {best_val:.4f} "
+          f"test@best-val {best_test:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,13 +131,79 @@ def test_gcn_layer_through_pallas():
 def test_unsupported_falls_back():
     g = make()
     u, _ = data(7)
-    # max reduce is not covered by the Pallas engine -> returns None.
-    assert gspmm_pallas(g, "copy_lhs", "max", u, None) is None
-    # Public API must still work with the engine forced.
+    # Integer dtypes are not covered by the Pallas engine -> None.
+    ui = jnp.ones((N, 4), dtype=jnp.int32)
+    assert gspmm_pallas(g, "copy_lhs", "sum", ui, None) is None
+    # Public API must still work with the engine forced (falls back).
     dispatch.set_engine("pallas")
     try:
-        out = dgl.ops.gspmm(g, "copy_lhs", "max", u, None)
+        out = dgl.ops.gspmm(g, "copy_lhs", "sum", ui, None)
     finally:
         dispatch.set_engine("auto")
-    np.testing.assert_allclose(out, gspmm_xla(g, "copy_lhs", "max", u, None),
-                               rtol=1e-5)
+    np.testing.assert_allclose(out, gspmm_xla(g, "copy_lhs", "sum", ui, None))
+
+
+@pytest.mark.parametrize("red", ["max", "min"])
+@pytest.mark.parametrize("op", ["copy_lhs", "copy_rhs", "mul"])
+def test_minmax_forward_matches_xla(op, red):
+    g = make()
+    u, e = data(8)
+    uu = u if op != "copy_rhs" else None
+    ee = e if op != "copy_lhs" else None
+    a = gspmm_pallas(g, op, red, uu, ee)
+    b = gspmm_xla(g, op, red, uu, ee)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("op", ["copy_lhs", "mul"])
+def test_minmax_grad_matches_dense(op):
+    """Compare max-reduce gradients against the dense jnp reference (even
+    tie-splitting), which is also what jax AD of the XLA engine gives."""
+    from tests.utils import dense_gspmm
+
+    g = make()
+    src = np.asarray(g.src)[:E]
+    dst = np.asarray(g.dst)[:E]
+    u, e = data(9)
+    uu = u
+    ee = e if op == "mul" else None
+
+    def lp(u, e):
+        return jnp.sum(jnp.sin(gspmm_pallas(
+            g, op, "max", u, e if op == "mul" else None)))
+
+    def ld(u, e):
+        return jnp.sum(jnp.sin(dense_gspmm(
+            src, dst, N, op, "max", u, e if op == "mul" else None)))
+
+    gp = jax.grad(lp, argnums=(0, 1))(u, e)
+    gd = jax.grad(ld, argnums=(0, 1))(u, e)
+    np.testing.assert_allclose(gp[0], gd[0], rtol=1e-3, atol=1e-3)
+    if op == "mul":
+        np.testing.assert_allclose(gp[1], gd[1], rtol=1e-3, atol=1e-3)
+
+
+def test_minmax_padded():
+    g0 = make()
+    g1 = make(pad=41)
+    u, _ = data(10)
+    a = gspmm_pallas(g0, "copy_lhs", "max", u, None)
+    b = gspmm_pallas(g1, "copy_lhs", "max", u, None)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_edge_softmax_grad_through_pallas():
+    g = make()
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.normal(size=(E, 4)).astype(np.float32))
+
+    def loss(engine, x):
+        dispatch.set_engine(engine)
+        try:
+            return jnp.sum(jnp.cos(dgl.edge_softmax(g, x)))
+        finally:
+            dispatch.set_engine("auto")
+
+    gp = jax.grad(lambda x: loss("pallas", x))(logits)
+    gx = jax.grad(lambda x: loss("xla", x))(logits)
+    np.testing.assert_allclose(gp, gx, rtol=1e-3, atol=1e-4)
