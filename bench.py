@@ -37,6 +37,9 @@ def main():
 
     g = powerlaw_graph(n, AVG_DEGREE, seed=0)
     num_edges = g.num_edges()
+    # Pin the structure on device ONCE — with host numpy leaves every jit
+    # call would re-upload the whole graph (hundreds of MB per step).
+    g = jax.device_put(g)
     feat = jnp.asarray(
         np.random.default_rng(0).normal(size=(n, FEAT_DIM)).astype(np.float32)
     )

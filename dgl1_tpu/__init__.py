@@ -21,6 +21,29 @@ Reference parity map (see SURVEY.md):
   - ``python/dgl/data``                              -> :mod:`dgl1_tpu.data`
 """
 
+def _tune_host_allocator():
+    """Keep large freed buffers in the heap instead of munmap'ing them.
+
+    Sandboxed TPU hosts often have very slow first-touch page faults
+    (measured ~8 MB/s here vs ~7 GB/s for warm pages); glibc releases
+    >128KB allocations back to the OS on free, so every large numpy array
+    re-faults. Raising the mmap/trim thresholds makes the host-side graph
+    builder and sampler allocation-bound paths ~100x faster after warmup.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        M_MMAP_THRESHOLD, M_TRIM_THRESHOLD = -3, -1
+        one_gb = 1 << 30
+        libc.mallopt(M_MMAP_THRESHOLD, one_gb)
+        libc.mallopt(M_TRIM_THRESHOLD, one_gb)
+    except Exception:
+        pass
+
+
+_tune_host_allocator()
+
 from dgl1_tpu.graph import (
     Graph,
     graph,

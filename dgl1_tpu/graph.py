@@ -468,25 +468,48 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
     mask = np.zeros((num_padded,), dtype=bool)
     mask[:num_edges] = True
 
-    eid = np.arange(num_edges, dtype=ID_DTYPE)
+    from dgl1_tpu import _native
 
-    # CSR: sort by src (stable).
-    order = np.argsort(src, kind="stable").astype(ID_DTYPE)
-    csr_src = padded(src[order], num_src)
-    csr_dst = padded(dst[order], num_dst)
-    csr_eid = padded(eid[order], 0)
-    counts = np.bincount(src, minlength=num_src) if num_edges else np.zeros(num_src, dtype=np.int64)
-    csr_indptr = np.zeros((num_src + 1,), dtype=ID_DTYPE)
-    np.cumsum(counts, out=csr_indptr[1:])
+    native = _native.lib()
+    if native is not None:
+        src32 = np.ascontiguousarray(src, dtype=ID_DTYPE)
+        dst32 = np.ascontiguousarray(dst, dtype=ID_DTYPE)
 
-    # CSC: sort by dst (stable).
-    order = np.argsort(dst, kind="stable").astype(ID_DTYPE)
-    csc_dst = padded(dst[order], num_dst)
-    csc_src = padded(src[order], num_src)
-    csc_eid = padded(eid[order], 0)
-    counts = np.bincount(dst, minlength=num_dst) if num_edges else np.zeros(num_dst, dtype=np.int64)
-    csc_indptr = np.zeros((num_dst + 1,), dtype=ID_DTYPE)
-    np.cumsum(counts, out=csc_indptr[1:])
+        def adj(key, other, num_keys, key_sentinel, other_sentinel):
+            indptr = np.zeros((num_keys + 1,), dtype=ID_DTYPE)
+            s_other = np.full((num_padded,), other_sentinel, dtype=ID_DTYPE)
+            s_eid = np.zeros((num_padded,), dtype=ID_DTYPE)
+            s_key = np.full((num_padded,), key_sentinel, dtype=ID_DTYPE)
+            native.build_adj(key, other, num_edges, num_keys, indptr,
+                             s_other, s_eid, s_key)
+            return indptr, s_other, s_eid, s_key
+
+        csr_indptr, csr_dst, csr_eid, csr_src = adj(
+            src32, dst32, num_src, num_src, num_dst
+        )
+        csc_indptr, csc_src, csc_eid, csc_dst = adj(
+            dst32, src32, num_dst, num_dst, num_src
+        )
+    else:
+        eid = np.arange(num_edges, dtype=ID_DTYPE)
+
+        # CSR: sort by src (stable).
+        order = np.argsort(src, kind="stable").astype(ID_DTYPE)
+        csr_src = padded(src[order], num_src)
+        csr_dst = padded(dst[order], num_dst)
+        csr_eid = padded(eid[order], 0)
+        counts = np.bincount(src, minlength=num_src) if num_edges else np.zeros(num_src, dtype=np.int64)
+        csr_indptr = np.zeros((num_src + 1,), dtype=ID_DTYPE)
+        np.cumsum(counts, out=csr_indptr[1:])
+
+        # CSC: sort by dst (stable).
+        order = np.argsort(dst, kind="stable").astype(ID_DTYPE)
+        csc_dst = padded(dst[order], num_dst)
+        csc_src = padded(src[order], num_src)
+        csc_eid = padded(eid[order], 0)
+        counts = np.bincount(dst, minlength=num_dst) if num_edges else np.zeros(num_dst, dtype=np.int64)
+        csc_indptr = np.zeros((num_dst + 1,), dtype=ID_DTYPE)
+        np.cumsum(counts, out=csc_indptr[1:])
 
     return dict(
         src=coo_src,
@@ -527,6 +550,25 @@ def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
       eid    (n_tiles*T,)     int32 user edge id per slot (0 pad)
     """
     T, R = TILE_EDGES, TILE_ROWS
+
+    from dgl1_tpu import _native
+
+    native = _native.lib()
+    if native is not None:
+        tgt32 = np.ascontiguousarray(target_sorted[:num_edges], ID_DTYPE)
+        gat32 = np.ascontiguousarray(gather_sorted[:num_edges], ID_DTYPE)
+        eid32 = np.ascontiguousarray(eid_sorted[:num_edges], ID_DTYPE)
+        n_tiles = int(native.plan_tiles(tgt32, num_edges, num_target, T, R))
+        rows = np.zeros((n_tiles,), ID_DTYPE)
+        first = np.zeros((n_tiles,), ID_DTYPE)
+        lid = np.full((n_tiles * T,), -1, ID_DTYPE)
+        gather = np.zeros((n_tiles * T,), ID_DTYPE)
+        eid_out = np.zeros((n_tiles * T,), ID_DTYPE)
+        native.build_tiles(tgt32, gat32, eid32, num_edges, num_target, T, R,
+                           rows, first, lid, gather, eid_out)
+        return dict(rows=rows, first=first, lid=lid.reshape(n_tiles, T),
+                    gather=gather, eid=eid_out)
+
     tgt = target_sorted[:num_edges].astype(np.int64)
     gat = gather_sorted[:num_edges].astype(np.int64)
     eid = eid_sorted[:num_edges].astype(np.int64)
