@@ -79,6 +79,13 @@ from dgl1_tpu import nn
 from dgl1_tpu import parallel
 from dgl1_tpu import models
 from dgl1_tpu import utils
+from dgl1_tpu import traversal
+from dgl1_tpu.traversal import (
+    bfs_nodes_generator,
+    bfs_edges_generator,
+    topological_nodes_generator,
+    dfs_edges_generator,
+)
 
 # DistDGL-parity alias: `dgl.distributed` -> parallel package.
 distributed = parallel

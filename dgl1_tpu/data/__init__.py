@@ -20,6 +20,7 @@ from dgl1_tpu.data.citation import (
 from dgl1_tpu.data.reddit import RedditDataset
 from dgl1_tpu.data.knowledge import FB15k237Dataset, WN18Dataset, AIFBDataset
 from dgl1_tpu.data.ogb import OGBDataset
+from dgl1_tpu.data.minigc import MiniGCDataset
 
 __all__ = [
     "save_graphs",
@@ -34,4 +35,5 @@ __all__ = [
     "WN18Dataset",
     "AIFBDataset",
     "OGBDataset",
+    "MiniGCDataset",
 ]
