@@ -106,6 +106,10 @@ class Graph:
         "csc_dst",
         "tdst",
         "tsrc",
+        "ell_dst",
+        "ell_src",
+        "ell_dst_meta",
+        "ell_src_meta",
         "_num_src_nodes",
         "_num_dst_nodes",
         "_num_edges",
@@ -140,6 +144,10 @@ class Graph:
         is_block: bool = False,
         tdst: Optional[Dict[str, Any]] = None,
         tsrc: Optional[Dict[str, Any]] = None,
+        ell_dst: Optional[Dict[str, Any]] = None,
+        ell_src: Optional[Dict[str, Any]] = None,
+        ell_dst_meta: Optional[Tuple] = None,
+        ell_src_meta: Optional[Tuple] = None,
         ndata: Optional[Dict[str, Any]] = None,
         edata: Optional[Dict[str, Any]] = None,
         srcdata: Optional[Dict[str, Any]] = None,
@@ -161,6 +169,12 @@ class Graph:
         # reverse graph). None when built without tiles.
         self.tdst = tdst
         self.tsrc = tsrc
+        # Degree-bucketed ELL layouts (reduce-by-dst / reduce-by-src) with
+        # their static bucket metadata.
+        self.ell_dst = ell_dst
+        self.ell_src = ell_src
+        self.ell_dst_meta = ell_dst_meta
+        self.ell_src_meta = ell_src_meta
         self._num_src_nodes = int(num_src_nodes)
         self._num_dst_nodes = int(num_dst_nodes)
         self._num_edges = int(num_edges)
@@ -260,6 +274,10 @@ class Graph:
             csc_dst=self.csr_src,
             tdst=self.tsrc,
             tsrc=self.tdst,
+            ell_dst=self.ell_src,
+            ell_src=self.ell_dst,
+            ell_dst_meta=self.ell_src_meta,
+            ell_src_meta=self.ell_dst_meta,
             num_src_nodes=self._num_dst_nodes,
             num_dst_nodes=self._num_src_nodes,
             num_edges=self._num_edges,
@@ -327,6 +345,8 @@ class Graph:
             self.csc_dst,
             self.tdst,
             self.tsrc,
+            self.ell_dst,
+            self.ell_src,
         )
 
     def tree_flatten(self):
@@ -352,13 +372,15 @@ class Graph:
             self._num_dst_nodes,
             self._num_edges,
             self._is_block,
+            self.ell_dst_meta,
+            self.ell_src_meta,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         struct, ndata, edata, srcdata, dstdata, bnn, bne = children
-        num_src, num_dst, num_edges, is_block = aux
+        num_src, num_dst, num_edges, is_block, ell_dst_meta, ell_src_meta = aux
         (
             src,
             dst,
@@ -373,6 +395,8 @@ class Graph:
             csc_dst,
             tdst,
             tsrc,
+            ell_dst,
+            ell_src,
         ) = struct
         g = cls(
             src=src,
@@ -392,6 +416,10 @@ class Graph:
             is_block=is_block,
             tdst=tdst,
             tsrc=tsrc,
+            ell_dst=ell_dst,
+            ell_src=ell_src,
+            ell_dst_meta=ell_dst_meta,
+            ell_src_meta=ell_src_meta,
             ndata=ndata,
             edata=edata,
             srcdata=srcdata if is_block else None,
@@ -511,6 +539,12 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         csc_indptr = np.zeros((num_dst + 1,), dtype=ID_DTYPE)
         np.cumsum(counts, out=csc_indptr[1:])
 
+    ell_dst_meta, ell_dst = _build_ell(
+        csc_indptr, csc_src, csc_eid, num_dst, num_edges
+    )
+    ell_src_meta, ell_src = _build_ell(
+        csr_indptr, csr_dst, csr_eid, num_src, num_edges
+    )
     return dict(
         src=coo_src,
         dst=coo_dst,
@@ -525,6 +559,10 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         csc_dst=csc_dst,
         tdst=_build_tiles(csc_dst, csc_src, csc_eid, num_edges, num_dst),
         tsrc=_build_tiles(csr_src, csr_dst, csr_eid, num_edges, num_src),
+        ell_dst_meta=ell_dst_meta,
+        ell_dst=ell_dst,
+        ell_src_meta=ell_src_meta,
+        ell_src=ell_src,
     )
 
 
@@ -613,6 +651,91 @@ def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
     )
 
 
+# Bucket ladder for the ELL engine: row degrees round up to the nearest
+# rung (waste <= 1.5x per row, ~1.25x typical): 1,2,3,4,6,8,12,... then
+# alternating x1.5/x1.33 doublings up to 2^24.
+def _make_ell_ladder():
+    ladder = [1, 2, 3]
+    while ladder[-1] < (1 << 24):
+        ladder.append(ladder[-2] * 2)
+    return ladder
+
+
+_ELL_LADDER = _make_ell_ladder()
+
+
+def _build_ell(indptr: np.ndarray, nbr_sorted: np.ndarray,
+               eid_sorted: np.ndarray, num_target: int, num_edges: int):
+    """Degree-bucketed ELL layout for scatter-free segment reduction.
+
+    Rows (reduce targets) are grouped by padded degree k (ladder above);
+    within a bucket every row stores exactly k gather slots (sentinel
+    ``len(nbr source space)`` marks padding — consumed with OOB-fill
+    gathers). Output rows come back bucket-sorted; ``inv_perm`` maps an
+    original row id to its bucket-sorted position (== num_rows_nonzero for
+    zero-degree rows, resolved by a fill-gather).
+
+    Returns (meta, arrays): meta is a static tuple of (k, n_rows) pairs;
+    arrays = {idx (slots,), eid (slots,), inv_perm (num_target,)}.
+
+    Parity note: this is the TPU answer to the reference's CUDA
+    atomic-scatter SpMM and also generalizes its degree-bucketing UDF
+    scheduler (``python/dgl/runtime/degree_bucketing.py``) into the fused
+    kernel path itself.
+    """
+    deg = np.diff(indptr[: num_target + 1]).astype(np.int64)
+    ladder = np.asarray(_ELL_LADDER, dtype=np.int64)
+    kidx = np.searchsorted(ladder, deg, side="left")
+    kpad = ladder[np.minimum(kidx, len(ladder) - 1)]
+    kpad = np.where(deg == 0, 0, kpad)
+
+    order = np.argsort(np.where(deg == 0, np.int64(1 << 60), kpad),
+                       kind="stable")
+    nz = order[: int((deg > 0).sum())]
+
+    inv_perm = np.full((num_target,), len(nz), dtype=ID_DTYPE)
+    inv_perm[nz] = np.arange(len(nz), dtype=ID_DTYPE)
+
+    meta = []
+    idx_parts = []
+    eid_parts = []
+    sentinel = np.int64(1 << 30)  # any value >= source-space size: OOB fill
+    pos = 0
+    while pos < len(nz):
+        k = int(kpad[nz[pos]])
+        end = pos
+        while end < len(nz) and kpad[nz[end]] == k:
+            end += 1
+        rows = nz[pos:end]
+        n_b = len(rows)
+        mat = np.full((n_b, k), sentinel, dtype=np.int64)
+        emat = np.zeros((n_b, k), dtype=np.int64)
+        starts = indptr[rows]
+        degs = deg[rows]
+        # Vectorized ragged fill: flat positions within the bucket matrix.
+        flat_rows = np.repeat(np.arange(n_b), degs)
+        flat_cols = np.arange(int(degs.sum())) - np.repeat(
+            np.cumsum(degs) - degs, degs
+        )
+        src_pos = np.repeat(starts, degs) + flat_cols
+        mat[flat_rows, flat_cols] = nbr_sorted[src_pos]
+        emat[flat_rows, flat_cols] = eid_sorted[src_pos]
+        meta.append((k, n_b))
+        idx_parts.append(mat.reshape(-1))
+        eid_parts.append(emat.reshape(-1))
+        pos = end
+
+    idx = (np.concatenate(idx_parts) if idx_parts else
+           np.zeros(0, np.int64))
+    eid = (np.concatenate(eid_parts) if eid_parts else
+           np.zeros(0, np.int64))
+    return tuple(meta), {
+        "idx": idx.astype(ID_DTYPE),
+        "eid": eid.astype(ID_DTYPE),
+        "inv_perm": inv_perm,
+    }
+
+
 def graph(
     data: Tuple,
     num_nodes: Optional[int] = None,
@@ -647,7 +770,9 @@ def graph(
         num_padded = max(_round_up(num_edges, pad_edges_multiple), pad_edges_multiple)
     arrays = _build_formats(src, dst, num_nodes, num_nodes, num_edges, num_padded)
     if device_arrays:
+        metas = {k: arrays.pop(k) for k in ("ell_dst_meta", "ell_src_meta")}
         arrays = jax.tree.map(jnp.asarray, arrays)
+        arrays.update(metas)
     return Graph(
         **arrays,
         num_src_nodes=num_nodes,

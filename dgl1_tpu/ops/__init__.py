@@ -19,7 +19,11 @@ from dgl1_tpu.ops.segment import (
 )
 from dgl1_tpu.ops.dispatch import set_engine, get_engine
 
-# Register the Pallas TPU fast path (falls back per-call when not covered).
+# Register the fast engines (each falls back per-call when not covered).
+from dgl1_tpu.ops import engine_ell as _engine_ell
+from dgl1_tpu.ops.dispatch import register_engine as _register_engine
+
+_register_engine("ell", _engine_ell.gspmm_ell, None)
 try:
     from dgl1_tpu.ops import engine_pallas as _engine_pallas
 

@@ -2,33 +2,37 @@
 
 Parity: plays the role of the reference's kernel dispatcher
 (``src/array/kernel.cc :: SpMM/SDDMM`` choosing CPU/CUDA/cuSPARSE
-implementations per op, dtype, and format). Here the choice is between:
+implementations per op, dtype, and format). Engines here:
 
-* ``"xla"``    — the jnp gather/segment engine (always available, oracle)
-* ``"pallas"`` — fused Pallas TPU kernels (fast path; registered lazily by
-  :mod:`dgl1_tpu.ops.engine_pallas`, falls back per-call when an operand
-  shape/op combination is not covered)
-* ``"auto"``   — pallas on TPU when applicable, else xla (default)
+* ``"xla"``    — jnp gather/segment engine (always available, oracle)
+* ``"ell"``    — degree-bucketed ELL gathers, scatter-free pure XLA
+* ``"pallas"`` — fused Pallas tile kernels (MXU one-hot reduce)
+* ``"auto"``   — on TPU try ell, then pallas, then xla (measured order for
+  this hardware: XLA TPU scatter is pathological; gathers are near memory
+  speed); plain xla elsewhere. Override with ``DGL1_TPU_ENGINE``.
+
+Each non-oracle engine returns ``None`` for calls it doesn't cover and
+dispatch falls through, so coverage differences are invisible to callers.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 
 _ENGINE = os.environ.get("DGL1_TPU_ENGINE", "auto")
 
-# Registered by engine_pallas: callables returning either a result or None
-# (None => not covered, fall back to xla).
-_pallas_gspmm: Optional[Callable] = None
-_pallas_gsddmm: Optional[Callable] = None
+# name -> (gspmm_fn, gsddmm_fn); fns return None when not covered.
+_ENGINES: Dict[str, Tuple[Optional[Callable], Optional[Callable]]] = {}
+
+_AUTO_ORDER = ["ell", "pallas"]
 
 
 def set_engine(name: str) -> None:
     global _ENGINE
-    if name not in ("auto", "xla", "pallas"):
+    if name not in ("auto", "xla") and name not in _ENGINES:
         raise ValueError(f"unknown engine {name!r}")
     _ENGINE = name
 
@@ -37,10 +41,19 @@ def get_engine() -> str:
     return _ENGINE
 
 
-def register_pallas(gspmm_fn: Callable, gsddmm_fn: Callable) -> None:
-    global _pallas_gspmm, _pallas_gsddmm
-    _pallas_gspmm = gspmm_fn
-    _pallas_gsddmm = gsddmm_fn
+def set_auto_order(order: List[str]) -> None:
+    global _AUTO_ORDER
+    _AUTO_ORDER = list(order)
+
+
+def register_engine(name: str, gspmm_fn: Optional[Callable],
+                    gsddmm_fn: Optional[Callable]) -> None:
+    _ENGINES[name] = (gspmm_fn, gsddmm_fn)
+
+
+# Back-compat name used by engine_pallas.register().
+def register_pallas(gspmm_fn, gsddmm_fn):
+    register_engine("pallas", gspmm_fn, gsddmm_fn)
 
 
 def _tpu_available() -> bool:
@@ -50,17 +63,33 @@ def _tpu_available() -> bool:
         return False
 
 
-def use_pallas() -> bool:
+def _candidates() -> List[str]:
     if _ENGINE == "xla":
-        return False
-    if _ENGINE == "pallas":
-        return _pallas_gspmm is not None
-    return _pallas_gspmm is not None and _tpu_available()
+        return []
+    if _ENGINE == "auto":
+        return [n for n in _AUTO_ORDER if n in _ENGINES] if _tpu_available() \
+            else []
+    return [_ENGINE] if _ENGINE in _ENGINES else []
 
 
-def pallas_gspmm():
-    return _pallas_gspmm
+def dispatch_gspmm(g, op, reduce_op, u, e):
+    """Try fast engines in order; return None if all decline."""
+    for name in _candidates():
+        fn = _ENGINES[name][0]
+        if fn is None:
+            continue
+        out = fn(g, op, reduce_op, u, e)
+        if out is not None:
+            return out
+    return None
 
 
-def pallas_gsddmm():
-    return _pallas_gsddmm
+def dispatch_gsddmm(g, op, lhs, rhs, lhs_target, rhs_target):
+    for name in _candidates():
+        fn = _ENGINES[name][1]
+        if fn is None:
+            continue
+        out = fn(g, op, lhs, rhs, lhs_target, rhs_target)
+        if out is not None:
+            return out
+    return None

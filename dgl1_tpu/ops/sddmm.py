@@ -32,12 +32,9 @@ def gsddmm(g: Graph, op: str, lhs_data: Optional[jnp.ndarray],
     if rhs_data is not None and rhs_data.ndim == 1:
         rhs_data = rhs_data[:, None]
         squeeze = True
-    if dispatch.use_pallas():
-        out = dispatch.pallas_gsddmm()(g, op, lhs_data, rhs_data, lhs_target,
-                                       rhs_target)
-        if out is None:
-            out = gsddmm_xla(g, op, lhs_data, rhs_data, lhs_target, rhs_target)
-    else:
+    out = dispatch.dispatch_gsddmm(g, op, lhs_data, rhs_data, lhs_target,
+                                   rhs_target)
+    if out is None:
         out = gsddmm_xla(g, op, lhs_data, rhs_data, lhs_target, rhs_target)
     return out[..., 0] if squeeze and out.shape[-1] == 1 else out
 

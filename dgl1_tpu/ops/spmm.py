@@ -39,11 +39,8 @@ def gspmm(g: Graph, op: str, reduce_op: str, lhs_data: Optional[jnp.ndarray],
     if rhs_data is not None and rhs_data.ndim == 1:
         rhs_data = rhs_data[:, None]
         squeeze = True
-    if dispatch.use_pallas():
-        out = dispatch.pallas_gspmm()(g, op, reduce_op, lhs_data, rhs_data)
-        if out is None:
-            out = gspmm_xla(g, op, reduce_op, lhs_data, rhs_data)
-    else:
+    out = dispatch.dispatch_gspmm(g, op, reduce_op, lhs_data, rhs_data)
+    if out is None:
         out = gspmm_xla(g, op, reduce_op, lhs_data, rhs_data)
     return out[..., 0] if squeeze and out.shape[-1] == 1 else out
 
