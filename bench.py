@@ -3,8 +3,15 @@ edges/s/chip on a power-law graph.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the fraction of the HBM-bandwidth roofline
-("speed of light", BASELINE.md): an ideal SpMM must read each source row
-once per edge, so edges/s <= HBM_BW / (feat_dim * bytes_per_elem).
+("speed of light", BASELINE.md): an ideal SpMM reads each source row once
+per edge, so edges/s <= HBM_BW / (feat_dim * bytes). NOTE: on TPU v5e the
+measured binding constraint for every scatter-free formulation is the
+gather unit's row rate (~84M rows/s) — see docs/PERF_NOTES.md; the ELL
+engine sits at that gather-based roofline.
+
+Methodology (docs/PERF_NOTES.md): iterations are chained inside one
+jitted fori_loop with a scalar fetch at the end — on remote-attached
+TPUs, per-execute latency and result memoization corrupt naive timing.
 """
 
 from __future__ import annotations
@@ -14,13 +21,12 @@ import time
 
 import numpy as np
 
-NUM_NODES = 1 << 20
+NUM_NODES = 1 << 19
 AVG_DEGREE = 8
 FEAT_DIM = 128
 DTYPE_BYTES = 4
+ITERS = 20
 
-# TPU v5e HBM bandwidth (public spec: ~819 GB/s); CPU fallback uses a
-# nominal 100 GB/s so the ratio stays meaningful when smoke-testing.
 HBM_BW = {"tpu": 819e9, "cpu": 100e9}
 
 
@@ -29,33 +35,32 @@ def main():
     import jax.numpy as jnp
 
     import dgl1_tpu as dgl
-    from dgl1_tpu.data.synthetic import powerlaw_graph
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    n = NUM_NODES if on_tpu else NUM_NODES // 16
+    n = NUM_NODES if on_tpu else NUM_NODES // 8
+    iters = ITERS if on_tpu else 3
+
+    from dgl1_tpu.data.synthetic import powerlaw_graph
 
     g = powerlaw_graph(n, AVG_DEGREE, seed=0)
     num_edges = g.num_edges()
-    # Pin the structure on device ONCE — with host numpy leaves every jit
-    # call would re-upload the whole graph (hundreds of MB per step).
+    # Pin the structure on device ONCE; features generated on device.
     g = jax.device_put(g)
-    feat = jnp.asarray(
-        np.random.default_rng(0).normal(size=(n, FEAT_DIM)).astype(np.float32)
-    )
+    jax.block_until_ready(jax.tree.leaves(g))
+    feat = jax.random.normal(jax.random.PRNGKey(0), (n, FEAT_DIM),
+                             jnp.float32)
 
-    # Chain iterations (output feeds back in) and force a scalar fetch at
-    # the end: on remote-attached TPUs, block_until_ready alone does not
-    # reliably synchronize, so unchained timing under-reports wildly.
-    fwd = jax.jit(lambda graph, x: dgl.ops.copy_u_sum(graph, x) * 0.1)
-    _ = float(fwd(g, feat)[0, 0])  # compile + sync
+    @jax.jit
+    def run(x):
+        def body(i, x):
+            return dgl.ops.gspmm(g, "copy_lhs", "sum", x, None) * 0.1
 
-    iters = 20 if on_tpu else 3
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    _ = float(run(feat)[0, 0])  # compile + warmup
     t0 = time.perf_counter()
-    out = feat
-    for _ in range(iters):
-        out = fwd(g, out)
-    _ = float(out[0, 0])
+    _ = float(run(feat)[0, 0])
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = num_edges / dt

@@ -219,11 +219,52 @@ def update_all(g: Graph, mfunc, rfunc, afunc=None):
 
 
 def apply_edges(g: Graph, func, edges="__ALL__"):
-    if edges != "__ALL__":
-        raise NotImplementedError(
-            "apply_edges on an edge subset: take an edge_subgraph first "
-            "(parity: DGL lowers this the same way internally)."
-        )
+    all_edges = isinstance(edges, str) and edges == "__ALL__"
+    if not all_edges:
+        # Edge-subset application (eager): compute on the subset and write
+        # the rows back (parity: DGLHeteroGraph.apply_edges(eids)).
+        eids = jnp.asarray(np.asarray(edges))
+        sub_src = jnp.take(g.src, eids, axis=0, mode="clip")
+        sub_dst = jnp.take(g.dst, eids, axis=0, mode="clip")
+        sub_edata = {k: jnp.take(v, eids, axis=0, mode="clip")
+                     for k, v in g.edata.items()}
+        if isinstance(func, (CopyMessage, BinaryMessage)):
+            m = func
+            if isinstance(m, CopyMessage):
+                if m.target == "u":
+                    out = {m.out_field: jnp.take(
+                        _fetch(g, "u", m.in_field), sub_src, axis=0,
+                        mode="clip")}
+                else:
+                    out = {m.out_field: sub_edata[m.in_field]}
+            else:
+                def get(target, field):
+                    if target == "u":
+                        return jnp.take(_fetch(g, "u", field), sub_src,
+                                        axis=0, mode="clip")
+                    if target == "v":
+                        return jnp.take(_fetch(g, "v", field), sub_dst,
+                                        axis=0, mode="clip")
+                    return sub_edata[field]
+
+                from dgl1_tpu.ops.engine_xla import _binary
+
+                out = {m.out_field: _binary(
+                    m.binary_op, get(m.lhs, m.lhs_field),
+                    get(m.rhs, m.rhs_field))}
+        else:
+            eb = EdgeBatch(g, sub_src, sub_dst, sub_edata)
+            out = func(eb)
+        for k, v in out.items():
+            if k in g.edata:
+                g.edata[k] = g.edata[k].at[eids].set(v)
+            else:
+                buf = jnp.zeros((g.num_edges_padded(),) + v.shape[1:],
+                                dtype=v.dtype)
+                g.edata[k] = buf.at[eids].set(v)
+        if len(out) == 1:
+            return next(iter(out.values()))
+        return out
     if isinstance(func, (CopyMessage, BinaryMessage)):
         out = {func.out_field: invoke_gsddmm(g, func)}
     else:

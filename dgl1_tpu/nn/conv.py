@@ -201,9 +201,38 @@ class SAGEConv(nn.Module):
             h_neigh = nn.Dense(self.out_feats, use_bias=False,
                                name="fc_neigh")(h_neigh)
         elif agg == "lstm":
-            raise NotImplementedError(
-                "lstm aggregator: use 'pool' or 'mean' (tracked gap)"
-            )
+            # Neighbor-sequence LSTM over the degree-bucketed ELL layout:
+            # each bucket is a dense (rows, k, F) sequence batch, shorter
+            # real degrees handled via seq_lengths; final hidden state is
+            # the aggregation (parity: sageconv.py _lstm_reducer).
+            if g.ell_dst is None:
+                raise ValueError("lstm aggregator requires ELL layout")
+            cell = nn.OptimizedLSTMCell(features=h_src.shape[-1],
+                                        name="lstm")
+            rnn = nn.RNN(cell, name="lstm_rnn")
+            idx = g.ell_dst["idx"]
+            outs = []
+            off = 0
+            for k, n_b in g.ell_dst_meta:
+                sl = idx[off:off + n_b * k]
+                seq = jnp.take(h_src, sl, axis=0, mode="clip").reshape(
+                    n_b, k, -1)
+                valid = (sl < (1 << 29)).reshape(n_b, k)
+                seq = jnp.where(valid[..., None], seq, 0.0)
+                lengths = jnp.maximum(valid.sum(axis=1), 1)
+                ys = rnn(seq, seq_lengths=lengths)
+                last = jnp.take_along_axis(
+                    ys, (lengths - 1)[:, None, None].astype(jnp.int32),
+                    axis=1,
+                )[:, 0]
+                outs.append(last)
+                off += n_b * k
+            stacked = (jnp.concatenate(outs, axis=0) if outs else
+                       jnp.zeros((0, h_src.shape[-1])))
+            h_neigh = jnp.take(stacked, g.ell_dst["inv_perm"], axis=0,
+                               mode="fill", fill_value=0.0)
+            h_neigh = nn.Dense(self.out_feats, use_bias=False,
+                               name="fc_neigh")(h_neigh)
         else:
             raise ValueError(f"invalid aggregator {agg!r}")
 

@@ -60,13 +60,22 @@ def ell_reduce(meta: Tuple, ell: dict, op: str, reduce_op: str,
     else:
         ident = 0.0
 
+    # Fast path: for sum/mean with copy_lhs or mul, an OOB-fill gather
+    # (fill 0) makes padding slots the identity with ZERO extra passes —
+    # the masking select otherwise costs a full read+write of the gathered
+    # tensor (measured ~2x on TPU).
+    fused_fill = reduce_op in ("sum", "mean") and op in ("copy_lhs", "mul")
+
     outs = []
     off = 0
     for k, n_b in meta:
         sl = idx[off:off + n_b * k]
         if op != "copy_rhs":
-            mu = jnp.take(u, sl, axis=0, mode="clip").reshape(
-                (n_b, k) + u.shape[1:])
+            mode = "fill" if fused_fill else "clip"
+            mu = jnp.take(
+                u, sl, axis=0, mode=mode,
+                **({"fill_value": 0.0} if fused_fill else {}),
+            ).reshape((n_b, k) + u.shape[1:])
         if op != "copy_lhs":
             el = eid[off:off + n_b * k]
             me = jnp.take(e, el, axis=0, mode="clip").reshape(
@@ -77,9 +86,11 @@ def ell_reduce(meta: Tuple, ell: dict, op: str, reduce_op: str,
             msg = me
         else:
             msg = _binary(op, mu, me)
-        # Padding slots (sentinel gather index) -> reduction identity.
-        valid = (sl < (1 << 29)).reshape((n_b, k) + (1,) * (msg.ndim - 2))
-        msg = jnp.where(valid, msg, jnp.asarray(ident, dtype=msg.dtype))
+        if not fused_fill:
+            # Padding slots (sentinel gather index) -> reduction identity.
+            valid = (sl < (1 << 29)).reshape(
+                (n_b, k) + (1,) * (msg.ndim - 2))
+            msg = jnp.where(valid, msg, jnp.asarray(ident, dtype=msg.dtype))
         if reduce_op in ("sum", "mean"):
             red = jnp.sum(msg, axis=1)
         elif reduce_op == "max":

@@ -26,6 +26,8 @@ __all__ = [
     "line_graph",
     "to_block",
     "compact_graphs",
+    "to_homogeneous",
+    "to_heterogeneous",
 ]
 
 
@@ -276,3 +278,83 @@ def compact_graphs(graphs):
         used[dst] = True
     out = [node_subgraph(g, used) for g in gs]
     return out[0] if single else out
+
+
+def to_homogeneous(hg) -> Graph:
+    """Flatten a heterograph into one homogeneous graph (parity:
+    ``dgl.to_homogeneous``): node/edge type ids in ``ndata['_TYPE']`` /
+    ``edata['_TYPE']``, per-type original ids in ``'_ID'``."""
+    import jax.numpy as jnp
+
+    ntypes = hg.ntypes
+    offsets = {}
+    off = 0
+    for nt in ntypes:
+        offsets[nt] = off
+        off += hg.num_nodes(nt)
+    total_nodes = off
+
+    srcs, dsts, etype_ids, eids = [], [], [], []
+    for i, c in enumerate(hg.canonical_etypes):
+        st, _, dt = c
+        rel = hg.rel_graphs[c]
+        e = rel.num_edges()
+        srcs.append(np.asarray(rel.src)[:e] + offsets[st])
+        dsts.append(np.asarray(rel.dst)[:e] + offsets[dt])
+        etype_ids.append(np.full(e, i, dtype=np.int32))
+        eids.append(np.arange(e, dtype=np.int32))
+    g = graph(
+        (np.concatenate(srcs) if srcs else np.zeros(0, np.int64),
+         np.concatenate(dsts) if dsts else np.zeros(0, np.int64)),
+        num_nodes=total_nodes,
+    )
+    ntype_arr = np.concatenate(
+        [np.full(hg.num_nodes(nt), i, dtype=np.int32)
+         for i, nt in enumerate(ntypes)]
+    )
+    nid_arr = np.concatenate(
+        [np.arange(hg.num_nodes(nt), dtype=np.int32) for nt in ntypes]
+    )
+    g.ndata["_TYPE"] = jnp.asarray(ntype_arr)
+    g.ndata["_ID"] = jnp.asarray(nid_arr)
+    g.edata["_TYPE"] = jnp.asarray(np.concatenate(etype_ids) if etype_ids
+                                   else np.zeros(0, np.int32))
+    g.edata["_ID"] = jnp.asarray(np.concatenate(eids) if eids
+                                 else np.zeros(0, np.int32))
+    return g
+
+
+def to_heterogeneous(g: Graph, ntypes, etypes, metagraph=None):
+    """Split a homogeneous graph carrying ``_TYPE`` annotations back into a
+    heterograph (parity: ``dgl.to_heterogeneous``). ``metagraph`` maps
+    etype-id -> (srctype, etype, dsttype); when None it is inferred from
+    endpoint node types."""
+    from dgl1_tpu.heterograph import HeteroGraph
+    from dgl1_tpu.graph import block as _block
+
+    ntype_arr = np.asarray(g.ndata["_TYPE"])
+    nid_arr = np.asarray(g.ndata["_ID"])
+    etype_arr = np.asarray(g.edata["_TYPE"])
+    e = g.num_edges()
+    src, dst = np.asarray(g.src)[:e], np.asarray(g.dst)[:e]
+
+    counts = {nt: int((ntype_arr == i).sum())
+              for i, nt in enumerate(ntypes)}
+    rels = {}
+    for j, et in enumerate(etypes):
+        m = etype_arr == j
+        if metagraph is not None:
+            c = metagraph[j]
+        else:
+            if m.sum():
+                st = ntypes[int(ntype_arr[src[m][0]])]
+                dt = ntypes[int(ntype_arr[dst[m][0]])]
+            else:
+                st = dt = ntypes[0]
+            c = (st, et, dt)
+        rels[c] = _block(
+            (nid_arr[src[m]], nid_arr[dst[m]]),
+            num_src_nodes=counts[c[0]],
+            num_dst_nodes=counts[c[2]],
+        )
+    return HeteroGraph(rels, counts)

@@ -201,3 +201,52 @@ def test_hetero_graph_conv():
     params = conv.init(KEY, hg, inputs)
     out = conv.apply(params, hg, inputs)
     assert out["user"].shape == (3, 4)
+
+
+def test_sageconv_lstm():
+    g, feat = make()
+    conv = nn.SAGEConv(6, aggregator_type="lstm")
+    params = conv.init(KEY, g, feat)
+    out = conv.apply(params, g, feat)
+    assert out.shape == (12, 6)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # Zero-in-degree nodes aggregate to the self term only: finite.
+    grads = jax.grad(
+        lambda p: jnp.sum(conv.apply(p, g, feat) ** 2)
+    )(params)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(grads))
+
+
+def test_to_homo_hetero_roundtrip():
+    import dgl1_tpu as dgl
+
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): (np.array([0, 1]), np.array([1, 2])),
+        ("user", "plays", "game"): (np.array([0, 2]), np.array([0, 1])),
+    })
+    g = dgl.transform.to_homogeneous(hg)
+    assert g.num_nodes() == 5
+    assert g.num_edges() == 4
+    hg2 = dgl.transform.to_heterogeneous(g, hg.ntypes, ["follows", "plays"])
+    assert hg2.num_edges("plays") == 2
+    assert hg2.num_nodes("game") == 2
+
+
+def test_apply_edges_subset():
+    import dgl1_tpu as dgl
+    from dgl1_tpu import function as fn
+
+    g = dgl.rand_graph(10, 30, seed=3)
+    g.ndata["h"] = jnp.asarray(
+        np.random.default_rng(3).normal(size=(10, 4)).astype(np.float32)
+    )
+    eids = np.array([1, 5, 9])
+    g.apply_edges(fn.u_add_v("h", "h", "s"), edges=eids)
+    s = np.asarray(g.edata["s"])
+    h = np.asarray(g.ndata["h"])
+    src = np.asarray(g.src)
+    dst = np.asarray(g.dst)
+    for e in eids:
+        np.testing.assert_allclose(s[e], h[src[e]] + h[dst[e]], rtol=1e-6)
+    np.testing.assert_allclose(s[0], 0.0)  # untouched row stays zero
