@@ -117,3 +117,20 @@ def test_random_walk():
                         rng=np.random.default_rng(0))
     np.testing.assert_array_equal(traces[0], [0, 1, 2, 3, 0])
     np.testing.assert_array_equal(traces[1], [1, 2, 3, 0, 1])
+
+
+def test_pinsage_sampler():
+    from dgl1_tpu.sampling import RandomWalkNeighborSampler
+
+    g = dgl.rand_graph(50, 500, seed=12)
+    sampler = RandomWalkNeighborSampler(
+        g, num_traversals=2, termination_prob=0.2, num_random_walks=20,
+        num_neighbors=3, seed=0,
+    )
+    frontier = sampler([1, 2, 3])
+    dst = np.asarray(frontier.dst)[: frontier.num_edges()]
+    assert set(dst.tolist()) <= {1, 2, 3}
+    c = np.bincount(dst, minlength=50)
+    assert all(c[s] <= 3 for s in [1, 2, 3])
+    w = np.asarray(frontier.edata["weights"])
+    assert (w > 0).all()
