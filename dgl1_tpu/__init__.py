@@ -79,6 +79,7 @@ from dgl1_tpu import nn
 from dgl1_tpu import parallel
 from dgl1_tpu import models
 from dgl1_tpu import utils
+from dgl1_tpu.core import filter_nodes, filter_edges, prop_nodes, prop_edges
 from dgl1_tpu import optim
 from dgl1_tpu import traversal
 from dgl1_tpu.traversal import (

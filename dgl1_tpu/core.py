@@ -289,3 +289,45 @@ def send_and_recv(g: Graph, edges, mfunc, rfunc, afunc=None):
     if len(result) == 1:
         return next(iter(result.values()))
     return result
+
+
+def filter_nodes(g: Graph, predicate) -> jnp.ndarray:
+    """Node ids satisfying ``predicate(NodeBatch) -> bool mask`` (parity:
+    ``DGLHeteroGraph.filter_nodes``; eager)."""
+    nb = NodeBatch(g.dstdata, {}, jnp.arange(g.num_dst_nodes()))
+    mask = predicate(nb)
+    return jnp.nonzero(np.asarray(mask))[0]
+
+
+def filter_edges(g: Graph, predicate) -> jnp.ndarray:
+    """Edge ids satisfying ``predicate(EdgeBatch) -> bool mask`` (parity:
+    ``DGLHeteroGraph.filter_edges``; eager, real edges only)."""
+    eb = EdgeBatch(g, g.src, g.dst, g.edata)
+    mask = np.asarray(predicate(eb))[: g.num_edges()]
+    return jnp.nonzero(mask)[0]
+
+
+def prop_nodes(g: Graph, nodes_generator, message_func, reduce_func,
+               apply_node_func=None):
+    """Propagate messages along node frontiers (parity: ``dgl.prop_nodes``
+    and traversal-based propagation): for each frontier, pull messages into
+    those nodes (eager)."""
+    for frontier in nodes_generator:
+        frontier = np.asarray(frontier)
+        # Pull: edges whose dst is in the frontier.
+        e = g.num_edges()
+        dst = np.asarray(g.dst)[:e]
+        eids = np.nonzero(np.isin(dst, frontier))[0]
+        if len(eids) == 0:
+            continue
+        send_and_recv(g, eids, message_func, reduce_func, apply_node_func)
+    return g
+
+
+def prop_edges(g: Graph, edges_generator, message_func, reduce_func,
+               apply_node_func=None):
+    """Propagate along edge frontiers (parity: ``dgl.prop_edges``)."""
+    for eids in edges_generator:
+        send_and_recv(g, np.asarray(eids), message_func, reduce_func,
+                      apply_node_func)
+    return g

@@ -322,6 +322,23 @@ class Graph:
             self, edges, message_func, reduce_func, apply_node_func
         )
 
+    def filter_nodes(self, predicate):
+        from dgl1_tpu import core
+
+        return core.filter_nodes(self, predicate)
+
+    def filter_edges(self, predicate):
+        from dgl1_tpu import core
+
+        return core.filter_edges(self, predicate)
+
+    def prop_nodes(self, nodes_generator, message_func, reduce_func,
+                   apply_node_func=None):
+        from dgl1_tpu import core
+
+        return core.prop_nodes(self, nodes_generator, message_func,
+                               reduce_func, apply_node_func)
+
     def local_scope(self):
         """Context manager restoring ndata/edata on exit (parity:
         ``DGLHeteroGraph.local_scope``)."""
@@ -686,7 +703,19 @@ def _build_ell(indptr: np.ndarray, nbr_sorted: np.ndarray,
     deg = np.diff(indptr[: num_target + 1]).astype(np.int64)
     ladder = np.asarray(_ELL_LADDER, dtype=np.int64)
     kidx = np.searchsorted(ladder, deg, side="left")
-    kpad = ladder[np.minimum(kidx, len(ladder) - 1)]
+    kidx = np.minimum(kidx, len(ladder) - 1)
+
+    # Coalesce small buckets upward: each gather/reduce op costs ~0.2ms
+    # on TPU regardless of size, so buckets below a slot floor pay more in
+    # launch overhead than their padding would cost at the next rung.
+    MIN_SLOTS = min(1 << 16, max(num_edges // 4, 1))
+    counts = np.bincount(kidx[deg > 0], minlength=len(ladder))
+    for r in range(len(ladder) - 1):
+        if counts[r] and counts[r] * ladder[r] < MIN_SLOTS:
+            counts[r + 1] += counts[r]
+            counts[r] = 0
+            kidx = np.where((kidx == r) & (deg > 0), r + 1, kidx)
+    kpad = ladder[kidx]
     kpad = np.where(deg == 0, 0, kpad)
 
     order = np.argsort(np.where(deg == 0, np.int64(1 << 60), kpad),

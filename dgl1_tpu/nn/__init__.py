@@ -58,3 +58,7 @@ __all__ = [
     "HeteroGraphConv",
     "edge_softmax",
 ]
+
+from dgl1_tpu.nn.conv import GMMConv  # noqa: E402
+
+__all__.append("GMMConv")

@@ -597,3 +597,32 @@ class DenseSAGEConv(nn.Module):
         return nn.Dense(self.out_feats, use_bias=self.use_bias, name="fc")(
             jnp.concatenate([feat, h_neigh], axis=-1)
         )
+
+
+class GMMConv(nn.Module):
+    """Gaussian mixture model conv / MoNet (parity: ``gmmconv.py``):
+    per-edge pseudo-coordinates weighted by K learned gaussians."""
+
+    in_feats: int
+    out_feats: int
+    dim: int  # pseudo-coordinate dimensionality
+    n_kernels: int
+    aggregator_type: str = "sum"
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, pseudo):
+        h_src, h_dst = _split_feat(feat)
+        mu = self.param("mu", nn.initializers.normal(0.1),
+                        (self.n_kernels, self.dim))
+        inv_sigma = self.param("inv_sigma", nn.initializers.ones,
+                               (self.n_kernels, self.dim))
+        # Gaussian weights per edge/kernel: (E, K).
+        diff = pseudo[:, None, :] - mu[None, :, :]
+        w = jnp.exp(-0.5 * jnp.sum((diff * inv_sigma[None]) ** 2, axis=-1))
+        # Per-kernel projections of source features, mixed by w.
+        proj = nn.Dense(self.n_kernels * self.out_feats, use_bias=False,
+                        name="fc")(h_src)
+        proj = proj.reshape(-1, self.n_kernels, self.out_feats)
+        src_e = gsddmm(g, "copy_lhs", proj, None, lhs_target="u")
+        msg = jnp.sum(src_e * w[..., None], axis=1)
+        return gspmm(g, "copy_rhs", self.aggregator_type, None, msg)
