@@ -21,6 +21,7 @@ from dgl1_tpu.data.reddit import RedditDataset
 from dgl1_tpu.data.knowledge import FB15k237Dataset, WN18Dataset, AIFBDataset
 from dgl1_tpu.data.ogb import OGBDataset
 from dgl1_tpu.data.minigc import MiniGCDataset
+from dgl1_tpu.data.csv_dataset import CSVDataset
 
 __all__ = [
     "save_graphs",
@@ -36,4 +37,5 @@ __all__ = [
     "AIFBDataset",
     "OGBDataset",
     "MiniGCDataset",
+    "CSVDataset",
 ]

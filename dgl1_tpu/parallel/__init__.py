@@ -23,6 +23,7 @@ from dgl1_tpu.parallel.sharded_ops import (
     halo_exchange,
 )
 from dgl1_tpu.parallel.dist_graph import DistGraph, DistTensor
+from dgl1_tpu.parallel.dist_dataloader import DistDataLoader, DistNodeDataLoader
 
 __all__ = [
     "partition_graph",
@@ -38,4 +39,6 @@ __all__ = [
     "halo_exchange",
     "DistGraph",
     "DistTensor",
+    "DistDataLoader",
+    "DistNodeDataLoader",
 ]
