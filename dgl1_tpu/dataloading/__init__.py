@@ -15,6 +15,7 @@ from dgl1_tpu.dataloading.edge_dataloader import (
     as_edge_prediction_sampler,
 )
 from dgl1_tpu.dataloading import negative_sampler
+from dgl1_tpu.dataloading.inference import layerwise_inference
 
 __all__ = [
     "NeighborSampler",
@@ -26,4 +27,5 @@ __all__ = [
     "EdgeDataLoader",
     "as_edge_prediction_sampler",
     "negative_sampler",
+    "layerwise_inference",
 ]

@@ -134,3 +134,48 @@ def test_pinsage_sampler():
     assert all(c[s] <= 3 for s in [1, 2, 3])
     w = np.asarray(frontier.edata["weights"])
     assert (w > 0).all()
+
+
+def test_gat_on_sampled_blocks():
+    """GATConv (SDDMM + masked edge softmax) must work on padded bipartite
+    blocks from the static-shape sampler."""
+    import jax
+    import jax.numpy as jnp
+    from dgl1_tpu import nn
+
+    g = dgl.rand_graph(100, 1000, seed=13)
+    feat = np.random.default_rng(13).normal(size=(100, 8)).astype(np.float32)
+    sampler = NeighborSampler([4])
+    inp, out, blocks = sampler.sample_blocks(
+        g, np.arange(16), rng=np.random.default_rng(0)
+    )
+    blk = blocks[0]
+    x = jnp.asarray(feat[np.asarray(blk.srcdata["_ID"])])
+    conv = nn.GATConv(6, num_heads=2)
+    params = conv.init(jax.random.PRNGKey(0), blk, x)
+    y = conv.apply(params, blk, x)
+    assert y.shape == (blk.num_dst_nodes(), 2, 6)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_layerwise_inference_matches_full():
+    import jax
+    import jax.numpy as jnp
+    from dgl1_tpu import nn
+    from dgl1_tpu.dataloading import layerwise_inference
+
+    g = dgl.rand_graph(60, 400, seed=14)
+    feat = jnp.asarray(
+        np.random.default_rng(14).normal(size=(60, 6)).astype(np.float32)
+    )
+    conv = nn.SAGEConv(5, aggregator_type="mean")
+    params = conv.init(jax.random.PRNGKey(0), g, feat)
+
+    full = conv.apply(params, g, feat)
+    batched = layerwise_inference(
+        g, feat,
+        [lambda blk, h: conv.apply(params, blk, h)],
+        batch_size=17,
+    )
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
