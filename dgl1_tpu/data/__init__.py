@@ -22,6 +22,7 @@ from dgl1_tpu.data.knowledge import FB15k237Dataset, WN18Dataset, AIFBDataset
 from dgl1_tpu.data.ogb import OGBDataset
 from dgl1_tpu.data.minigc import MiniGCDataset
 from dgl1_tpu.data.csv_dataset import CSVDataset
+from dgl1_tpu.data.ppi_tu import PPIDataset, TUDataset
 
 __all__ = [
     "save_graphs",
@@ -38,4 +39,6 @@ __all__ = [
     "OGBDataset",
     "MiniGCDataset",
     "CSVDataset",
+    "PPIDataset",
+    "TUDataset",
 ]
