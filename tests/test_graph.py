@@ -122,3 +122,27 @@ def test_batch_unbatch():
     np.testing.assert_array_equal(np.asarray(gs[1].src),
                                   np.asarray(g2.src))
     np.testing.assert_allclose(np.asarray(gs[1].ndata["h"]), 2.0)
+
+
+def test_multi_update_all_cross_reducers():
+    hg = dgl.heterograph({
+        ("a", "r1", "c"): (np.array([0, 1]), np.array([0, 0])),
+        ("b", "r2", "c"): (np.array([0]), np.array([0])),
+    })
+    dgl_fn = dgl.function
+    hg.nodes_data("a")["h"] = jnp.asarray([[1.0], [3.0]])
+    hg.nodes_data("b")["h"] = jnp.asarray([[10.0]])
+    for reducer, expect in [("sum", 14.0), ("max", 10.0), ("min", 4.0),
+                            ("mean", 7.0)]:
+        hg.multi_update_all(
+            {"r1": (dgl_fn.copy_u("h", "m"), dgl_fn.sum("m", "o")),
+             "r2": (dgl_fn.copy_u("h", "m"), dgl_fn.sum("m", "o"))},
+            reducer,
+        )
+        assert float(hg.nodes_data("c")["o"][0, 0]) == expect
+    hg.multi_update_all(
+        {"r1": (dgl_fn.copy_u("h", "m"), dgl_fn.sum("m", "o")),
+         "r2": (dgl_fn.copy_u("h", "m"), dgl_fn.sum("m", "o"))},
+        "stack",
+    )
+    assert hg.nodes_data("c")["o"].shape == (1, 2, 1)
