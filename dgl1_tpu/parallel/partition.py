@@ -39,14 +39,17 @@ def random_partition_assignment(g: Graph, k: int, seed: int = 0) -> np.ndarray:
 
 
 def greedy_partition_assignment(
-    g: Graph, k: int, batch: int = 4096, slack: float = 1.05,
-    sweeps: int = 2, seed: int = 0,
+    g: Graph, k: int, batch: int = 1024, slack: float = 1.1,
+    sweeps: int = 6, seed: int = 0,
 ) -> np.ndarray:
-    """Batched LDG streaming partitioner.
+    """Batched LDG streaming partitioner with refinement sweeps.
 
-    Nodes are processed in descending-degree order in batches; each node
-    scores parts by (neighbors already in part) * (1 - size/capacity) and
-    takes the argmax. Additional sweeps refine the initial assignment.
+    Sweep 0 streams nodes in descending-degree order, assigning each batch
+    to the part holding most of its already-assigned neighbors, discounted
+    by part fullness (the classic LDG score). Later sweeps revisit every
+    node in random order with full neighborhood information — effectively
+    size-constrained label propagation — which converges to cuts far below
+    the initial stream on structured graphs.
     """
     n = g.num_nodes()
     e = g.num_edges()
@@ -61,41 +64,75 @@ def greedy_partition_assignment(
     np.cumsum(np.bincount(us, minlength=n), out=indptr[1:])
 
     deg = np.diff(indptr)
-    visit = np.argsort(-deg, kind="stable")
     cap = slack * n / k
 
     part = np.full(n, -1, dtype=np.int32)
-    sizes = np.zeros(k, dtype=np.int64)
     rng = np.random.default_rng(seed)
 
+    def batch_hist(nodes):
+        counts = deg[nodes]
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros((len(nodes), k), dtype=np.float64)
+        flat_cols = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        flat_nbrs = vs[np.repeat(indptr[nodes], counts) + flat_cols]
+        owner = np.repeat(np.arange(len(nodes)), counts)
+        nbr_part = part[flat_nbrs]
+        valid = nbr_part >= 0
+        hist = np.zeros((len(nodes), k), dtype=np.float64)
+        np.add.at(hist, (owner[valid], nbr_part[valid]), 1.0)
+        return hist
+
+    # Fennel-style additive balance penalty (Tsourakakis et al.): score =
+    # |N(v) in S| - alpha * gamma * |S|^(gamma-1). Unlike a multiplicative
+    # fullness factor, this cannot let parts collapse to empty (an empty
+    # part has zero penalty and eventually wins ties).
+    gamma = 1.5
+    m = max(e, 1)
+    alpha = m * (k ** (gamma - 1)) / (n ** gamma)
+
+    # Small batches relative to n: the capacity check uses sizes from the
+    # start of the batch, so large batches can stampede into one part.
+    batch = max(64, min(batch, n // 8))
+
     for sweep in range(sweeps):
+        visit = (np.argsort(-deg, kind="stable") if sweep == 0
+                 else rng.permutation(n))
         for lo in range(0, n, batch):
             nodes = visit[lo:lo + batch]
-            counts = deg[nodes]
-            flat_nbrs = vs[
-                np.concatenate(
-                    [np.arange(indptr[v], indptr[v + 1]) for v in nodes]
-                ) if counts.sum() else np.zeros(0, dtype=np.int64)
-            ]
-            owner = np.repeat(np.arange(len(nodes)), counts)
-            nbr_part = part[flat_nbrs]
-            valid = nbr_part >= 0
-            hist = np.zeros((len(nodes), k), dtype=np.float64)
-            np.add.at(hist, (owner[valid], nbr_part[valid]), 1.0)
-            if sweep > 0:
-                # Refinement: don't count the node's own current part seat.
-                cur = part[nodes]
-                sizes[:] = np.bincount(part[part >= 0], minlength=k)
-                np.subtract.at(sizes, cur[cur >= 0], 1)
-            score = (hist + 1e-3 * rng.random(hist.shape)) * np.maximum(
-                1.0 - sizes[None, :] / cap, 1e-6
-            )
-            choice = score.argmax(axis=1).astype(np.int32)
-            if sweep > 0:
-                old = part[nodes]
-                np.subtract.at(sizes, old[old >= 0], 0)  # sizes rebuilt above
-            part[nodes] = choice
-            sizes[:] = np.bincount(part[part >= 0], minlength=k)
+            hist = batch_hist(nodes)
+            sizes = np.bincount(part[part >= 0], minlength=k).astype(
+                np.float64)
+            # A node being reassigned shouldn't count its own seat.
+            cur = part[nodes]
+            np.subtract.at(sizes, cur[cur >= 0], 1.0)
+            penalty = alpha * gamma * np.power(sizes[None, :], gamma - 1.0)
+            # Hard cap: parts at capacity are ineligible.
+            penalty = np.where(sizes[None, :] >= cap, np.inf, penalty)
+            score = hist + 1e-3 * rng.random(hist.shape) - penalty
+            part[nodes] = score.argmax(axis=1).astype(np.int32)
+
+    # Repair pass: batch staleness can still overfill or empty parts; move
+    # the least-attached nodes of overfull parts into the smallest ones.
+    sizes = np.bincount(part, minlength=k)
+    floor = max(int(n / k / slack), 1)
+    for _ in range(k):
+        donor = int(np.argmax(sizes))
+        receiver = int(np.argmin(sizes))
+        if sizes[donor] <= cap and sizes[receiver] >= floor:
+            break
+        need = int(min(sizes[donor] - n // k,
+                       max(floor - sizes[receiver],
+                           sizes[donor] - int(cap))))
+        need = max(need, 1)
+        cand = np.nonzero(part == donor)[0]
+        hist = batch_hist(cand)
+        attach = hist[np.arange(len(cand)), donor]
+        movers = cand[np.argsort(attach, kind="stable")[:need]]
+        part[movers] = receiver
+        sizes = np.bincount(part, minlength=k)
     return part
 
 
