@@ -53,13 +53,12 @@ void build_tiles(const int32_t* tgt_sorted, const int32_t* gather_sorted,
   // per-block edge counts
   int64_t* cnt = new int64_t[n_blocks]();
   for (int64_t e = 0; e < num_edges; ++e) cnt[tgt_sorted[e] / R]++;
-  // tiles per block (>= 1 so every output block is initialized)
+  // Empty blocks get no tiles; consumers mask their rows via block_mask.
   int64_t tile_cursor = 0;
   int64_t slot_base = 0;
   int64_t edge_cursor = 0;
   for (int32_t b = 0; b < n_blocks; ++b) {
     int64_t tiles = (cnt[b] + T - 1) / T;
-    if (tiles < 1) tiles = 1;
     for (int64_t t = 0; t < tiles; ++t) {
       rows[tile_cursor] = b;
       first[tile_cursor] = (t == 0) ? 1 : 0;
@@ -87,8 +86,7 @@ int64_t plan_tiles(const int32_t* tgt_sorted, int64_t num_edges,
   for (int64_t e = 0; e < num_edges; ++e) cnt[tgt_sorted[e] / R]++;
   int64_t total = 0;
   for (int32_t b = 0; b < n_blocks; ++b) {
-    int64_t tiles = (cnt[b] + T - 1) / T;
-    total += tiles < 1 ? 1 : tiles;
+    total += (cnt[b] + T - 1) / T;
   }
   delete[] cnt;
   return total;

@@ -619,10 +619,23 @@ def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
         lid = np.full((n_tiles * T,), -1, ID_DTYPE)
         gather = np.zeros((n_tiles * T,), ID_DTYPE)
         eid_out = np.zeros((n_tiles * T,), ID_DTYPE)
+        n_blocks = max((num_target + R - 1) // R, 1)
+        block_mask = np.bincount(
+            tgt32 // R, minlength=n_blocks
+        ).astype(np.int64) > 0
+        if n_tiles == 0:
+            return dict(
+                rows=np.zeros((1,), ID_DTYPE),
+                first=np.ones((1,), ID_DTYPE),
+                lid=np.full((1, T), -1, ID_DTYPE),
+                gather=np.zeros((T,), ID_DTYPE),
+                eid=np.zeros((T,), ID_DTYPE),
+                block_mask=block_mask,
+            )
         native.build_tiles(tgt32, gat32, eid32, num_edges, num_target, T, R,
                            rows, first, lid, gather, eid_out)
         return dict(rows=rows, first=first, lid=lid.reshape(n_tiles, T),
-                    gather=gather, eid=eid_out)
+                    gather=gather, eid=eid_out, block_mask=block_mask)
 
     tgt = target_sorted[:num_edges].astype(np.int64)
     gat = gather_sorted[:num_edges].astype(np.int64)
@@ -633,15 +646,29 @@ def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
     cnt = np.bincount(blk, minlength=n_blocks) if num_edges else np.zeros(
         n_blocks, dtype=np.int64
     )
-    # Every row block gets >= 1 tile: a block with no edges still needs
-    # its (zero-initializing) first tile, otherwise its output rows are
-    # never written and hold uninitialized memory.
-    tiles_per_block = np.maximum((cnt + T - 1) // T, 1)
+    # Empty row blocks get NO tiles (their output rows are uninitialized
+    # memory and must be masked out by the consumer via block_mask) —
+    # forcing a zero-fill tile per empty block doubled the slot count on
+    # hub-concentrated graphs.
+    tiles_per_block = (cnt + T - 1) // T
+    block_mask = (cnt > 0)
     n_tiles = int(tiles_per_block.sum())
+    if n_tiles == 0:
+        return dict(
+            rows=np.zeros((1,), ID_DTYPE),
+            first=np.ones((1,), ID_DTYPE),
+            lid=np.full((1, T), -1, ID_DTYPE),
+            gather=np.zeros((T,), ID_DTYPE),
+            eid=np.zeros((T,), ID_DTYPE),
+            block_mask=np.zeros((n_blocks,), bool),
+        )
 
     rows = np.repeat(np.arange(n_blocks), tiles_per_block).astype(ID_DTYPE)
     first = np.zeros((n_tiles,), ID_DTYPE)
-    first[np.concatenate([[0], np.cumsum(tiles_per_block)[:-1]])] = 1
+    starts = np.concatenate([[0], np.cumsum(tiles_per_block)[:-1]])
+    # Trailing empty blocks alias past the end; empty blocks elsewhere
+    # alias the next block's start (which IS a first tile) — harmless.
+    first[starts[starts < n_tiles]] = 1
 
     # Slot index per edge: edges of block b start at slot_start[b] and are
     # contiguous (they are contiguous in the sorted edge order).
@@ -665,6 +692,7 @@ def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
         lid=lid.reshape(n_tiles, T),
         gather=gather,
         eid=eid_out,
+        block_mask=block_mask,
     )
 
 

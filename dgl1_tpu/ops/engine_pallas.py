@@ -256,6 +256,12 @@ def _tiled_reduce(op: str, tiles: dict, u, e, num_target: int):
     out = _segment_sum_tiles(tiles["rows"], tiles["first"], lid, msg2,
                              n_row_blocks)
     out = out[:num_target, :flat]
+    # Row blocks with no edges have no tiles: their rows are uninitialized
+    # memory and must be zeroed here.
+    row_mask = jnp.repeat(tiles["block_mask"], TILE_ROWS,
+                          total_repeat_length=n_row_blocks * TILE_ROWS
+                          )[:num_target]
+    out = jnp.where(row_mask[:, None], out, jnp.zeros_like(out))
     return out.reshape((num_target,) + feat_shape)
 
 
@@ -416,8 +422,14 @@ def _tiled_minmax(op, is_max, tiles, u, e, num_target):
     out = _segment_minmax_tiles(is_max, tiles["rows"], tiles["first"], lid,
                                 msg2, n_row_blocks)
     out = out[:num_target, :flat]
-    # Rows with no edges hold the identity; the reference zero-fills.
-    out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+    # Tile-less (empty) row blocks are uninitialized memory; rows with no
+    # edges inside initialized blocks hold the identity. Both zero-fill
+    # (reference semantics).
+    row_mask = jnp.repeat(tiles["block_mask"], TILE_ROWS,
+                          total_repeat_length=n_row_blocks * TILE_ROWS
+                          )[:num_target]
+    out = jnp.where(row_mask[:, None] & jnp.isfinite(out), out,
+                    jnp.zeros_like(out))
     return out.reshape((num_target,) + feat_shape)
 
 

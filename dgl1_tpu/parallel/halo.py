@@ -180,7 +180,8 @@ def build_partitioned_graph(
         no-op tiles aimed at a scratch row block past the real ones."""
         scratch_block = (num_target + TILE_ROWS - 1) // TILE_ROWS
         n_tiles = max(t["rows"].shape[0] for t in tiles_list)
-        out = {k: [] for k in ("rows", "first", "lid", "gather")}
+        out = {k: [] for k in ("rows", "first", "lid", "gather",
+                               "block_mask")}
         for t in tiles_list:
             pad = n_tiles - t["rows"].shape[0]
             out["rows"].append(np.concatenate(
@@ -191,6 +192,7 @@ def build_partitioned_graph(
                 [t["lid"], np.full((pad, TILE_EDGES), -1, np.int32)]))
             out["gather"].append(np.concatenate(
                 [t["gather"], np.zeros(pad * TILE_EDGES, np.int32)]))
+            out["block_mask"].append(t["block_mask"])
         return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
 
     tiles_fwd_list, tiles_rev_list = [], []

@@ -80,7 +80,14 @@ def _tiled_sum(tiles, values, num_target: int):
     n_row_blocks = -(-num_target // TILE_ROWS) + 1
     out = _segment_sum_tiles(tiles["rows"], tiles["first"], lid, msg2,
                              n_row_blocks)
-    return out[:num_target, :flat].reshape((num_target,) + feat)
+    out = out[:num_target, :flat]
+    # Tile-less (empty) row blocks hold uninitialized memory: zero them.
+    row_mask = jnp.repeat(
+        tiles["block_mask"], TILE_ROWS,
+        total_repeat_length=(n_row_blocks - 1) * TILE_ROWS,
+    )[:num_target]
+    out = jnp.where(row_mask[:, None], out, jnp.zeros_like(out))
+    return out.reshape((num_target,) + feat)
 
 
 def make_local_spmm(n_loc: int, n_comb: int):
