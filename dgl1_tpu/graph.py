@@ -110,6 +110,10 @@ class Graph:
         "ell_src",
         "ell_dst_meta",
         "ell_src_meta",
+        "hub_dst",
+        "hub_src",
+        "hub_dst_meta",
+        "hub_src_meta",
         "_num_src_nodes",
         "_num_dst_nodes",
         "_num_edges",
@@ -148,6 +152,10 @@ class Graph:
         ell_src: Optional[Dict[str, Any]] = None,
         ell_dst_meta: Optional[Tuple] = None,
         ell_src_meta: Optional[Tuple] = None,
+        hub_dst: Optional[Dict[str, Any]] = None,
+        hub_src: Optional[Dict[str, Any]] = None,
+        hub_dst_meta: Optional[Tuple] = None,
+        hub_src_meta: Optional[Tuple] = None,
         ndata: Optional[Dict[str, Any]] = None,
         edata: Optional[Dict[str, Any]] = None,
         srcdata: Optional[Dict[str, Any]] = None,
@@ -175,6 +183,12 @@ class Graph:
         self.ell_src = ell_src
         self.ell_dst_meta = ell_dst_meta
         self.ell_src_meta = ell_src_meta
+        # Hub-dense HYB layout (reduce-by-dst; see hub_format.py). hub_src
+        # is the same for the reverse direction, built on demand only.
+        self.hub_dst = hub_dst
+        self.hub_src = hub_src
+        self.hub_dst_meta = hub_dst_meta
+        self.hub_src_meta = hub_src_meta
         self._num_src_nodes = int(num_src_nodes)
         self._num_dst_nodes = int(num_dst_nodes)
         self._num_edges = int(num_edges)
@@ -276,6 +290,10 @@ class Graph:
             tsrc=self.tdst,
             ell_dst=self.ell_src,
             ell_src=self.ell_dst,
+            hub_dst=self.hub_src,
+            hub_src=self.hub_dst,
+            hub_dst_meta=self.hub_src_meta,
+            hub_src_meta=self.hub_dst_meta,
             ell_dst_meta=self.ell_src_meta,
             ell_src_meta=self.ell_dst_meta,
             num_src_nodes=self._num_dst_nodes,
@@ -364,6 +382,8 @@ class Graph:
             self.tsrc,
             self.ell_dst,
             self.ell_src,
+            self.hub_dst,
+            self.hub_src,
         )
 
     def tree_flatten(self):
@@ -391,13 +411,16 @@ class Graph:
             self._is_block,
             self.ell_dst_meta,
             self.ell_src_meta,
+            self.hub_dst_meta,
+            self.hub_src_meta,
         )
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         struct, ndata, edata, srcdata, dstdata, bnn, bne = children
-        num_src, num_dst, num_edges, is_block, ell_dst_meta, ell_src_meta = aux
+        (num_src, num_dst, num_edges, is_block, ell_dst_meta, ell_src_meta,
+         hub_dst_meta, hub_src_meta) = aux
         (
             src,
             dst,
@@ -414,6 +437,8 @@ class Graph:
             tsrc,
             ell_dst,
             ell_src,
+            hub_dst,
+            hub_src,
         ) = struct
         g = cls(
             src=src,
@@ -437,6 +462,10 @@ class Graph:
             ell_src=ell_src,
             ell_dst_meta=ell_dst_meta,
             ell_src_meta=ell_src_meta,
+            hub_dst=hub_dst,
+            hub_src=hub_src,
+            hub_dst_meta=hub_dst_meta,
+            hub_src_meta=hub_src_meta,
             ndata=ndata,
             edata=edata,
             srcdata=srcdata if is_block else None,
@@ -492,7 +521,7 @@ jax.tree_util.register_pytree_node(
 # ----------------------------------------------------------------------
 
 def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
-                   num_edges: int, num_padded: int):
+                   num_edges: int, num_padded: int, hub=None):
     """Build padded COO + CSR + CSC host-side.
 
     Parity: ``src/array/array.cc`` COOToCSR/COOSort; implemented as numpy
@@ -562,6 +591,25 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
     ell_src_meta, ell_src = _build_ell(
         csr_indptr, csr_dst, csr_eid, num_src, num_edges
     )
+    # Hub-dense HYB layout (reduce-by-dst): auto-built only when the head
+    # of the in-degree distribution clears the density bar. hub=True
+    # forces it (tests / known-skewed graphs), an int sets the per-group
+    # edge floor explicitly, hub=False skips.
+    hub_dst_meta = hub_dst = None
+    if hub is not False and num_edges > 0:
+        from dgl1_tpu import hub_format
+
+        if hub is None:
+            floor = None
+        elif hub is True:
+            floor = 1
+        else:
+            floor = int(hub)
+        hub_dst_meta, hub_dst = hub_format.build_hub_format(
+            csc_indptr, csc_src, csc_eid, csc_dst, num_src, num_dst,
+            num_edges, num_padded, _build_ell,
+            min_group_edges=floor,
+        )
     return dict(
         src=coo_src,
         dst=coo_dst,
@@ -580,6 +628,8 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         ell_dst=ell_dst,
         ell_src_meta=ell_src_meta,
         ell_src=ell_src,
+        hub_dst_meta=hub_dst_meta,
+        hub_dst=hub_dst,
     )
 
 
@@ -799,6 +849,7 @@ def graph(
     pad_edges_to: Optional[int] = None,
     pad_edges_multiple: Optional[int] = None,
     device_arrays: bool = False,
+    hub=None,
 ) -> Graph:
     """Create a homogeneous graph from an edge list ``(src, dst)``.
 
@@ -825,9 +876,11 @@ def graph(
         num_padded = int(pad_edges_to)
     elif pad_edges_multiple:
         num_padded = max(_round_up(num_edges, pad_edges_multiple), pad_edges_multiple)
-    arrays = _build_formats(src, dst, num_nodes, num_nodes, num_edges, num_padded)
+    arrays = _build_formats(src, dst, num_nodes, num_nodes, num_edges,
+                            num_padded, hub=hub)
     if device_arrays:
-        metas = {k: arrays.pop(k) for k in ("ell_dst_meta", "ell_src_meta")}
+        metas = {k: arrays.pop(k)
+                 for k in ("ell_dst_meta", "ell_src_meta", "hub_dst_meta")}
         arrays = jax.tree.map(jnp.asarray, arrays)
         arrays.update(metas)
     return Graph(

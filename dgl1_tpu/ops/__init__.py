@@ -30,6 +30,12 @@ try:
     _engine_pallas.register()
 except ImportError:  # pragma: no cover — pallas unavailable on this build
     pass
+try:
+    from dgl1_tpu.ops import engine_hub as _engine_hub
+
+    _engine_hub.register()
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = (
     list(_spmm.__all__)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from dgl1_tpu.graph import Graph
 
-__all__ = ["gspmm_ell", "ell_reduce"]
+__all__ = ["gspmm_ell", "ell_reduce", "ell_stack"]
 
 _SUPPORTED_OPS = ("copy_lhs", "copy_rhs", "add", "sub", "mul", "div")
 
@@ -52,7 +52,21 @@ def ell_reduce(meta: Tuple, ell: dict, op: str, reduce_op: str,
 
     meta: static ((k, n_rows), ...). ell: {idx, eid, inv_perm}.
     """
-    idx, eid, inv_perm = ell["idx"], ell["eid"], ell["inv_perm"]
+    stacked = ell_stack(meta, ell["idx"], ell["eid"], op, reduce_op, u, e)
+    if stacked.shape[0] == 0:
+        # No nonzero rows at all (e.g. the tail of an all-hub graph):
+        # jnp.take cannot fill-gather from an empty axis.
+        return jnp.zeros((ell["inv_perm"].shape[0],) + stacked.shape[1:],
+                         stacked.dtype)
+    return jnp.take(stacked, ell["inv_perm"], axis=0, mode="fill",
+                    fill_value=0.0)
+
+
+def ell_stack(meta: Tuple, idx, eid, op: str, reduce_op: str, u, e):
+    """Bucket-sorted per-row reductions WITHOUT the final inverse-permute
+    gather — (n_nonzero_rows, *feat). Exposed so the hub-dense engine can
+    concatenate its dense block before one shared inverse-permute
+    (ops/engine_hub.py)."""
     if reduce_op == "max":
         ident = -jnp.inf
     elif reduce_op == "min":
@@ -103,15 +117,9 @@ def ell_reduce(meta: Tuple, ell: dict, op: str, reduce_op: str,
     feat_shape = outs[0].shape[1:] if outs else (
         (u if u is not None else e).shape[1:])
     if outs:
-        stacked = jnp.concatenate(outs, axis=0)
-    else:
-        stacked = jnp.zeros((0,) + feat_shape)
-    out = jnp.take(stacked, inv_perm, axis=0, mode="fill", fill_value=0.0)
-    if reduce_op == "mean":
-        # Degrees of nonzero rows are recoverable from meta buckets, but the
-        # caller divides by in-degrees (same as the other engines).
-        pass
-    return out
+        return jnp.concatenate(outs, axis=0)
+    dtype = (u if u is not None else e).dtype
+    return jnp.zeros((0,) + feat_shape, dtype)
 
 
 def _sum_to_shape(x, shape):

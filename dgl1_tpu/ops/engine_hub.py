@@ -1,0 +1,368 @@
+"""Hub-dense HYB engine for g-SpMM: MXU matmuls instead of gathers.
+
+Every other scatter-free engine pays one gathered feature row per edge,
+capped by the TPU gather unit (~90M rows/s measured on v5e —
+docs/PERF_NOTES.md). This engine removes the gather from the hot path
+for edges whose destination is a *hub* (head of the in-degree
+distribution, compacted into dense groups by ``hub_format.py``):
+
+* forward, per 256-edge chunk: ``out_group += S_hub^T @ (S_src @ U_win)``
+  — the per-edge "gather" is a one-hot matmul against a contiguous
+  128-row source window and the per-destination reduce is the transposed
+  one-hot matmul, both on the MXU (measured ~1.5G one-hot rows/s vs 90M
+  gathered rows/s);
+* backward-u is the same kernel on the window-major chunk layout
+  (outputs are source windows, inputs are the compacted hub cotangent
+  rows) — the SpMM duality of ``backend/pytorch/sparse.py :: GSpMM``
+  holds inside one format;
+* backward-e (u_mul_e) is a third chunk kernel computing per-edge
+  ``<u[src], ct[dst]>`` dots from the same two one-hot matmuls;
+* tail edges (non-hub destinations) run on the ELL engine's bucket
+  stack, and the dense block is appended before ELL's final
+  inverse-permute gather — the hub/tail merge costs zero extra passes.
+
+Edge weights (``u_mul_e`` with a scalar per edge — GCN edge_weight,
+normalized adjacency) fold into the source-side one-hot for free.
+
+Parity: covers ``src/array/cuda/spmm.cu`` / cuSPARSE for power-law
+graphs; the reference needs atomics for exactly the rows this engine
+turns into dense MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgl1_tpu.graph import Graph
+from dgl1_tpu.hub_format import BLK, CHUNK, SENT
+from dgl1_tpu.ops.engine_ell import ell_reduce, ell_stack
+
+__all__ = ["gspmm_hub"]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------
+# Chunk kernels
+# ----------------------------------------------------------------------
+
+def _chunk_kernel(weighted: bool, in_id_ref, out_id_ref, first_ref,
+                  a_ref, b_ref, *rest):
+    """out[out_id] += S_b^T @ (diag(w) S_a @ IN[in_id]) for one chunk."""
+    if weighted:
+        w_ref, in_ref, out_ref = rest
+    else:
+        in_ref, out_ref = rest
+    t = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(in_ref.dtype)
+    if weighted:
+        one_a = one_a * w_ref[:][:, None].astype(in_ref.dtype)
+    m = jax.lax.dot_general(
+        one_a, in_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+    partial = jax.lax.dot_general(
+        one_b, m, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(first_ref[t] == 1)
+    def _init():
+        out_ref[:] = partial.astype(out_ref.dtype)
+
+    @pl.when(first_ref[t] != 1)
+    def _accum():
+        out_ref[:] = out_ref[:] + partial.astype(out_ref.dtype)
+
+
+def _chunk_call(weighted: bool, in_id, out_id, first, a, b, w, inp,
+                n_out_blocks: int):
+    """inp: (n_in_blocks*BLK, F_pad) f32/bf16. Returns
+    (n_out_blocks*BLK, F_pad) float32."""
+    n_chunks = in_id.shape[0]
+    f_pad = inp.shape[1]
+    n_fb = f_pad // BLK
+
+    def slot_spec():
+        return pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,))
+
+    in_specs = [slot_spec(), slot_spec()]
+    operands = [a, b]
+    if weighted:
+        in_specs.append(slot_spec())
+        operands.append(w)
+    in_specs.append(
+        pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], fb))
+    )
+    operands.append(inp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # in_id, out_id, first
+        grid=(n_fb, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)
+        ),
+    )
+    flops = 2 * n_chunks * n_fb * (CHUNK * BLK * BLK * 2)
+    return pl.pallas_call(
+        functools.partial(_chunk_kernel, weighted),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_chunks * n_fb * BLK * BLK * 4
+            + n_out_blocks * f_pad * BLK * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(in_id, out_id, first, *operands)
+
+
+def _edge_dot_kernel(in1_ref, in2_ref, a_ref, b_ref, u_ref, ct_ref, out_ref):
+    """Per-edge <u[src], ct[dst]> for one chunk (grad_e of u_mul_e)."""
+    fb = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(u_ref.dtype)
+    one_b = (b_ref[:][:, None] == iota).astype(ct_ref.dtype)
+    m1 = jax.lax.dot_general(
+        one_a, u_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m2 = jax.lax.dot_general(
+        one_b, ct_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = jnp.sum(m1 * m2, axis=1)
+
+    @pl.when(fb == 0)
+    def _init():
+        out_ref[:] = s
+
+    @pl.when(fb != 0)
+    def _accum():
+        out_ref[:] = out_ref[:] + s
+
+
+def _edge_dot_call(in1_id, in2_id, a, b, u_pad, ct_pad):
+    n_chunks = in1_id.shape[0]
+    f_pad = u_pad.shape[1]
+    n_fb = f_pad // BLK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # in1_id (window), in2_id (group)
+        grid=(n_chunks, n_fb),  # fb innermost: out block t accumulates
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
+            pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i1[t], fb)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i2[t], fb)),
+        ],
+        out_specs=pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
+    )
+    return pl.pallas_call(
+        _edge_dot_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks * CHUNK,), jnp.float32),
+        interpret=_interpret(),
+    )(in1_id, in2_id, a, b, u_pad, ct_pad)
+
+
+# ----------------------------------------------------------------------
+# Padding helpers (XLA side)
+# ----------------------------------------------------------------------
+
+def _pad_2d(x, rows: int, cols: int):
+    if x.shape == (rows, cols):
+        return x
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+
+class _Static(NamedTuple):
+    op: str
+    num_src: int
+    num_dst: int
+    has_e: bool
+    u_feat: Tuple[int, ...]
+    e_feat: Tuple[int, ...]
+    meta: Tuple  # hub_format meta tuple
+
+
+def _float0_like(tree):
+    return jax.tree.map(
+        lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), tree
+    )
+
+
+# ----------------------------------------------------------------------
+# custom_vjp: dense hub block + ELL tail fused through one inverse-permute
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gspmm_hub_sum(static: _Static, hub, u, e):
+    return _hub_forward(static, hub, u, e)
+
+
+def _hub_forward(static, hub, u, e):
+    (n_cf, n_cb, n_win, n_groups, tail_meta_dst, tail_meta_src,
+     n_tail_rows, _cov) = static.meta
+    op = static.op
+    weighted = op == "mul"
+
+    ff = int(np.prod(static.u_feat)) if static.u_feat else 1
+    f_pad = _round_up(ff, BLK)
+    u2 = u.reshape(u.shape[0], ff)
+    u_pad = _pad_2d(u2, n_win * BLK, f_pad)
+
+    w = None
+    if weighted:
+        w = jnp.take(e.reshape(-1), hub["fe"], mode="clip")
+    dense = _chunk_call(weighted, hub["f_in"], hub["f_out"], hub["f_first"],
+                        hub["fa"], hub["fb"], w, u_pad, n_groups)
+    dense = dense[:, :ff].astype(u.dtype).reshape(
+        (n_groups * BLK,) + tuple(static.u_feat)
+    )
+
+    stacked = ell_stack(tail_meta_dst, hub["t_idx"], hub["t_eid"], op,
+                        "sum", u, e)
+    merged = jnp.concatenate([stacked, dense], axis=0)
+    return jnp.take(merged, hub["t_inv"], axis=0, mode="fill",
+                    fill_value=0.0)
+
+
+def _fwd(static, hub, u, e):
+    return _gspmm_hub_sum(static, hub, u, e), (hub, u, e)
+
+
+def _bwd(static, res, ct):
+    hub, u, e = res
+    (n_cf, n_cb, n_win, n_groups, tail_meta_dst, tail_meta_src,
+     n_tail_rows, _cov) = static.meta
+    op = static.op
+    weighted = op == "mul"
+
+    ff = int(np.prod(static.u_feat)) if static.u_feat else 1
+    f_pad = _round_up(ff, BLK)
+    ct2 = ct.reshape(ct.shape[0], ff)
+    # Compact hub cotangent rows (K-row gather — cheap), then pad.
+    ct_hubs = jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill",
+                       fill_value=0.0)
+    ct_pad = _pad_2d(ct_hubs, n_groups * BLK, f_pad)
+
+    # grad_u: transpose kernel on the window-major layout + tail reverse
+    # ELL. The dense output is already in natural node order (windows).
+    w_b = None
+    if weighted:
+        w_b = jnp.take(e.reshape(-1), hub["be"], mode="clip")
+    gu_dense = _chunk_call(weighted, hub["b_in"], hub["b_out"],
+                           hub["b_first"], hub["ba"], hub["bb"], w_b,
+                           ct_pad, n_win)
+    win_rows = jnp.repeat(hub["win_mask"], BLK,
+                          total_repeat_length=n_win * BLK)
+    gu_dense = jnp.where(win_rows[:, None], gu_dense,
+                         jnp.zeros_like(gu_dense))
+    gu_dense = gu_dense[: static.num_src, :ff].astype(u.dtype)
+
+    tail_src_ell = {"idx": hub["r_idx"], "eid": hub["r_eid"],
+                    "inv_perm": hub["r_inv"]}
+    if op == "copy_lhs":
+        gu_tail = ell_reduce(tail_meta_src, tail_src_ell, "copy_lhs", "sum",
+                             ct, None, static.num_src)
+    else:  # mul
+        gu_tail = ell_reduce(tail_meta_src, tail_src_ell, "mul", "sum",
+                             ct, e, static.num_src)
+    gu = (gu_tail.reshape(static.num_src, ff) + gu_dense).reshape(
+        (static.num_src,) + tuple(static.u_feat)
+    )
+
+    if static.has_e and op == "mul":
+        # grad_e = <u[src], ct[dst]> per edge: dense chunks via the MXU
+        # dot kernel, tail via compact (tail-only) gathers — never a
+        # full-E feature gather.
+        u_pad = _pad_2d(u.reshape(u.shape[0], ff), n_win * BLK, f_pad)
+        ge_dense = _edge_dot_call(hub["f_in"], hub["f_out"], hub["fa"],
+                                  hub["fb"], u_pad, ct_pad)
+        us = jnp.take(u.reshape(u.shape[0], ff), hub["tail_src"], axis=0,
+                      mode="fill", fill_value=0.0)
+        cs = jnp.take(ct2, hub["tail_dst"], axis=0, mode="fill",
+                      fill_value=0.0)
+        ge_tail = jnp.sum(us * cs, axis=1)
+        ge = (
+            jnp.take(ge_dense, hub["edge_to_fslot"], mode="fill",
+                     fill_value=0.0)
+            + jnp.take(ge_tail, hub["edge_to_tslot"], mode="fill",
+                       fill_value=0.0)
+        ).astype(e.dtype)
+        # e has a scalar per edge (all feature dims are 1 by dispatch).
+        ge = ge.reshape(e.shape)
+    else:
+        ge = jnp.zeros_like(e)
+
+    return (_float0_like(hub), gu, ge)
+
+
+_gspmm_hub_sum.defvjp(_fwd, _bwd)
+
+
+# ----------------------------------------------------------------------
+# Dispatch entry
+# ----------------------------------------------------------------------
+
+def gspmm_hub(g: Graph, op: str, reduce_op: str, u, e):
+    """Returns the result or None when not covered (dispatch falls back)."""
+    if g.hub_dst is None or g.hub_dst_meta is None:
+        return None
+    if reduce_op not in ("sum", "mean"):
+        return None
+    if op == "copy_lhs":
+        if u is None:
+            return None
+    elif op == "mul":
+        # Scalar weight per edge only (broadcasts over features).
+        if u is None or e is None:
+            return None
+        if int(np.prod(e.shape[1:])) != 1 or e.ndim - 1 > u.ndim - 1:
+            return None
+    else:
+        return None
+    for data in (u, e):
+        if data is not None and not jnp.issubdtype(data.dtype, jnp.floating):
+            return None
+
+    static = _Static(
+        op=op,
+        num_src=g.num_src_nodes(),
+        num_dst=g.num_dst_nodes(),
+        has_e=e is not None,
+        u_feat=tuple(u.shape[1:]),
+        e_feat=tuple(e.shape[1:]) if e is not None else (),
+        meta=g.hub_dst_meta,
+    )
+    e_in = e if e is not None else jnp.zeros((1, 1), u.dtype)
+    out = _gspmm_hub_sum(static, g.hub_dst, u, e_in)
+    if reduce_op == "mean":
+        deg = jnp.maximum(g.in_degrees().astype(out.dtype), 1.0)
+        out = out / deg.reshape((out.shape[0],) + (1,) * (out.ndim - 1))
+    return out
+
+
+def register():
+    from dgl1_tpu.ops import dispatch
+
+    dispatch.register_engine("hub", gspmm_hub, None)

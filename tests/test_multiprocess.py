@@ -68,6 +68,9 @@ def test_multiprocess_partitioned_matvec(tmp_path, nproc):
     env = dict(os.environ)
     # One CPU device per process (conftest's 8-device flag would leak in).
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # Workers must import the package even when it isn't pip-installed.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(nproc), port],
