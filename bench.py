@@ -51,16 +51,19 @@ def main():
     feat = jax.random.normal(jax.random.PRNGKey(0), (n, FEAT_DIM),
                              jnp.float32)
 
+    # g is a jit ARGUMENT, not a closure: closed-over device arrays are
+    # baked into the HLO as constants, which breaks the remote-compile
+    # path once the graph carries the dense hub count matrix (~256MB).
     @jax.jit
-    def run(x):
+    def run(g, x):
         def body(i, x):
             return dgl.ops.gspmm(g, "copy_lhs", "sum", x, None) * 0.1
 
         return jax.lax.fori_loop(0, iters, body, x)
 
-    _ = float(run(feat)[0, 0])  # compile + warmup
+    _ = float(run(g, feat)[0, 0])  # compile + warmup
     t0 = time.perf_counter()
-    _ = float(run(feat)[0, 0])
+    _ = float(run(g, feat)[0, 0])
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = num_edges / dt

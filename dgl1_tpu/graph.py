@@ -521,7 +521,8 @@ jax.tree_util.register_pytree_node(
 # ----------------------------------------------------------------------
 
 def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
-                   num_edges: int, num_padded: int, hub=None):
+                   num_edges: int, num_padded: int, hub=None,
+                   hub_dense_floor: Optional[int] = None):
     """Build padded COO + CSR + CSC host-side.
 
     Parity: ``src/array/array.cc`` COOToCSR/COOSort; implemented as numpy
@@ -608,7 +609,7 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         hub_dst_meta, hub_dst = hub_format.build_hub_format(
             csc_indptr, csc_src, csc_eid, csc_dst, num_src, num_dst,
             num_edges, num_padded, _build_ell,
-            min_group_edges=floor,
+            min_group_edges=floor, dense_floor=hub_dense_floor,
         )
     return dict(
         src=coo_src,
@@ -850,6 +851,7 @@ def graph(
     pad_edges_multiple: Optional[int] = None,
     device_arrays: bool = False,
     hub=None,
+    hub_dense_floor: Optional[int] = None,
 ) -> Graph:
     """Create a homogeneous graph from an edge list ``(src, dst)``.
 
@@ -877,7 +879,8 @@ def graph(
     elif pad_edges_multiple:
         num_padded = max(_round_up(num_edges, pad_edges_multiple), pad_edges_multiple)
     arrays = _build_formats(src, dst, num_nodes, num_nodes, num_edges,
-                            num_padded, hub=hub)
+                            num_padded, hub=hub,
+                            hub_dense_floor=hub_dense_floor)
     if device_arrays:
         metas = {k: arrays.pop(k)
                  for k in ("ell_dst_meta", "ell_src_meta", "hub_dst_meta")}

@@ -4,26 +4,28 @@ The TPU g-SpMM engines are gather-bound: every scatter-free formulation
 pays one gathered feature row per edge, and the measured gather unit rate
 (~90M rows/s on v5e, docs/PERF_NOTES.md) caps them far below the MXU.
 This module builds the preprocessing for the *hub-dense* engine
-(``ops/engine_hub.py``), which routes edges incident to high-in-degree
-destinations ("hubs" — the head of a power-law degree distribution)
-through MXU one-hot matmuls instead:
+(``ops/engine_hub.py``), a three-tier HYB split by destination in-degree:
 
-* Hub destinations are compacted into *groups* of ``BLK`` (128) output
-  rows; source nodes are viewed in natural-order *windows* of ``BLK``
-  rows.
-* Hub edges are sorted by (group, window) and cut into *chunks* of
-  ``CHUNK`` slots, each chunk entirely inside one (group, window) cell.
-  Per chunk the kernel computes ``S_hub^T @ (S_src @ U_window)`` — both
-  the per-edge "gather" and the per-destination reduce become 128-wide
-  matmuls on the MXU, no gather/scatter instruction anywhere.
-* The residual edges into non-hub rows (the sparse tail of the degree
-  distribution) stay on the degree-bucketed ELL path; its final
-  inverse-permutation gather is re-pointed so hub rows read from the
-  dense result — the merge costs nothing.
+* **Dense tier** — groups of 128 hub rows whose edge count exceeds
+  ``dense_floor`` (~num_src/2, the MAC crossover): stored as a dense
+  ``(num_src, 128·D)`` float count matrix ``C`` so the whole reduce is
+  one MXU matmul ``C^T @ U`` — per-edge cost *amortizes away* entirely
+  (a mega-hub with 2M in-edges costs the same as one with 300k).
+* **Chunked tier** — remaining hub groups: edges sorted by
+  (group, source-window) and cut into 1024-slot chunks; per chunk the
+  kernel computes ``S_hub^T @ (S_src @ U_window)`` — both the per-edge
+  "gather" and the reduce are 128-wide one-hot matmuls on the MXU.
+* **ELL tail** — everything else stays on the degree-bucketed ELL path;
+  the two dense results are appended before ELL's final
+  inverse-permute gather, so the three-way merge costs zero extra passes.
 
-This is the "clustered block-dense MXU SpMM" item of the round-1 kernel
-roadmap (docs/PERF_NOTES.md), specialised to the clustering that every
-power-law graph already has for free: the hub block-rows.
+The dense tier only covers unweighted ops (the count matrix is static);
+``u_mul_e`` with per-edge weights uses the *full* chunk layouts (built
+over all hub edges) where the weight folds into the source one-hot.
+
+Chunk geometry: 1-D int32 kernel operands get XLA's T(1024) tiled layout
+on TPU and Mosaic requires the block shape to match — hence CHUNK=1024
+(same constraint as graph.TILE_EDGES).
 
 Parity note: replaces the coverage of the reference's cuSPARSE/atomic
 CUDA SpMM (``src/array/cuda/spmm.cu``) for the head of the degree
@@ -32,29 +34,37 @@ distribution; DGL has no analogous format because GPUs have atomics.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
 ID_DTYPE = np.int32
 BLK = 128          # group rows / window rows (MXU tile edge)
-# Edge slots per chunk. Must be 1024: 1-D int32 kernel operands get XLA's
-# T(1024) tiled layout on TPU and Mosaic requires the block shape to match
-# (same constraint as graph.TILE_EDGES).
-CHUNK = 1024
-MAX_GROUPS = 32    # cap on dense hub rows: 32*128 = 4096 hubs
+CHUNK = 1024       # edge slots per chunk (XLA T(1024) 1-D layout)
+MAX_GROUPS = 32    # cap on hub rows: 32*128 = 4096 hubs
+MAX_DENSE_GROUPS = 8   # cap on dense count-matrix columns (memory)
 SENT = np.int32(1 << 30)  # out-of-bounds gather index -> fill value
 
 
-def _pad_runs(order: np.ndarray, run_ids: np.ndarray,
-              values: Tuple[np.ndarray, ...], chunk: int):
-    """Sort ``values`` by ``order``, split at ``run_ids`` boundaries and pad
-    every run to a multiple of ``chunk``.
+class HubMeta(NamedTuple):
+    """Static (hashable) descriptor of a hub layout — pytree aux data."""
+    n_full_f: int        # full-layout fwd chunks (all hub edges)
+    n_full_b: int        # full-layout bwd chunks
+    n_part_f: int        # chunked-tier-only fwd chunks
+    n_part_b: int        # chunked-tier-only bwd chunks
+    n_win: int           # source windows
+    n_groups: int        # total hub groups (dense + chunked)
+    n_dense: int         # leading groups on the dense count-matrix tier
+    tail_meta_dst: Tuple  # ELL bucket meta, reduce-by-dst (tail)
+    tail_meta_src: Tuple  # ELL bucket meta, reduce-by-src (tail reverse)
+    n_tail_rows: int     # nonzero rows in the tail ELL stack
+    covered: int         # hub edges (dense + chunked tiers)
 
-    run_ids: (E,) int64 combined sort key AFTER ordering (one value per
-    run). Returns (padded value arrays with -1/0 fill, run_first_chunk
-    metadata helpers): (slots, per-run chunk counts, run start ids).
-    """
+
+def _pad_runs(order: np.ndarray, run_ids: np.ndarray,
+              values: Tuple, chunk: int):
+    """Sort ``values`` by ``order``, split at ``run_ids`` boundaries and pad
+    every run to a multiple of ``chunk``."""
     e = order.shape[0]
     if e == 0:
         return [np.zeros((0,), ID_DTYPE) for _ in values], np.zeros(
@@ -92,19 +102,59 @@ def _chunk_descriptors(n_chunks_per_run: np.ndarray, run_starts: np.ndarray,
     chunk_out = np.repeat(run_out, n_chunks_per_run)
     chunk_in = np.repeat(run_in, n_chunks_per_run)
     first = np.zeros((len(chunk_out),), dtype=ID_DTYPE)
-    first[0] = 1
-    first[1:] = (chunk_out[1:] != chunk_out[:-1]).astype(ID_DTYPE)
+    if len(first):
+        first[0] = 1
+        first[1:] = (chunk_out[1:] != chunk_out[:-1]).astype(ID_DTYPE)
     return chunk_out, chunk_in, first
+
+
+def _chunk_layouts(h_src, h_slot, h_eid, n_win: int, group_offset: int):
+    """Build fwd (group-major) and bwd (window-major) chunk layouts for
+    one edge subset. Output group ids are shifted by ``group_offset`` so
+    the chunked tier writes a compact buffer of its own groups."""
+    group = h_slot // BLK - group_offset
+    window = h_src // BLK
+    a_local = (h_src % BLK).astype(ID_DTYPE)
+    b_local = (h_slot % BLK).astype(ID_DTYPE)
+
+    f_order = np.lexsort((window, group))
+    f_key = (group * n_win + window)[f_order]
+    (fa, fb, fe), f_nchunks, f_starts = _pad_runs(
+        f_order, f_key, ((a_local, -1), (b_local, -1), (h_eid, 0)), CHUNK
+    )
+    f_out, f_in, f_first = _chunk_descriptors(
+        f_nchunks, f_starts, group, window, f_order
+    )
+    fwd = {"a": fa, "b": fb, "eid": fe, "in_id": f_in, "out_id": f_out,
+           "first": f_first}
+
+    # Backward: selector roles swap — ``a`` picks rows of the compacted
+    # hub cotangent block (input), ``b`` scatters into the source window.
+    b_order = np.lexsort((group, window))
+    b_key = (window * (group.max(initial=0) + 1) + group)[b_order]
+    (ba, bb, be), b_nchunks, b_starts = _pad_runs(
+        b_order, b_key, ((b_local, -1), (a_local, -1), (h_eid, 0)), CHUNK
+    )
+    b_out, b_in, b_first = _chunk_descriptors(
+        b_nchunks, b_starts, window, group, b_order
+    )
+    bwd = {"a": ba, "b": bb, "eid": be, "in_id": b_in, "out_id": b_out,
+           "first": b_first}
+
+    win_mask = np.zeros((n_win,), dtype=bool)
+    win_mask[b_out] = True
+    return fwd, bwd, win_mask, fe, fa
 
 
 def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
                      csc_eid: np.ndarray, csc_dst: np.ndarray,
                      num_src: int, num_dst: int, num_edges: int,
                      num_padded: int, build_ell,
-                     min_group_edges: Optional[int] = None):
-    """Build the hub-dense layout. Returns (meta, arrays) or (None, None)
-    when no hub group clears the density bar (the engine then declines and
-    dispatch falls through to ELL).
+                     min_group_edges: Optional[int] = None,
+                     dense_floor: Optional[int] = None):
+    """Build the three-tier hub layout. Returns (HubMeta, arrays) or
+    (None, None) when no hub group clears the density bar (the engine
+    then declines and dispatch falls through to ELL).
 
     ``build_ell`` is ``graph._build_ell`` (injected to avoid a circular
     import); it is reused for the tail in both reduce directions.
@@ -112,14 +162,18 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     deg = np.diff(csc_indptr[: num_dst + 1]).astype(np.int64)
     n_win = -(-num_src // BLK)
     if min_group_edges is None:
-        # A chunk (2 matmuls, ~CHUNK*BLK*F MACs each) beats the gather rate
-        # down to ~25% occupancy; below n_win*CHUNK/4 edges a group is
-        # mostly padding. Absolute floor keeps tiny graphs off this path.
+        # A chunk (2 matmuls, ~CHUNK*BLK*F MACs each) beats the gather
+        # rate down to ~25% slot occupancy; below n_win*CHUNK/4 edges a
+        # group is mostly padding. Absolute floor keeps tiny graphs off.
         min_group_edges = max(4 * CHUNK, (n_win * CHUNK) // 4)
+    if dense_floor is None:
+        # MAC crossover chunked vs dense column: chunked pays ~2*BLK*F
+        # MACs per slot, dense pays num_src*BLK*F per group regardless.
+        dense_floor = max(num_src // 2, 4 * CHUNK)
 
     order_by_deg = np.argsort(-deg, kind="stable")
+    group_edge_counts = []
     n_groups = 0
-    edges_covered = 0
     while n_groups < MAX_GROUPS:
         rows = order_by_deg[n_groups * BLK: (n_groups + 1) * BLK]
         if rows.size == 0:
@@ -127,10 +181,14 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         group_edges = int(deg[rows].sum())
         if group_edges < min_group_edges:
             break
+        group_edge_counts.append(group_edges)
         n_groups += 1
-        edges_covered += group_edges
     if n_groups == 0:
         return None, None
+    n_dense = 0
+    while (n_dense < min(n_groups, MAX_DENSE_GROUPS)
+           and group_edge_counts[n_dense] >= dense_floor):
+        n_dense += 1
 
     k_slots = n_groups * BLK
     hub_rows = order_by_deg[:k_slots]
@@ -140,7 +198,7 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     slot_of_row[hub_rows] = np.arange(hub_rows.size, dtype=ID_DTYPE)
 
     # ------------------------------------------------------------------
-    # Split edges: hub set (dense path) vs tail (ELL path). csc arrays are
+    # Split edges: hub set (dense/chunked) vs tail (ELL). csc arrays are
     # dst-sorted with padding past num_edges.
     # ------------------------------------------------------------------
     dst_e = csc_dst[:num_edges]
@@ -152,39 +210,32 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     h_src = src_e[is_hub].astype(np.int64)
     h_slot = slot_e[is_hub].astype(np.int64)
     h_eid = eid_e[is_hub]
-    group = h_slot // BLK
-    window = h_src // BLK
-    a_local = (h_src % BLK).astype(ID_DTYPE)
-    b_local = (h_slot % BLK).astype(ID_DTYPE)
 
-    # Forward layout: group-major (output revisits accumulate in VMEM).
-    f_order = np.lexsort((window, group))
-    f_key = (group * n_win + window)[f_order]
-    (fa, fb, fe), f_nchunks, f_starts = _pad_runs(
-        f_order, f_key, ((a_local, -1), (b_local, -1), (h_eid, 0)), CHUNK
+    # Full layouts over all hub edges (weighted u_mul_e path + grad_e).
+    full_fwd, full_bwd, win_mask_full, full_fe, full_fa = _chunk_layouts(
+        h_src, h_slot, h_eid, n_win, group_offset=0
     )
-    f_out, f_in, f_first = _chunk_descriptors(
-        f_nchunks, f_starts, group, window, f_order
+    # Chunked-tier-only layouts (unweighted path: dense groups go via C).
+    in_part = h_slot >= n_dense * BLK
+    part_fwd, part_bwd, win_mask_part, _, _ = _chunk_layouts(
+        h_src[in_part], h_slot[in_part], h_eid[in_part], n_win,
+        group_offset=n_dense,
     )
 
-    # Backward layout: window-major (outputs are source windows). Selector
-    # roles swap: ``ba`` picks rows of the compacted hub cotangent block
-    # (input side), ``bb`` scatters into the source window (output side).
-    b_order = np.lexsort((group, window))
-    b_key = (window * (group.max(initial=0) + 1) + group)[b_order]
-    (ba, bb, be), b_nchunks, b_starts = _pad_runs(
-        b_order, b_key, ((b_local, -1), (a_local, -1), (h_eid, 0)), CHUNK
-    )
-    b_out, b_in, b_first = _chunk_descriptors(
-        b_nchunks, b_starts, window, group, b_order
-    )
-    win_mask = np.zeros((n_win,), dtype=bool)
-    win_mask[b_out[: len(b_out)]] = True
+    # Dense tier count matrix: C[s, k] = multiplicity of edge s -> hub_k.
+    kd = n_dense * BLK
+    if kd:
+        in_dense = ~in_part
+        flat = h_src[in_dense] * kd + h_slot[in_dense]
+        dense_c = np.bincount(flat, minlength=num_src * kd).astype(
+            np.float32).reshape(num_src, kd)
+    else:
+        dense_c = np.zeros((num_src, 0), dtype=np.float32)
 
-    # Edge-id -> forward dense slot (for grad_e extraction).
+    # Edge-id -> full-layout fwd slot (for grad_e extraction).
     edge_to_fslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
-    real = fa >= 0
-    edge_to_fslot[fe[real]] = np.flatnonzero(real).astype(ID_DTYPE)
+    real = full_fa >= 0
+    edge_to_fslot[full_fe[real]] = np.flatnonzero(real).astype(ID_DTYPE)
 
     # ------------------------------------------------------------------
     # Tail: rebuild CSC/CSR restricted to non-hub-destination edges, then
@@ -213,9 +264,9 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     )
 
     # Merge permutation: non-hub rows read the tail ELL stack; hub rows
-    # read the dense result appended right after it; empty rows read OOB
-    # (fill 0). The default tail inv_perm sends zero-degree rows to
-    # len(nz), which is in-bounds once the dense block is concatenated —
+    # read the dense/chunked result appended right after it; empty rows
+    # read OOB (fill 0). The default tail inv_perm sends zero-degree rows
+    # to len(nz), which is in-bounds once the hub block is concatenated —
     # remap those to the OOB sentinel first.
     n_tail_rows = int(sum(n for _, n in tail_meta_dst))
     t_inv = tail_dst_ell["inv_perm"].astype(np.int64)
@@ -233,23 +284,28 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     edge_to_tslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
     edge_to_tslot[t_eid] = np.arange(n_tail, dtype=ID_DTYPE)
 
-    meta = (
-        int(len(f_out)),          # n_chunks_fwd
-        int(len(b_out)),          # n_chunks_bwd
-        int(n_win),
-        int(n_groups),
-        tuple(tail_meta_dst),
-        tuple(tail_meta_src),
-        int(n_tail_rows),
-        int(edges_covered),
+    meta = HubMeta(
+        n_full_f=len(full_fwd["in_id"]),
+        n_full_b=len(full_bwd["in_id"]),
+        n_part_f=len(part_fwd["in_id"]),
+        n_part_b=len(part_bwd["in_id"]),
+        n_win=int(n_win),
+        n_groups=int(n_groups),
+        n_dense=int(n_dense),
+        tail_meta_dst=tuple(tail_meta_dst),
+        tail_meta_src=tuple(tail_meta_src),
+        n_tail_rows=n_tail_rows,
+        covered=int(is_hub.sum()),
     )
     arrays = {
-        "fa": fa, "fb": fb, "fe": fe,
-        "f_in": f_in, "f_out": f_out, "f_first": f_first,
-        "ba": ba, "bb": bb, "be": be,
-        "b_in": b_in, "b_out": b_out, "b_first": b_first,
+        "full_fwd": full_fwd,
+        "full_bwd": full_bwd,
+        "part_fwd": part_fwd,
+        "part_bwd": part_bwd,
+        "dense_c": dense_c,
         "hub_ids": hub_ids,
-        "win_mask": win_mask,
+        "win_mask_full": win_mask_full,
+        "win_mask_part": win_mask_part,
         "t_idx": tail_dst_ell["idx"], "t_eid": tail_dst_ell["eid"],
         "t_inv": t_inv,
         "r_idx": tail_src_ell["idx"], "r_eid": tail_src_ell["eid"],

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dgl1_tpu.graph import Graph
-from dgl1_tpu.hub_format import BLK, CHUNK, SENT
+from dgl1_tpu.hub_format import BLK, CHUNK, SENT, HubMeta
 from dgl1_tpu.ops.engine_ell import ell_reduce, ell_stack
 
 __all__ = ["gspmm_hub"]
@@ -201,7 +201,7 @@ class _Static(NamedTuple):
     has_e: bool
     u_feat: Tuple[int, ...]
     e_feat: Tuple[int, ...]
-    meta: Tuple  # hub_format meta tuple
+    meta: HubMeta
 
 
 def _float0_like(tree):
@@ -220,28 +220,51 @@ def _gspmm_hub_sum(static: _Static, hub, u, e):
 
 
 def _hub_forward(static, hub, u, e):
-    (n_cf, n_cb, n_win, n_groups, tail_meta_dst, tail_meta_src,
-     n_tail_rows, _cov) = static.meta
+    m: HubMeta = static.meta
     op = static.op
     weighted = op == "mul"
 
     ff = int(np.prod(static.u_feat)) if static.u_feat else 1
     f_pad = _round_up(ff, BLK)
     u2 = u.reshape(u.shape[0], ff)
-    u_pad = _pad_2d(u2, n_win * BLK, f_pad)
 
-    w = None
     if weighted:
-        w = jnp.take(e.reshape(-1), hub["fe"], mode="clip")
-    dense = _chunk_call(weighted, hub["f_in"], hub["f_out"], hub["f_first"],
-                        hub["fa"], hub["fb"], w, u_pad, n_groups)
-    dense = dense[:, :ff].astype(u.dtype).reshape(
-        (n_groups * BLK,) + tuple(static.u_feat)
+        # Per-edge weights can't live in the static count matrix: all hub
+        # edges go through the full chunk layouts, weight folded into the
+        # source one-hot.
+        u_pad = _pad_2d(u2, m.n_win * BLK, f_pad)
+        lay = hub["full_fwd"]
+        w = jnp.take(e.reshape(-1), lay["eid"], mode="clip").astype(
+            jnp.float32)
+        hub_block = _chunk_call(True, lay["in_id"], lay["out_id"],
+                                lay["first"], lay["a"], lay["b"], w, u_pad,
+                                m.n_groups)
+    else:
+        parts = []
+        if m.n_dense:
+            # Dense tier: the whole reduce is one MXU matmul against the
+            # static count matrix — per-edge cost amortizes away.
+            parts.append(jax.lax.dot_general(
+                hub["dense_c"], u2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        if m.n_groups > m.n_dense:
+            u_pad = _pad_2d(u2, m.n_win * BLK, f_pad)
+            lay = hub["part_fwd"]
+            out = _chunk_call(False, lay["in_id"], lay["out_id"],
+                              lay["first"], lay["a"], lay["b"], None, u_pad,
+                              m.n_groups - m.n_dense)
+            parts.append(out[:, :ff])
+        hub_block = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+            else parts[0]
+    hub_block = hub_block[:, :ff].astype(u.dtype).reshape(
+        (m.n_groups * BLK,) + tuple(static.u_feat)
     )
 
-    stacked = ell_stack(tail_meta_dst, hub["t_idx"], hub["t_eid"], op,
+    stacked = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"], op,
                         "sum", u, e)
-    merged = jnp.concatenate([stacked, dense], axis=0)
+    merged = jnp.concatenate([stacked, hub_block], axis=0)
     return jnp.take(merged, hub["t_inv"], axis=0, mode="fill",
                     fill_value=0.0)
 
@@ -252,8 +275,7 @@ def _fwd(static, hub, u, e):
 
 def _bwd(static, res, ct):
     hub, u, e = res
-    (n_cf, n_cb, n_win, n_groups, tail_meta_dst, tail_meta_src,
-     n_tail_rows, _cov) = static.meta
+    m: HubMeta = static.meta
     op = static.op
     weighted = op == "mul"
 
@@ -263,48 +285,67 @@ def _bwd(static, res, ct):
     # Compact hub cotangent rows (K-row gather — cheap), then pad.
     ct_hubs = jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill",
                        fill_value=0.0)
-    ct_pad = _pad_2d(ct_hubs, n_groups * BLK, f_pad)
+    ct_pad = _pad_2d(ct_hubs, m.n_groups * BLK, f_pad)
 
-    # grad_u: transpose kernel on the window-major layout + tail reverse
-    # ELL. The dense output is already in natural node order (windows).
-    w_b = None
+    # grad_u: dense-tier matmul + transpose chunk kernel (window-major
+    # layout) + tail reverse ELL. Chunk output is in natural node order.
+    gu_hub = jnp.zeros((static.num_src, ff), jnp.float32)
     if weighted:
-        w_b = jnp.take(e.reshape(-1), hub["be"], mode="clip")
-    gu_dense = _chunk_call(weighted, hub["b_in"], hub["b_out"],
-                           hub["b_first"], hub["ba"], hub["bb"], w_b,
-                           ct_pad, n_win)
-    win_rows = jnp.repeat(hub["win_mask"], BLK,
-                          total_repeat_length=n_win * BLK)
-    gu_dense = jnp.where(win_rows[:, None], gu_dense,
-                         jnp.zeros_like(gu_dense))
-    gu_dense = gu_dense[: static.num_src, :ff].astype(u.dtype)
+        lay = hub["full_bwd"]
+        w_b = jnp.take(e.reshape(-1), lay["eid"], mode="clip").astype(
+            jnp.float32)
+        out = _chunk_call(True, lay["in_id"], lay["out_id"], lay["first"],
+                          lay["a"], lay["b"], w_b, ct_pad, m.n_win)
+        win_rows = jnp.repeat(hub["win_mask_full"], BLK,
+                              total_repeat_length=m.n_win * BLK)
+        out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
+        gu_hub = out[: static.num_src, :ff]
+    else:
+        if m.n_dense:
+            gu_hub = gu_hub + jax.lax.dot_general(
+                hub["dense_c"], ct_hubs[: m.n_dense * BLK],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if m.n_groups > m.n_dense:
+            lay = hub["part_bwd"]
+            ct_part = ct_pad[m.n_dense * BLK:]
+            out = _chunk_call(False, lay["in_id"], lay["out_id"],
+                              lay["first"], lay["a"], lay["b"], None,
+                              ct_part, m.n_win)
+            win_rows = jnp.repeat(hub["win_mask_part"], BLK,
+                                  total_repeat_length=m.n_win * BLK)
+            out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
+            gu_hub = gu_hub + out[: static.num_src, :ff]
+    gu_hub = gu_hub.astype(u.dtype)
 
     tail_src_ell = {"idx": hub["r_idx"], "eid": hub["r_eid"],
                     "inv_perm": hub["r_inv"]}
     if op == "copy_lhs":
-        gu_tail = ell_reduce(tail_meta_src, tail_src_ell, "copy_lhs", "sum",
-                             ct, None, static.num_src)
+        gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, "copy_lhs",
+                             "sum", ct, None, static.num_src)
     else:  # mul
-        gu_tail = ell_reduce(tail_meta_src, tail_src_ell, "mul", "sum",
+        gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, "mul", "sum",
                              ct, e, static.num_src)
-    gu = (gu_tail.reshape(static.num_src, ff) + gu_dense).reshape(
+    gu = (gu_tail.reshape(static.num_src, ff) + gu_hub).reshape(
         (static.num_src,) + tuple(static.u_feat)
     )
 
     if static.has_e and op == "mul":
-        # grad_e = <u[src], ct[dst]> per edge: dense chunks via the MXU
-        # dot kernel, tail via compact (tail-only) gathers — never a
-        # full-E feature gather.
-        u_pad = _pad_2d(u.reshape(u.shape[0], ff), n_win * BLK, f_pad)
-        ge_dense = _edge_dot_call(hub["f_in"], hub["f_out"], hub["fa"],
-                                  hub["fb"], u_pad, ct_pad)
+        # grad_e = <u[src], ct[dst]> per edge: hub chunks via the MXU dot
+        # kernel (full layout), tail via compact (tail-only) gathers —
+        # never a full-E feature gather.
+        lay = hub["full_fwd"]
+        u_pad = _pad_2d(u.reshape(u.shape[0], ff), m.n_win * BLK, f_pad)
+        ge_hub = _edge_dot_call(lay["in_id"], lay["out_id"], lay["a"],
+                                lay["b"], u_pad, ct_pad)
         us = jnp.take(u.reshape(u.shape[0], ff), hub["tail_src"], axis=0,
                       mode="fill", fill_value=0.0)
         cs = jnp.take(ct2, hub["tail_dst"], axis=0, mode="fill",
                       fill_value=0.0)
         ge_tail = jnp.sum(us * cs, axis=1)
         ge = (
-            jnp.take(ge_dense, hub["edge_to_fslot"], mode="fill",
+            jnp.take(ge_hub, hub["edge_to_fslot"], mode="fill",
                      fill_value=0.0)
             + jnp.take(ge_tail, hub["edge_to_tslot"], mode="fill",
                        fill_value=0.0)

@@ -4,6 +4,11 @@ Same dual-path contract as test_ell.py / test_pallas.py (the reference's
 ``tests/compute/test_kernel.py`` pattern): every covered (op, reduce)
 pair must match the jnp gather/segment oracle on values AND grads, on
 skewed (power-law-ish) graphs where the hub path actually engages.
+
+The engine has three tiers (dense count-matrix / chunked one-hot / ELL
+tail); tests run in three configurations that pin each tier combination:
+``chunked`` (dense disabled), ``dense`` (everything dense), ``mixed``
+(dense group + chunked group + tail).
 """
 
 import jax
@@ -12,22 +17,34 @@ import numpy as np
 import pytest
 
 import dgl1_tpu as dgl
-from dgl1_tpu.hub_format import BLK, CHUNK, SENT, build_hub_format
+from dgl1_tpu.hub_format import BLK, CHUNK, SENT
 from dgl1_tpu.ops.engine_hub import gspmm_hub
 from dgl1_tpu.ops.engine_xla import gspmm_xla
 
 N, E = 300, 3000
 
+CONFIGS = {
+    # min_group_edges, dense_floor
+    "chunked": (300, 1 << 40),
+    "dense": (300, 1),
+    "mixed": (300, 1000),
+}
 
-def make_skewed(n=N, e=E, pad=0, seed=0):
-    """Zipf-ish destinations so real hubs exist. The per-group edge floor
-    is set so the first hub group(s) qualify but the tail stays on ELL —
-    both paths and their merge are exercised."""
+
+def make_skewed(config="chunked", n=N, e=E, pad=0, seed=0):
+    """Half Zipf + half uniform destinations: a dense hub head (group 0
+    ~2/3 of edges), a mid group (~600 edges) and a real spread-out tail —
+    so each config pins a distinct tier combination."""
     rng = np.random.default_rng(seed)
     src = rng.integers(0, n, size=e)
-    ranks = rng.zipf(1.7, size=e) % n
-    dst = ranks.astype(np.int64)
-    return dgl.graph((src, dst), num_nodes=n, hub=e // 8,
+    dst = np.concatenate([
+        rng.zipf(1.7, size=e // 2) % n,
+        rng.integers(0, n, size=e - e // 2),
+    ]).astype(np.int64)
+    rng.shuffle(dst)
+    floor, dense_floor = CONFIGS[config]
+    return dgl.graph((src, dst), num_nodes=n, hub=floor,
+                     hub_dense_floor=dense_floor,
                      pad_edges_to=e + pad if pad else None)
 
 
@@ -39,55 +56,59 @@ def data(seed=1, f=10, shift=2.0, e_rows=E, e_feat=(1,)):
     return u, e
 
 
+def test_hub_tier_configs_are_distinct():
+    mc = make_skewed("chunked").hub_dst_meta
+    md = make_skewed("dense").hub_dst_meta
+    mm = make_skewed("mixed").hub_dst_meta
+    assert mc.n_dense == 0 and mc.n_groups >= 1
+    assert md.n_dense == md.n_groups >= 1
+    assert mm.n_dense >= 1 and mm.n_groups > mm.n_dense
+    assert mm.covered < E  # mixed config keeps a real ELL tail
+
+
 def test_hub_structure_sane():
     g = make_skewed()
     assert g.hub_dst is not None
-    meta = g.hub_dst_meta
-    n_cf, n_cb, n_win, n_groups, _, _, n_tail_rows, covered = meta
-    assert n_groups >= 1
-    assert n_win == -(-N // BLK)
+    m = g.hub_dst_meta
+    assert m.n_win == -(-N // BLK)
     # Every real fwd slot's eid maps back to itself.
-    fa, fe = np.asarray(g.hub_dst["fa"]), np.asarray(g.hub_dst["fe"])
+    fa = np.asarray(g.hub_dst["full_fwd"]["a"])
+    fe = np.asarray(g.hub_dst["full_fwd"]["eid"])
     real = fa >= 0
-    assert covered == int(real.sum()) == E - int(
+    assert m.covered == int(real.sum()) == E - int(
         (np.asarray(g.hub_dst["edge_to_tslot"]) != SENT).sum()
     )
     e2f = np.asarray(g.hub_dst["edge_to_fslot"])
     assert (e2f[fe[real]] == np.flatnonzero(real)).all()
-    # Chunk descriptor lengths consistent.
-    assert len(fa) == n_cf * CHUNK
-    assert len(np.asarray(g.hub_dst["ba"])) == n_cb * CHUNK
+    assert len(fa) == m.n_full_f * CHUNK
 
 
-def _edges_from_chunks(hub, meta, n_chunks_key, in_key, out_key, a_key,
-                       b_key, a_is_src):
-    """Reconstruct (src, dst_slot) pairs from a chunk layout."""
-    per_in = np.repeat(np.asarray(hub[in_key]), CHUNK)
-    per_out = np.repeat(np.asarray(hub[out_key]), CHUNK)
-    a = np.asarray(hub[a_key])
-    b = np.asarray(hub[b_key])
+def _edges_from_chunks(lay, a_is_src, group_offset=0):
+    """Reconstruct (src, dst_slot) keys from a chunk layout."""
+    per_in = np.repeat(np.asarray(lay["in_id"]), CHUNK).astype(np.int64)
+    per_out = np.repeat(np.asarray(lay["out_id"]), CHUNK).astype(np.int64)
+    a = np.asarray(lay["a"]).astype(np.int64)
+    b = np.asarray(lay["b"]).astype(np.int64)
     real = a >= 0
     if a_is_src:
         src = per_in[real] * BLK + a[real]
-        slot = per_out[real] * BLK + b[real]
+        slot = (per_out[real] + group_offset) * BLK + b[real]
     else:
         slot = per_in[real] * BLK + a[real]
-        src = per_out[real] * BLK + b[real]
-    return np.sort(src.astype(np.int64) * (1 << 32) + slot)
+        src = (per_out[real] + 0) * BLK + b[real]
+    return np.sort(src * (1 << 32) + slot)
 
 
 def test_hub_chunk_layouts_encode_same_edges():
-    """fwd (group-major) and bwd (window-major) chunk layouts must encode
-    exactly the hub edge multiset."""
-    g = make_skewed()
-    hub, meta = g.hub_dst, g.hub_dst_meta
-    fwd = _edges_from_chunks(hub, meta, 0, "f_in", "f_out", "fa", "fb",
-                             a_is_src=True)
-    bwd = _edges_from_chunks(hub, meta, 1, "b_in", "b_out", "ba", "bb",
-                             a_is_src=False)
-    assert len(fwd) == meta[7]  # edges covered
+    """full fwd/bwd layouts encode the hub edge multiset; part layouts +
+    dense count matrix together cover it too."""
+    g = make_skewed("mixed")
+    hub, m = g.hub_dst, g.hub_dst_meta
+    fwd = _edges_from_chunks(hub["full_fwd"], a_is_src=True)
+    bwd = _edges_from_chunks(hub["full_bwd"], a_is_src=False)
+    assert len(fwd) == m.covered
     np.testing.assert_array_equal(fwd, bwd)
-    # And it matches the ground-truth hub edge set from the COO arrays.
+    # Ground truth from the COO arrays.
     src = np.asarray(g.src)[: g.num_edges()]
     dst = np.asarray(g.dst)[: g.num_edges()]
     hub_ids = np.asarray(hub["hub_ids"])
@@ -97,12 +118,22 @@ def test_hub_chunk_layouts_encode_same_edges():
          for s, d in zip(src, dst) if int(d) in slot_of], dtype=np.int64
     ))
     np.testing.assert_array_equal(fwd, truth)
+    # Dense C + part layout partition the hub set.
+    part = _edges_from_chunks(hub["part_fwd"], a_is_src=True,
+                              group_offset=m.n_dense)
+    c = np.asarray(hub["dense_c"])
+    dense_keys = []
+    for (s, k), cnt in np.ndenumerate(c):
+        dense_keys += [s * (1 << 32) + k] * int(cnt)
+    both = np.sort(np.concatenate([part, np.array(dense_keys, np.int64)]))
+    np.testing.assert_array_equal(both, truth)
 
 
+@pytest.mark.parametrize("config", list(CONFIGS))
 @pytest.mark.parametrize("op", ["copy_lhs", "mul"])
 @pytest.mark.parametrize("red", ["sum", "mean"])
-def test_hub_forward_matches_xla(op, red):
-    g = make_skewed()
+def test_hub_forward_matches_xla(config, op, red):
+    g = make_skewed(config)
     u, e = data()
     ee = e if op == "mul" else None
     a = gspmm_hub(g, op, red, u, ee)
@@ -111,11 +142,12 @@ def test_hub_forward_matches_xla(op, red):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("config", list(CONFIGS))
 @pytest.mark.parametrize("op", ["copy_lhs", "mul"])
-def test_hub_grad_matches_xla(op):
-    g = make_skewed()
-    # Zero-mean data: hub rows sum ~1000 edges, and a mean offset makes the
-    # f32 accumulation-order difference between the chunked-matmul and the
+def test_hub_grad_matches_xla(config, op):
+    g = make_skewed(config)
+    # Zero-mean data: hub rows sum ~1000 edges, and a mean offset makes
+    # the f32 accumulation-order difference between the MXU path and the
     # segment oracle visible through the sin() loss. The vjp itself is
     # exact (fixed-cotangent comparison agrees to 2e-6).
     u, e = data(2, shift=0.0)
@@ -134,7 +166,7 @@ def test_hub_grad_matches_xla(op):
 
 
 def test_hub_padded_edges():
-    g = make_skewed(pad=53)
+    g = make_skewed("mixed", pad=53)
     u, e = data(3, e_rows=E + 53)
     a = gspmm_hub(g, "mul", "sum", u, e)
     b = gspmm_xla(g, "mul", "sum", u, e)
@@ -147,12 +179,16 @@ def test_hub_padded_edges():
 
 def test_hub_multihead_feats():
     """u with extra feature dims (H, D) and scalar edge weight (E, 1, 1)."""
-    g = make_skewed()
+    g = make_skewed("mixed")
     rng = np.random.default_rng(4)
     u = jnp.asarray(rng.normal(size=(N, 3, 5)).astype(np.float32))
     e = jnp.asarray(rng.normal(size=(E, 1, 1)).astype(np.float32))
     a = gspmm_hub(g, "mul", "sum", u, e)
     b = gspmm_xla(g, "mul", "sum", u, e)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    # copy_lhs with multi-dim feats exercises dense+part tiers too.
+    a = gspmm_hub(g, "copy_lhs", "sum", u, None)
+    b = gspmm_xla(g, "copy_lhs", "sum", u, None)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
@@ -174,8 +210,8 @@ def test_hub_all_edges_dense():
     rng = np.random.default_rng(5)
     src = rng.integers(0, n, size=e)
     dst = np.zeros((e,), dtype=np.int64)
-    g = dgl.graph((src, dst), num_nodes=n, hub=True)
-    assert g.hub_dst is not None
+    g = dgl.graph((src, dst), num_nodes=n, hub=True, hub_dense_floor=1)
+    assert g.hub_dst is not None and g.hub_dst_meta.n_dense >= 1
     u = jnp.asarray(rng.normal(size=(n, 7)).astype(np.float32))
     a = gspmm_hub(g, "copy_lhs", "sum", u, None)
     b = gspmm_xla(g, "copy_lhs", "sum", u, None)
@@ -189,7 +225,7 @@ def test_hub_all_edges_dense():
 
 def test_hub_zero_degree_rows():
     """Rows with no in-edges must come back exactly zero."""
-    g = make_skewed()
+    g = make_skewed("mixed")
     u, _ = data(6)
     out = np.asarray(gspmm_hub(g, "copy_lhs", "sum", u, None))
     deg = np.asarray(g.in_degrees())
@@ -211,7 +247,7 @@ def test_hub_auto_dispatch_uses_hub_on_forced_graph():
 
 
 def test_hub_bf16():
-    g = make_skewed()
+    g = make_skewed("mixed")
     u, e = data(8)
     u16, e16 = u.astype(jnp.bfloat16), e.astype(jnp.bfloat16)
     a = gspmm_hub(g, "mul", "sum", u16, e16)
