@@ -761,7 +761,8 @@ _ELL_LADDER = _make_ell_ladder()
 
 
 def _build_ell(indptr: np.ndarray, nbr_sorted: np.ndarray,
-               eid_sorted: np.ndarray, num_target: int, num_edges: int):
+               eid_sorted: np.ndarray, num_target: int, num_edges: int,
+               min_slots: Optional[int] = None):
     """Degree-bucketed ELL layout for scatter-free segment reduction.
 
     Rows (reduce targets) are grouped by padded degree k (ladder above);
@@ -787,7 +788,8 @@ def _build_ell(indptr: np.ndarray, nbr_sorted: np.ndarray,
     # Coalesce small buckets upward: each gather/reduce op costs ~0.2ms
     # on TPU regardless of size, so buckets below a slot floor pay more in
     # launch overhead than their padding would cost at the next rung.
-    MIN_SLOTS = min(1 << 16, max(num_edges // 4, 1))
+    MIN_SLOTS = min(1 << 16, max(num_edges // 4, 1)) \
+        if min_slots is None else min_slots
     counts = np.bincount(kidx[deg > 0], minlength=len(ladder))
     for r in range(len(ladder) - 1):
         if counts[r] and counts[r] * ladder[r] < MIN_SLOTS:

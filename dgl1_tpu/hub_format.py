@@ -40,6 +40,7 @@ import numpy as np
 
 ID_DTYPE = np.int32
 BLK = 128          # group rows / window rows (MXU tile edge)
+DENSE_RB = 1024    # source-row block of the dense-tier reduce kernel
 CHUNK = 1024       # edge slots per chunk (XLA T(1024) 1-D layout)
 MAX_GROUPS = 32    # cap on hub rows: 32*128 = 4096 hubs
 MAX_DENSE_GROUPS = 8   # cap on dense count-matrix columns (memory)
@@ -223,14 +224,19 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     )
 
     # Dense tier count matrix: C[s, k] = multiplicity of edge s -> hub_k.
+    # Rows padded to DENSE_RB so the Pallas reduce kernel streams whole
+    # blocks (padding rows are zero and contribute nothing).
     kd = n_dense * BLK
+    n_src_pad = -(-max(num_src, 1) // DENSE_RB) * DENSE_RB
     if kd:
         in_dense = ~in_part
         flat = h_src[in_dense] * kd + h_slot[in_dense]
-        dense_c = np.bincount(flat, minlength=num_src * kd).astype(
-            np.float32).reshape(num_src, kd)
+        dense_c = np.zeros((n_src_pad, kd), dtype=np.float32)
+        dense_c[:num_src] = np.bincount(
+            flat, minlength=num_src * kd
+        ).astype(np.float32).reshape(num_src, kd)
     else:
-        dense_c = np.zeros((num_src, 0), dtype=np.float32)
+        dense_c = np.zeros((n_src_pad, 0), dtype=np.float32)
 
     # Edge-id -> full-layout fwd slot (for grad_e extraction).
     edge_to_fslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
@@ -246,12 +252,16 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     t_eid = eid_e[~is_hub]
     n_tail = int(t_dst.shape[0])
 
+    # Coarser bucket coalescing for the (small) tail: each extra bucket
+    # costs a fixed ~0.2ms per gather op on TPU, which dominates the
+    # padding cost at tail sizes.
+    tail_min_slots = min(1 << 14, max(n_tail // 2, 1))
     t_counts = np.bincount(t_dst, minlength=num_dst) if n_tail else \
         np.zeros((num_dst,), np.int64)
     t_indptr = np.zeros((num_dst + 1,), dtype=np.int64)
     np.cumsum(t_counts, out=t_indptr[1:])
     tail_meta_dst, tail_dst_ell = build_ell(
-        t_indptr, t_src, t_eid, num_dst, n_tail
+        t_indptr, t_src, t_eid, num_dst, n_tail, min_slots=tail_min_slots
     )
 
     r_order = np.argsort(t_src, kind="stable")
@@ -260,7 +270,8 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     r_indptr = np.zeros((num_src + 1,), dtype=np.int64)
     np.cumsum(r_counts, out=r_indptr[1:])
     tail_meta_src, tail_src_ell = build_ell(
-        r_indptr, t_dst[r_order], t_eid[r_order], num_src, n_tail
+        r_indptr, t_dst[r_order], t_eid[r_order], num_src, n_tail,
+        min_slots=tail_min_slots,
     )
 
     # Merge permutation: non-hub rows read the tail ELL stack; hub rows
