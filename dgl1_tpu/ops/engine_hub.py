@@ -4,25 +4,27 @@ Every other scatter-free engine pays one gathered feature row per edge,
 capped by the TPU gather unit (~90M rows/s measured on v5e —
 docs/PERF_NOTES.md). This engine removes the gather from the hot path
 for edges whose destination is a *hub* (head of the in-degree
-distribution, compacted into dense groups by ``hub_format.py``):
+distribution, compacted into dense groups by ``hub_format.py``), with
+three tiers:
 
-* forward, per 256-edge chunk: ``out_group += S_hub^T @ (S_src @ U_win)``
-  — the per-edge "gather" is a one-hot matmul against a contiguous
-  128-row source window and the per-destination reduce is the transposed
-  one-hot matmul, both on the MXU (measured ~1.5G one-hot rows/s vs 90M
-  gathered rows/s);
-* backward-u is the same kernel on the window-major chunk layout
-  (outputs are source windows, inputs are the compacted hub cotangent
-  rows) — the SpMM duality of ``backend/pytorch/sparse.py :: GSpMM``
-  holds inside one format;
-* backward-e (u_mul_e) is a third chunk kernel computing per-edge
-  ``<u[src], ct[dst]>`` dots from the same two one-hot matmuls;
-* tail edges (non-hub destinations) run on the ELL engine's bucket
-  stack, and the dense block is appended before ELL's final
-  inverse-permute gather — the hub/tail merge costs zero extra passes.
+* **dense** — mega-hub groups as a static count matrix ``C``; the whole
+  reduce is one sequential-accumulation Pallas matmul pass ``C^T @ U``
+  (backward ``C @ ct``) — per-edge cost amortizes away entirely;
+* **chunked** — per 1024-edge chunk ``out_group += S_hub^T @ W ∘ (S_src
+  @ U_win)``: the per-edge "gather" is a one-hot matmul against a
+  contiguous 128-row source window and the reduce is the transposed
+  one-hot matmul, both on the MXU. Per-edge weights — scalar or
+  per-head (``u_mul_e`` with ``e: (E, H, 1)``, the GAT pattern) — ride a
+  tiny static replication matmul ``w_exp = W_chunk^T @ R`` instead of a
+  gather; ``copy_e``-style sums (edge softmax denominator) are the same
+  kernel without the source matmul;
+* **ELL tail** for the rest; the dense results are appended before the
+  tail's inverse-permute gather, so the three-way merge is free.
 
-Edge weights (``u_mul_e`` with a scalar per edge — GCN edge_weight,
-normalized adjacency) fold into the source-side one-hot for free.
+Backward-u reuses the chunk kernel on a window-major layout (the SpMM
+duality of ``backend/pytorch/sparse.py :: GSpMM`` holds inside one
+format); backward-e is a chunked kernel producing per-(edge, head) dots
+in a transposed (H, slots) layout so the lane dimension stays 1024-wide.
 
 Parity: covers ``src/array/cuda/spmm.cu`` / cuSPARSE for power-law
 graphs; the reference needs atomics for exactly the rows this engine
@@ -47,70 +49,88 @@ from dgl1_tpu.ops.engine_ell import ell_reduce, ell_stack
 
 __all__ = ["gspmm_hub"]
 
+H_SUB = 8  # sublane padding of the per-head weight rows (f32 tile)
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _round_up(x: int, m: int) -> int:
+def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
 # ----------------------------------------------------------------------
-# Chunk kernels
+# Chunk kernels. Modes: "plain" = copy_u, "mul" = u_mul_e, "rhs" = copy_e.
 # ----------------------------------------------------------------------
 
-def _chunk_kernel(weighted: bool, in_id_ref, out_id_ref, first_ref,
+def _chunk_kernel(mode: str, in_id_ref, out_id_ref, first_ref,
                   a_ref, b_ref, *rest):
-    """out[out_id] += S_b^T @ (diag(w) S_a @ IN[in_id]) for one chunk."""
-    if weighted:
-        w_ref, in_ref, out_ref = rest
-    else:
+    """out[out_id] += S_b^T @ msg for one chunk, where msg is
+    S_a @ IN (plain), (S_a @ IN) * (W^T R) (mul), or W^T R (rhs)."""
+    if mode == "plain":
         in_ref, out_ref = rest
+    elif mode == "mul":
+        wt_ref, r_ref, in_ref, out_ref = rest
+    else:  # rhs
+        wt_ref, r_ref, out_ref = rest
     t = pl.program_id(1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-    one_a = (a_ref[:][:, None] == iota).astype(in_ref.dtype)
-    if weighted:
-        one_a = one_a * w_ref[:][:, None].astype(in_ref.dtype)
-    m = jax.lax.dot_general(
-        one_a, in_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+
+    if mode != "rhs":
+        one_a = (a_ref[:][:, None] == iota).astype(in_ref.dtype)
+        msg = jax.lax.dot_general(
+            one_a, in_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if mode != "plain":
+        # (H_pad, CHUNK) x (H_pad, FB) -> (CHUNK, FB): per-head weights
+        # expanded over their feature span by the static 0/1 matrix R.
+        w_exp = jax.lax.dot_general(
+            wt_ref[:], r_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        msg = msg * w_exp if mode == "mul" else w_exp
+
     one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
     partial = jax.lax.dot_general(
-        one_b, m, dimension_numbers=(((0,), (0,)), ((), ())),
+        one_b, msg, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(first_ref[t] == 1)
     def _init():
-        out_ref[:] = partial.astype(out_ref.dtype)
+        out_ref[:] = partial
 
     @pl.when(first_ref[t] != 1)
     def _accum():
-        out_ref[:] = out_ref[:] + partial.astype(out_ref.dtype)
+        out_ref[:] = out_ref[:] + partial
 
 
-def _chunk_call(weighted: bool, in_id, out_id, first, a, b, w, inp,
-                n_out_blocks: int):
-    """inp: (n_in_blocks*BLK, F_pad) f32/bf16. Returns
-    (n_out_blocks*BLK, F_pad) float32."""
-    n_chunks = in_id.shape[0]
-    f_pad = inp.shape[1]
+def _chunk_call(mode: str, lay, wt, r, inp, n_out_blocks: int,
+                f_pad: int):
+    """lay: chunk layout dict. wt: (H_pad, n_slots) weights or None.
+    inp: (n_in_blocks*BLK, f_pad) or None (rhs). Returns
+    (n_out_blocks*BLK, f_pad) float32."""
+    n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
 
     def slot_spec():
         return pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,))
 
     in_specs = [slot_spec(), slot_spec()]
-    operands = [a, b]
-    if weighted:
-        in_specs.append(slot_spec())
-        operands.append(w)
-    in_specs.append(
-        pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], fb))
-    )
-    operands.append(inp)
+    operands = [lay["a"], lay["b"]]
+    if mode != "plain":
+        h_pad = wt.shape[0]
+        in_specs.append(
+            pl.BlockSpec((h_pad, CHUNK), lambda fb, t, i, o, f: (0, t)))
+        in_specs.append(
+            pl.BlockSpec((h_pad, BLK), lambda fb, t, i, o, f: (0, fb)))
+        operands += [wt, r]
+    if mode != "rhs":
+        in_specs.append(
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], fb)))
+        operands.append(inp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # in_id, out_id, first
@@ -122,7 +142,7 @@ def _chunk_call(weighted: bool, in_id, out_id, first, a, b, w, inp,
     )
     flops = 2 * n_chunks * n_fb * (CHUNK * BLK * BLK * 2)
     return pl.pallas_call(
-        functools.partial(_chunk_kernel, weighted),
+        functools.partial(_chunk_kernel, mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad),
                                        jnp.float32),
@@ -133,7 +153,7 @@ def _chunk_call(weighted: bool, in_id, out_id, first, a, b, w, inp,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(in_id, out_id, first, *operands)
+    )(lay["in_id"], lay["out_id"], lay["first"], *operands)
 
 
 def _dense_fwd_kernel(c_ref, u_ref, out_ref):
@@ -181,56 +201,81 @@ def _dense_fwd_call(c, u_pad):
     )(c, u_pad)
 
 
-def _edge_dot_kernel(in1_ref, in2_ref, a_ref, b_ref, u_ref, ct_ref, out_ref):
-    """Per-edge <u[src], ct[dst]> for one chunk (grad_e of u_mul_e)."""
+def _edge_grad_kernel(mode: str, in1_ref, in2_ref, a_ref, b_ref, r_ref,
+                      *rest):
+    """Per-(edge, head) grads in transposed (H_pad, CHUNK) layout:
+    ge = R @ (m1 * m2)^T (mul) or R @ m2^T (rhs)."""
+    if mode == "mul":
+        u_ref, ct_ref, out_ref = rest
+    else:
+        ct_ref, out_ref = rest
     fb = pl.program_id(1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-    one_a = (a_ref[:][:, None] == iota).astype(u_ref.dtype)
     one_b = (b_ref[:][:, None] == iota).astype(ct_ref.dtype)
-    m1 = jax.lax.dot_general(
-        one_a, u_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     m2 = jax.lax.dot_general(
         one_b, ct_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = jnp.sum(m1 * m2, axis=1)
+    if mode == "mul":
+        one_a = (a_ref[:][:, None] == iota).astype(u_ref.dtype)
+        m1 = jax.lax.dot_general(
+            one_a, u_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = m1 * m2
+    else:
+        p = m2
+    part = jax.lax.dot_general(
+        r_ref[:], p, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H_pad, CHUNK)
 
     @pl.when(fb == 0)
     def _init():
-        out_ref[:] = s
+        out_ref[:] = part
 
     @pl.when(fb != 0)
     def _accum():
-        out_ref[:] = out_ref[:] + s
+        out_ref[:] = out_ref[:] + part
 
 
-def _edge_dot_call(in1_id, in2_id, a, b, u_pad, ct_pad):
-    n_chunks = in1_id.shape[0]
-    f_pad = u_pad.shape[1]
+def _edge_grad_call(mode: str, lay, r, u_pad, ct_pad, f_pad: int):
+    """Returns (H_pad, n_slots) float32 per-(head, slot) grads."""
+    n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
+    h_pad = r.shape[0]
+
+    in_specs = [
+        pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
+        pl.BlockSpec((h_pad, BLK), lambda t, fb, i1, i2: (0, fb)),
+    ]
+    operands = [lay["a"], lay["b"], r]
+    if mode == "mul":
+        in_specs.append(
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i1[t], fb)))
+        operands.append(u_pad)
+    in_specs.append(
+        pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i2[t], fb)))
+    operands.append(ct_pad)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # in1_id (window), in2_id (group)
         grid=(n_chunks, n_fb),  # fb innermost: out block t accumulates
-        in_specs=[
-            pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
-            pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i1[t], fb)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i2[t], fb)),
-        ],
-        out_specs=pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((h_pad, CHUNK), lambda t, fb, i1, i2: (0, t)),
     )
     return pl.pallas_call(
-        _edge_dot_kernel,
+        functools.partial(_edge_grad_kernel, mode),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_chunks * CHUNK,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((h_pad, n_chunks * CHUNK),
+                                       jnp.float32),
         interpret=_interpret(),
-    )(in1_id, in2_id, a, b, u_pad, ct_pad)
+    )(lay["in_id"], lay["out_id"], *operands)
 
 
 # ----------------------------------------------------------------------
-# Padding helpers (XLA side)
+# Padding / weight-layout helpers (XLA side)
 # ----------------------------------------------------------------------
 
 def _pad_2d(x, rows: int, cols: int):
@@ -239,13 +284,39 @@ def _pad_2d(x, rows: int, cols: int):
     return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
 
 
+def _weights_t(e, he: int, eids):
+    """Gather per-edge weights into chunk-slot order, transposed to
+    (H_pad, n_slots) so the lane dimension stays CHUNK-wide."""
+    e2 = e.reshape(e.shape[0], he).astype(jnp.float32)
+    w = jnp.take(e2, eids, axis=0, mode="clip").T  # (he, n_slots)
+    h_pad = _round_up(he, H_SUB)
+    if h_pad != he:
+        w = jnp.pad(w, ((0, h_pad - he), (0, 0)))
+    return w
+
+
+def _replication_r(mode: str, he: int, rep: int, f_pad: int):
+    """Static 0/1 expansion matrix: row h covers its feature span."""
+    h_pad = _round_up(he, H_SUB)
+    r = np.zeros((h_pad, f_pad), np.float32)
+    if mode == "mul":
+        for h in range(he):
+            r[h, h * rep:(h + 1) * rep] = 1.0
+    else:  # rhs: identity into the first he columns
+        r[np.arange(he), np.arange(he)] = 1.0
+    return jnp.asarray(r)
+
+
 class _Static(NamedTuple):
     op: str
     num_src: int
     num_dst: int
     has_e: bool
+    he: int          # per-edge weight heads (prod of e feature dims)
+    rep: int         # features per head (flat_F // he)
     u_feat: Tuple[int, ...]
     e_feat: Tuple[int, ...]
+    out_feat: Tuple[int, ...]
     meta: HubMeta
 
 
@@ -267,46 +338,47 @@ def _gspmm_hub_sum(static: _Static, hub, u, e):
 def _hub_forward(static, hub, u, e):
     m: HubMeta = static.meta
     op = static.op
-    weighted = op == "mul"
 
-    ff = int(np.prod(static.u_feat)) if static.u_feat else 1
+    ff = int(np.prod(static.out_feat)) if static.out_feat else 1
     f_pad = _round_up(ff, BLK)
-    u2 = u.reshape(u.shape[0], ff)
     rows_pad = hub["dense_c"].shape[0]  # round_up(num_src, DENSE_RB)
 
-    if weighted:
-        # Per-edge weights can't live in the static count matrix: all hub
-        # edges go through the full chunk layouts, weight folded into the
-        # source one-hot.
-        u_pad = _pad_2d(u2, rows_pad, f_pad)
-        lay = hub["full_fwd"]
-        w = jnp.take(e.reshape(-1), lay["eid"], mode="clip").astype(
-            jnp.float32)
-        hub_block = _chunk_call(True, lay["in_id"], lay["out_id"],
-                                lay["first"], lay["a"], lay["b"], w, u_pad,
-                                m.n_groups)
-    else:
+    if op == "copy_lhs":
+        u2 = u.reshape(u.shape[0], ff)
         u_pad = _pad_2d(u2, rows_pad, f_pad)
         parts = []
         if m.n_dense:
             # Dense tier: the whole reduce is one sequential-accumulation
-            # MXU pass against the static count matrix — per-edge cost
-            # amortizes away.
+            # MXU pass against the static count matrix.
             parts.append(_dense_fwd_call(hub["dense_c"], u_pad)[:, :ff])
         if m.n_groups > m.n_dense:
-            lay = hub["part_fwd"]
-            out = _chunk_call(False, lay["in_id"], lay["out_id"],
-                              lay["first"], lay["a"], lay["b"], None, u_pad,
-                              m.n_groups - m.n_dense)
+            out = _chunk_call("plain", hub["part_fwd"], None, None, u_pad,
+                              m.n_groups - m.n_dense, f_pad)
             parts.append(out[:, :ff])
         hub_block = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
             else parts[0]
-    hub_block = hub_block[:, :ff].astype(u.dtype).reshape(
-        (m.n_groups * BLK,) + tuple(static.u_feat)
+    else:
+        lay = hub["full_fwd"]
+        wt = _weights_t(e, static.he, lay["eid"])
+        r = _replication_r("mul" if op == "mul" else "rhs", static.he,
+                           static.rep, f_pad)
+        if op == "mul":
+            u2 = u.reshape(u.shape[0], ff)
+            u_pad = _pad_2d(u2, rows_pad, f_pad)
+            hub_block = _chunk_call("mul", lay, wt, r, u_pad, m.n_groups,
+                                    f_pad)[:, :ff]
+        else:  # copy_rhs
+            hub_block = _chunk_call("rhs", lay, wt, r, None, m.n_groups,
+                                    f_pad)[:, :ff]
+
+    dtype = (u if op != "copy_rhs" else e).dtype
+    hub_block = hub_block.astype(dtype).reshape(
+        (m.n_groups * BLK,) + tuple(static.out_feat)
     )
 
     stacked = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"], op,
-                        "sum", u, e)
+                        "sum", u if op != "copy_rhs" else None,
+                        e if op != "copy_lhs" else None)
     merged = jnp.concatenate([stacked, hub_block], axis=0)
     return jnp.take(merged, hub["t_inv"], axis=0, mode="fill",
                     fill_value=0.0)
@@ -320,82 +392,87 @@ def _bwd(static, res, ct):
     hub, u, e = res
     m: HubMeta = static.meta
     op = static.op
-    weighted = op == "mul"
 
-    ff = int(np.prod(static.u_feat)) if static.u_feat else 1
+    ff = int(np.prod(static.out_feat)) if static.out_feat else 1
     f_pad = _round_up(ff, BLK)
+    rows_pad = hub["dense_c"].shape[0]
     ct2 = ct.reshape(ct.shape[0], ff)
     # Compact hub cotangent rows (K-row gather — cheap), then pad.
     ct_hubs = jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill",
                        fill_value=0.0)
     ct_pad = _pad_2d(ct_hubs, m.n_groups * BLK, f_pad)
 
-    # grad_u: dense-tier matmul + transpose chunk kernel (window-major
-    # layout) + tail reverse ELL. Chunk output is in natural node order.
-    gu_hub = jnp.zeros((static.num_src, ff), jnp.float32)
-    if weighted:
-        lay = hub["full_bwd"]
-        w_b = jnp.take(e.reshape(-1), lay["eid"], mode="clip").astype(
-            jnp.float32)
-        out = _chunk_call(True, lay["in_id"], lay["out_id"], lay["first"],
-                          lay["a"], lay["b"], w_b, ct_pad, m.n_win)
-        win_rows = jnp.repeat(hub["win_mask_full"], BLK,
-                              total_repeat_length=m.n_win * BLK)
-        out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
-        gu_hub = out[: static.num_src, :ff]
-    else:
-        if m.n_dense:
-            gu_hub = gu_hub + jax.lax.dot_general(
-                hub["dense_c"], ct_hubs[: m.n_dense * BLK],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[: static.num_src]
-        if m.n_groups > m.n_dense:
-            lay = hub["part_bwd"]
-            ct_part = ct_pad[m.n_dense * BLK:]
-            out = _chunk_call(False, lay["in_id"], lay["out_id"],
-                              lay["first"], lay["a"], lay["b"], None,
-                              ct_part, m.n_win)
-            win_rows = jnp.repeat(hub["win_mask_part"], BLK,
+    # ---- grad_u ----
+    gu = jnp.zeros_like(u)
+    if op != "copy_rhs":
+        gu_hub = jnp.zeros((static.num_src, ff), jnp.float32)
+        if op == "copy_lhs":
+            if m.n_dense:
+                gu_hub = gu_hub + jax.lax.dot_general(
+                    hub["dense_c"], ct_hubs[: m.n_dense * BLK],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[: static.num_src]
+            if m.n_groups > m.n_dense:
+                lay = hub["part_bwd"]
+                ct_part = ct_pad[m.n_dense * BLK:]
+                out = _chunk_call("plain", lay, None, None, ct_part,
+                                  m.n_win, f_pad)
+                win_rows = jnp.repeat(hub["win_mask_part"], BLK,
+                                      total_repeat_length=m.n_win * BLK)
+                out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
+                gu_hub = gu_hub + out[: static.num_src, :ff]
+            tail_op = "copy_lhs"
+        else:  # mul
+            lay = hub["full_bwd"]
+            wt_b = _weights_t(e, static.he, lay["eid"])
+            r = _replication_r("mul", static.he, static.rep, f_pad)
+            out = _chunk_call("mul", lay, wt_b, r, ct_pad, m.n_win, f_pad)
+            win_rows = jnp.repeat(hub["win_mask_full"], BLK,
                                   total_repeat_length=m.n_win * BLK)
             out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
-            gu_hub = gu_hub + out[: static.num_src, :ff]
-    gu_hub = gu_hub.astype(u.dtype)
+            gu_hub = out[: static.num_src, :ff]
+            tail_op = "mul"
 
-    tail_src_ell = {"idx": hub["r_idx"], "eid": hub["r_eid"],
-                    "inv_perm": hub["r_inv"]}
-    if op == "copy_lhs":
-        gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, "copy_lhs",
-                             "sum", ct, None, static.num_src)
-    else:  # mul
-        gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, "mul", "sum",
-                             ct, e, static.num_src)
-    gu = (gu_tail.reshape(static.num_src, ff) + gu_hub).reshape(
-        (static.num_src,) + tuple(static.u_feat)
-    )
+        tail_src_ell = {"idx": hub["r_idx"], "eid": hub["r_eid"],
+                        "inv_perm": hub["r_inv"]}
+        gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, tail_op, "sum",
+                             ct, e if tail_op == "mul" else None,
+                             static.num_src)
+        gu = (gu_tail.reshape(static.num_src, ff)
+              + gu_hub).astype(u.dtype).reshape(u.shape)
 
-    if static.has_e and op == "mul":
-        # grad_e = <u[src], ct[dst]> per edge: hub chunks via the MXU dot
-        # kernel (full layout), tail via compact (tail-only) gathers —
-        # never a full-E feature gather.
+    # ---- grad_e ----
+    if static.has_e and op in ("mul", "copy_rhs"):
+        he = static.he
         lay = hub["full_fwd"]
-        u_pad = _pad_2d(u.reshape(u.shape[0], ff),
-                        hub["dense_c"].shape[0], f_pad)
-        ge_hub = _edge_dot_call(lay["in_id"], lay["out_id"], lay["a"],
-                                lay["b"], u_pad, ct_pad)
-        us = jnp.take(u.reshape(u.shape[0], ff), hub["tail_src"], axis=0,
-                      mode="fill", fill_value=0.0)
-        cs = jnp.take(ct2, hub["tail_dst"], axis=0, mode="fill",
-                      fill_value=0.0)
-        ge_tail = jnp.sum(us * cs, axis=1)
+        r = _replication_r("mul" if op == "mul" else "rhs", he,
+                           static.rep, f_pad)
+        u_pad = None
+        if op == "mul":
+            u_pad = _pad_2d(u.reshape(u.shape[0], ff), rows_pad, f_pad)
+        ge_t = _edge_grad_call("mul" if op == "mul" else "rhs", lay, r,
+                               u_pad, ct_pad, f_pad)
+        ge_hub = ge_t[:he].T  # (n_slots, he)
+
+        if op == "mul":
+            u3 = u.reshape(u.shape[0], he, static.rep)
+            ct3 = ct2.reshape(ct.shape[0], he, static.rep)
+            us = jnp.take(u3, hub["tail_src"], axis=0, mode="fill",
+                          fill_value=0.0)
+            cs = jnp.take(ct3, hub["tail_dst"], axis=0, mode="fill",
+                          fill_value=0.0)
+            ge_tail = jnp.sum(us * cs, axis=2)  # (T_pad, he)
+        else:
+            ct_h = ct2.reshape(ct.shape[0], he)
+            ge_tail = jnp.take(ct_h, hub["tail_dst"], axis=0, mode="fill",
+                               fill_value=0.0)
         ge = (
-            jnp.take(ge_hub, hub["edge_to_fslot"], mode="fill",
+            jnp.take(ge_hub, hub["edge_to_fslot"], axis=0, mode="fill",
                      fill_value=0.0)
-            + jnp.take(ge_tail, hub["edge_to_tslot"], mode="fill",
+            + jnp.take(ge_tail, hub["edge_to_tslot"], axis=0, mode="fill",
                        fill_value=0.0)
-        ).astype(e.dtype)
-        # e has a scalar per edge (all feature dims are 1 by dispatch).
-        ge = ge.reshape(e.shape)
+        ).astype(e.dtype).reshape(e.shape)
     else:
         ge = jnp.zeros_like(e)
 
@@ -409,21 +486,55 @@ _gspmm_hub_sum.defvjp(_fwd, _bwd)
 # Dispatch entry
 # ----------------------------------------------------------------------
 
+def _weight_heads(u_feat, e_feat):
+    """Validate the supported e-broadcast patterns; return (he, rep) or
+    None. Supported: scalar per edge ((1,)*k) against any u_feat, or
+    per-head (H, 1, ...) against u_feat starting with H."""
+    he = int(np.prod(e_feat)) if e_feat else 1
+    if he == 1:
+        if len(e_feat) > len(u_feat):
+            return None
+        ff = int(np.prod(u_feat)) if u_feat else 1
+        return 1, ff
+    if (len(e_feat) >= 1 and e_feat[0] == he
+            and len(e_feat) <= len(u_feat) and u_feat
+            and u_feat[0] == he):
+        ff = int(np.prod(u_feat))
+        return he, ff // he
+    return None
+
+
 def gspmm_hub(g: Graph, op: str, reduce_op: str, u, e):
     """Returns the result or None when not covered (dispatch falls back)."""
     if g.hub_dst is None or g.hub_dst_meta is None:
         return None
     if reduce_op not in ("sum", "mean"):
         return None
+
+    he, rep = 1, 1
     if op == "copy_lhs":
         if u is None:
             return None
+        out_feat = tuple(u.shape[1:])
+        rep = int(np.prod(out_feat)) if out_feat else 1
     elif op == "mul":
-        # Scalar weight per edge only (broadcasts over features).
         if u is None or e is None:
             return None
-        if int(np.prod(e.shape[1:])) != 1 or e.ndim - 1 > u.ndim - 1:
+        hr = _weight_heads(tuple(u.shape[1:]), tuple(e.shape[1:]))
+        if hr is None:
             return None
+        he, rep = hr
+        out_feat = tuple(u.shape[1:])
+    elif op == "copy_rhs":
+        if e is None:
+            return None
+        e_feat = tuple(e.shape[1:])
+        he = int(np.prod(e_feat)) if e_feat else 1
+        if he != 1 and not (e_feat and e_feat[0] == he):
+            return None
+        he = max(he, 1)
+        rep = 1
+        out_feat = e_feat
     else:
         return None
     for data in (u, e):
@@ -435,12 +546,17 @@ def gspmm_hub(g: Graph, op: str, reduce_op: str, u, e):
         num_src=g.num_src_nodes(),
         num_dst=g.num_dst_nodes(),
         has_e=e is not None,
-        u_feat=tuple(u.shape[1:]),
+        he=he,
+        rep=rep,
+        u_feat=tuple(u.shape[1:]) if u is not None else (),
         e_feat=tuple(e.shape[1:]) if e is not None else (),
+        out_feat=out_feat,
         meta=g.hub_dst_meta,
     )
-    e_in = e if e is not None else jnp.zeros((1, 1), u.dtype)
-    out = _gspmm_hub_sum(static, g.hub_dst, u, e_in)
+    dtype = (u if u is not None else e).dtype
+    u_in = u if u is not None else jnp.zeros((1, 1), dtype)
+    e_in = e if e is not None else jnp.zeros((1, 1), dtype)
+    out = _gspmm_hub_sum(static, g.hub_dst, u_in, e_in)
     if reduce_op == "mean":
         deg = jnp.maximum(g.in_degrees().astype(out.dtype), 1.0)
         out = out / deg.reshape((out.shape[0],) + (1,) * (out.ndim - 1))

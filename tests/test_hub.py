@@ -195,13 +195,69 @@ def test_hub_multihead_feats():
 def test_hub_declines_uncovered():
     g = make_skewed()
     u, _ = data()
-    e_full = jnp.ones((E, 10))
-    assert gspmm_hub(g, "mul", "sum", u, e_full) is None  # non-scalar e
+    e_bad = jnp.ones((E, 7))  # head count mismatches u's leading dim
+    assert gspmm_hub(g, "mul", "sum", u, e_bad) is None
     assert gspmm_hub(g, "copy_lhs", "max", u, None) is None
-    assert gspmm_hub(g, "add", "sum", u, e_full) is None
+    assert gspmm_hub(g, "add", "sum", u, jnp.ones((E, 10))) is None
     g2 = dgl.rand_graph(50, 100, seed=1)  # below density bar: no format
     assert g2.hub_dst is None
     assert gspmm_hub(g2, "copy_lhs", "sum", u[:50], None) is None
+
+
+@pytest.mark.parametrize("config", list(CONFIGS))
+def test_hub_gat_pattern_multihead(config):
+    """u_mul_e with u (N, H, D) and e (E, H, 1) — the GAT attention SpMM."""
+    g = make_skewed(config)
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.normal(size=(N, 4, 6)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(E, 4, 1)).astype(np.float32))
+    a = gspmm_hub(g, "mul", "sum", u, e)
+    assert a is not None
+    b = gspmm_xla(g, "mul", "sum", u, e)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def mk(fn):
+        return lambda u, e: jnp.sum(jnp.sin(fn(g, "mul", "sum", u, e)))
+
+    gp = jax.grad(mk(gspmm_hub), argnums=(0, 1))(u, e)
+    gx = jax.grad(mk(gspmm_xla), argnums=(0, 1))(u, e)
+    np.testing.assert_allclose(gp[0], gx[0], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(gp[1], gx[1], rtol=1e-3, atol=1e-3)
+
+
+def test_hub_full_feature_weights():
+    """u_mul_e with e (E, F): per-head with rep=1."""
+    g = make_skewed("mixed")
+    rng = np.random.default_rng(10)
+    u = jnp.asarray(rng.normal(size=(N, 10)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(E, 10)).astype(np.float32))
+    a = gspmm_hub(g, "mul", "sum", u, e)
+    assert a is not None
+    b = gspmm_xla(g, "mul", "sum", u, e)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    gp = jax.grad(lambda u, e: jnp.sum(
+        gspmm_hub(g, "mul", "sum", u, e) ** 2), argnums=(0, 1))(u, e)
+    gx = jax.grad(lambda u, e: jnp.sum(
+        gspmm_xla(g, "mul", "sum", u, e) ** 2), argnums=(0, 1))(u, e)
+    np.testing.assert_allclose(gp[0], gx[0], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(gp[1], gx[1], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("config", list(CONFIGS))
+def test_hub_copy_rhs(config):
+    """copy_e + sum — the edge-softmax denominator pattern."""
+    g = make_skewed(config)
+    rng = np.random.default_rng(11)
+    e = jnp.asarray(rng.normal(size=(E, 4, 1)).astype(np.float32))
+    a = gspmm_hub(g, "copy_rhs", "sum", None, e)
+    assert a is not None
+    b = gspmm_xla(g, "copy_rhs", "sum", None, e)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    gp = jax.grad(lambda e: jnp.sum(jnp.sin(
+        gspmm_hub(g, "copy_rhs", "sum", None, e))))(e)
+    gx = jax.grad(lambda e: jnp.sum(jnp.sin(
+        gspmm_xla(g, "copy_rhs", "sum", None, e))))(e)
+    np.testing.assert_allclose(gp, gx, rtol=1e-3, atol=1e-3)
 
 
 def test_hub_all_edges_dense():

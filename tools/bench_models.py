@@ -1,0 +1,112 @@
+"""Model-level benchmark: full-graph train-step time for GCN / GAT.
+
+Measures the full fwd+bwd+adam step (epochs chained inside one jitted
+fori_loop with a scalar fetch — the only honest timing on a
+remote-attached TPU, see docs/PERF_NOTES.md). Prints one JSON line per
+config. Parity target: the reference's published per-epoch timings for
+the same model configs (DGL paper, table 5-era numbers).
+
+Usage: python tools/bench_models.py [--scale cora|arxiv] [--model gcn|gat|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_graph(scale: str):
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+
+    if scale == "cora":
+        n, deg, in_f, classes = 2708, 4, 1433, 7
+        g = dgl.rand_graph(n, n * deg, seed=0)
+    elif scale == "pubmed":
+        n, deg, in_f, classes = 19717, 5, 500, 3
+        g = powerlaw_graph(n, deg, seed=0)
+    else:  # ogbn-arxiv scale
+        n, deg, in_f, classes = 169343, 26, 128, 40
+        g = powerlaw_graph(n, deg, seed=0)
+    g = dgl.add_self_loop(g)
+    return g, n, in_f, classes
+
+
+def bench(model_name: str, scale: str, epochs: int = 20):
+    import dgl1_tpu as dgl  # noqa: F401
+    from dgl1_tpu.models import GAT, GCN
+
+    g, n, in_f, classes = make_graph(scale)
+    hidden = 256 if scale == "arxiv" else 64
+
+    if model_name == "gcn":
+        model = GCN(hidden_feats=hidden, out_feats=classes, dropout=0.0)
+    else:
+        model = GAT(hidden_feats=hidden // 8 if scale == "arxiv" else 8,
+                    out_feats=classes, heads=8, feat_drop=0.0, attn_drop=0.0)
+
+    g = jax.device_put(g)
+    jax.block_until_ready(jax.tree.leaves(g))
+    feat = jax.random.normal(jax.random.PRNGKey(0), (n, in_f), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, classes)
+
+    params = model.init(jax.random.PRNGKey(2), g, feat)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, g):
+        logits = model.apply(params, g, feat)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+
+    @jax.jit
+    def run(g, params, opt_state):
+        def body(i, carry):
+            params, opt_state = carry
+            grads = jax.grad(loss_fn)(params, g)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state
+
+        return jax.lax.fori_loop(0, epochs, body, (params, opt_state))
+
+    t0 = time.time()
+    out = run(g, params, opt_state)
+    jax.block_until_ready(out)
+    _ = float(jax.tree.leaves(out[0])[0].reshape(-1)[0])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = run(g, params, opt_state)
+    _ = float(jax.tree.leaves(out[0])[0].reshape(-1)[0])
+    dt = (time.time() - t0) / epochs
+
+    print(json.dumps({
+        "model": model_name, "scale": scale,
+        "nodes": n, "edges": g.num_edges(), "hidden": hidden,
+        "ms_per_epoch": round(dt * 1e3, 2),
+        "epochs_per_s": round(1.0 / dt, 1),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", default="arxiv",
+                   choices=["cora", "pubmed", "arxiv"])
+    p.add_argument("--model", default="all", choices=["gcn", "gat", "all"])
+    p.add_argument("--epochs", type=int, default=20)
+    args = p.parse_args()
+    models = ["gcn", "gat"] if args.model == "all" else [args.model]
+    for mname in models:
+        bench(mname, args.scale, args.epochs)
+
+
+if __name__ == "__main__":
+    main()
