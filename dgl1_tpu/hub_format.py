@@ -295,6 +295,16 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     edge_to_tslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
     edge_to_tslot[t_eid] = np.arange(n_tail, dtype=ID_DTYPE)
 
+    # Tail ELL eids remapped to compact tail slots, so per-tail-edge
+    # values (attention numerators, jacobian terms) computed in compact
+    # (T_pad, H) space feed the ELL stacks directly (ops/attention.py).
+    def to_compact(eids):
+        c = edge_to_tslot[np.clip(eids, 0, num_padded - 1)]
+        return np.where(c == SENT, 0, c).astype(ID_DTYPE)
+
+    t_eid_c = to_compact(tail_dst_ell["eid"])
+    r_eid_c = to_compact(tail_src_ell["eid"])
+
     meta = HubMeta(
         n_full_f=len(full_fwd["in_id"]),
         n_full_b=len(full_bwd["in_id"]),
@@ -318,8 +328,10 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         "win_mask_full": win_mask_full,
         "win_mask_part": win_mask_part,
         "t_idx": tail_dst_ell["idx"], "t_eid": tail_dst_ell["eid"],
+        "t_eid_c": t_eid_c,
         "t_inv": t_inv,
         "r_idx": tail_src_ell["idx"], "r_eid": tail_src_ell["eid"],
+        "r_eid_c": r_eid_c,
         "r_inv": tail_src_ell["inv_perm"],
         "tail_src": tail_src_c, "tail_dst": tail_dst_c,
         "edge_to_fslot": edge_to_fslot, "edge_to_tslot": edge_to_tslot,

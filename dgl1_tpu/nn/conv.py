@@ -144,11 +144,26 @@ class GATConv(nn.Module):
         )
         el = jnp.sum(feat_src * attn_l, axis=-1, keepdims=True)  # (N,H,1)
         er = jnp.sum(feat_dst * attn_r, axis=-1, keepdims=True)
-        e = gsddmm(g, "add", el, er, lhs_target="u", rhs_target="v")
-        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
-        a = edge_softmax(g, e)
-        a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
-        rst = gspmm(g, "mul", "sum", feat_src, a)  # (N_dst,H,F)
+
+        # Fused flash-style attention on hub-format graphs: the whole
+        # SDDMM -> leaky_relu -> edge_softmax -> weighted-SpMM chain in
+        # chunked MXU passes, no per-edge (E, H) tensor in HBM (those
+        # pad 16x on TPU and OOM large graphs). Falls back to the
+        # composed path when attention dropout is active (per-edge RNG)
+        # or the graph has no hub format.
+        from dgl1_tpu.ops.attention import can_fuse_attention, gat_attention
+
+        rst = None
+        if can_fuse_attention(g) and (
+                deterministic or self.attn_drop == 0.0):
+            rst = gat_attention(g, el, er, feat_src,
+                                self.negative_slope)
+        if rst is None:
+            e = gsddmm(g, "add", el, er, lhs_target="u", rhs_target="v")
+            e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+            a = edge_softmax(g, e)
+            a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+            rst = gspmm(g, "mul", "sum", feat_src, a)  # (N_dst,H,F)
 
         if self.residual:
             res = nn.Dense(H * F, use_bias=False, name="res_fc")(h_dst)

@@ -11,6 +11,7 @@ from dgl1_tpu.ops import sddmm as _sddmm
 from dgl1_tpu.ops.spmm import gspmm
 from dgl1_tpu.ops.sddmm import gsddmm
 from dgl1_tpu.ops.edge_softmax import edge_softmax
+from dgl1_tpu.ops.attention import gat_attention, can_fuse_attention
 from dgl1_tpu.ops.segment import (
     segment_reduce,
     segment_softmax,
@@ -42,6 +43,8 @@ __all__ = (
     + [n for n in _sddmm.__all__ if n not in ("copy_u", "copy_v")]
     + [
         "edge_softmax",
+        "gat_attention",
+        "can_fuse_attention",
         "segment_reduce",
         "segment_softmax",
         "segment_mm",

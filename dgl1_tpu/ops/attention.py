@@ -1,0 +1,571 @@
+"""Fused multi-head graph attention on the hub-dense format ("flash-GAT").
+
+The composed GAT path (SDDMM logits -> leaky_relu -> edge_softmax ->
+u_mul_e SpMM; ``nn/conv.py :: GATConv``, parity with
+``python/dgl/nn/pytorch/conv/gatconv.py``) materializes ~6 per-edge
+(E, H) tensors in HBM. On TPU the (8,128) tiled layout pads an (E, 8)
+array 16x in the lane dimension — at 4.6M edges each temp is 2.2GB and
+full-graph GAT OOMs, while the same model fits easily on the reference's
+GPUs (no padding there). This module computes the whole chain
+
+    out[d] = sum_e softmax_d(leaky_relu(el[src_e] + er[d]))_e * ft[src_e]
+
+with per-edge quantities existing only inside VMEM per 1024-edge chunk —
+flash-attention restructured for message passing:
+
+* the per-destination softmax max decomposes through the monotonic
+  leaky_relu: ``max_e z = leaky_relu(er_d + max_s el_s)``, so the max
+  statistic is one segmented-max chunk pass over node-level ``el``;
+* one fused chunk pass accumulates numerator ``sum p*ft`` and
+  denominator ``sum p`` per hub group (p recomputed from node-level
+  tensors on the fly, weights expanded head->features by a static 0/1
+  matmul);
+* backward recomputes p (flash style): the softmax-jacobian row term
+  collapses to the node-level ``rho = sum_D ct*out``, and two chunk
+  passes produce (grad_ft, grad_el) [window-major] and grad_er
+  [group-major]. No (E, H) HBM tensor anywhere, forward or backward.
+
+Tail edges (non-hub destinations) run in compact tail-slot space through
+the ELL stacks and merge through the shared inverse-permute gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgl1_tpu.graph import Graph
+from dgl1_tpu.hub_format import BLK, CHUNK, HubMeta, SENT
+from dgl1_tpu.ops.engine_ell import ell_reduce, ell_stack
+
+__all__ = ["gat_attention", "can_fuse_attention"]
+
+NEG = -1e30  # -inf stand-in inside kernels (0*inf = NaN hazards)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pad_2d(x, rows, cols):
+    if x.shape == (rows, cols):
+        return x
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+
+def _leaky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _dleaky(x, slope):
+    return jnp.where(x >= 0, 1.0, slope)
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+# ----------------------------------------------------------------------
+# Kernel 1: segmented max of el over incoming edges, per hub slot.
+# fwd (group-major) layout; slots within a chunk are dst-sorted, so the
+# per-chunk reduce is a log2(CHUNK) shifted-combine scan (same pattern
+# as engine_pallas._minmax_kernel) + last-of-segment one-hot extraction.
+# ----------------------------------------------------------------------
+
+def _seg_max_kernel(in_id, out_id, first, a_ref, b_ref, el_ref, out_ref):
+    t = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+    vals = _dot(one_a, el_ref[:], ((1,), (0,)))  # (CHUNK, 128)
+    valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
+    vals = jnp.where(valid, vals, NEG)
+
+    seg = b_ref[:].reshape(CHUNK, 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    shift = 1
+    while shift < CHUNK:
+        prev_vals = pltpu.roll(vals, shift, axis=0)
+        prev_seg = pltpu.roll(seg, shift, axis=0)
+        ok = (pos >= shift) & (prev_seg == seg)
+        vals = jnp.maximum(vals, jnp.where(ok, prev_vals, NEG))
+        shift *= 2
+    nxt = pltpu.roll(seg, CHUNK - 1, axis=0)
+    is_last = ((nxt != seg) | (pos == CHUNK - 1)) & (seg >= 0)
+    one_b = ((seg == iota) & is_last).astype(jnp.float32)
+    hit = jnp.sum(one_b, axis=0)
+    picked = _dot(one_b, jnp.maximum(vals, NEG), ((0,), (0,)))
+    partial = jnp.where(hit[:, None] > 0, picked, NEG)
+
+    @pl.when(first[t] == 1)
+    def _init():
+        out_ref[:] = partial
+
+    @pl.when(first[t] != 1)
+    def _accum():
+        out_ref[:] = jnp.maximum(out_ref[:], partial)
+
+
+def _seg_max_call(lay, el_pad, n_groups):
+    n_chunks = lay["in_id"].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1, n_chunks),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
+            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], 0)),
+        ],
+        out_specs=pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
+    )
+    return pl.pallas_call(
+        _seg_max_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
+        interpret=_interpret(),
+    )(lay["in_id"], lay["out_id"], lay["first"],
+      lay["a"], lay["b"], el_pad)
+
+
+# ----------------------------------------------------------------------
+# Kernel 2: fused numerator + denominator accumulation per hub group.
+# ----------------------------------------------------------------------
+
+def _attn_fwd_kernel(slope: float, in_id, out_id, first, a_ref, b_ref,
+                     el_ref, erg_ref, mzg_ref, ft_ref, r_ref,
+                     num_ref, den_ref):
+    # NOTE: both outputs use the SAME (o[t], fb) block pattern — Pallas
+    # leaves non-consecutively revisited output blocks unspecified, so
+    # the (head-width) denominator is band-replicated across feature
+    # blocks and sliced down outside. The waste is K*f_pad floats.
+    t = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+
+    el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
+    er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
+    mz_e = _dot(one_b, mzg_ref[:], ((1,), (0,)))
+    z = _leaky(el_e + er_e, slope)
+    valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
+    p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)  # (CHUNK, 128) H lanes
+
+    ft_e = _dot(one_a, ft_ref[:].astype(jnp.float32), ((1,), (0,)))
+    p_exp = _dot(p, r_ref[:], ((1,), (0,)))  # (CHUNK, FB)
+    num_partial = _dot(one_b, p_exp * ft_e, ((0,), (0,)))
+    den_partial = _dot(one_b, p, ((0,), (0,)))
+
+    @pl.when(first[t] == 1)
+    def _init():
+        num_ref[:] = num_partial
+        den_ref[:] = den_partial
+
+    @pl.when(first[t] != 1)
+    def _accum():
+        num_ref[:] = num_ref[:] + num_partial
+        den_ref[:] = den_ref[:] + den_partial
+
+
+def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
+                   f_pad):
+    n_chunks = lay["in_id"].shape[0]
+    n_fb = f_pad // BLK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_fb, n_chunks),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
+            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], fb)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (0, fb)),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+        ],
+    )
+    num, den = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, slope),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
+      el_pad, er_g, mz_g, ft_pad, r)
+    return num, den[:, :BLK]
+
+
+# ----------------------------------------------------------------------
+# Kernel 3/4: backward passes. "src" pass (window-major layout) emits
+# grad_ft and grad_el; "dst" pass (group-major) emits grad_er.
+# In both, hub-node statistics ride the group side and features the
+# window side; p and the jacobian term q are recomputed in VMEM.
+# ----------------------------------------------------------------------
+
+def _attn_bwd_kernel(slope: float, to_src: bool, in_id, out_id, first,
+                     a_ref, b_ref, el_ref, erg_ref, mzg_ref, deng_ref,
+                     rhog_ref, ft_ref, ct_ref, r_ref, *outs):
+    t = pl.program_id(1)
+    fb = pl.program_id(0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+    # src selector / hub selector depend on the layout direction.
+    one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
+
+    el_e = _dot(one_s, el_ref[:], ((1,), (0,)))
+    er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
+    mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)))
+    den_e = _dot(one_h, deng_ref[:], ((1,), (0,)))
+    rho_e = _dot(one_h, rhog_ref[:], ((1,), (0,)))
+    s = el_e + er_e
+    z = _leaky(s, slope)
+    valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
+    p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
+    a_coef = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal: flushes
+
+    ft_e = _dot(one_s, ft_ref[:].astype(jnp.float32), ((1,), (0,)))
+    ct_e = _dot(one_h, ct_ref[:].astype(jnp.float32), ((1,), (0,)))
+    g_e = _dot(ft_e * ct_e, r_ref[:], ((1,), (1,)))  # (CHUNK, 128) heads
+    q = a_coef * (g_e - rho_e) * _dleaky(s, slope)
+
+    # Secondary (head-width) outputs are band-replicated across feature
+    # blocks — same revisit pattern as the feature-width output, because
+    # non-consecutively revisited Pallas output blocks are unspecified.
+    if to_src:
+        gft_ref, gel_ref = outs
+        a_exp = _dot(a_coef, r_ref[:], ((1,), (0,)))
+        gft_partial = _dot(one_s, a_exp * ct_e, ((0,), (0,)))
+        gel_partial = _dot(one_s, q, ((0,), (0,)))
+
+        @pl.when(first[t] == 1)
+        def _init():
+            gft_ref[:] = gft_partial
+            gel_ref[:] = gel_partial
+
+        @pl.when(first[t] != 1)
+        def _accum():
+            gft_ref[:] = gft_ref[:] + gft_partial
+            gel_ref[:] = gel_ref[:] + gel_partial
+    else:
+        (ger_ref,) = outs
+        ger_partial = _dot(one_h, q, ((0,), (0,)))
+
+        @pl.when(first[t] == 1)
+        def _init():
+            ger_ref[:] = ger_partial
+
+        @pl.when(first[t] != 1)
+        def _accum():
+            ger_ref[:] = ger_ref[:] + ger_partial
+
+
+def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
+                   ft_pad, ct_g, r, n_out_blocks, f_pad):
+    n_chunks = lay["in_id"].shape[0]
+    n_fb = f_pad // BLK
+
+    # Window-side blocks index by the layout's window id, group-side by
+    # the group id. In the window-major (to_src) layout the window is the
+    # OUT id and the group the IN id; group-major is the reverse.
+    def win(fb, t, i, o, f):
+        return (o[t], 0) if to_src else (i[t], 0)
+
+    def win_f(fb, t, i, o, f):
+        return (o[t], fb) if to_src else (i[t], fb)
+
+    def grp(fb, t, i, o, f):
+        return (i[t], 0) if to_src else (o[t], 0)
+
+    def grp_f(fb, t, i, o, f):
+        return (i[t], fb) if to_src else (o[t], fb)
+
+    in_specs = [
+        pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
+        pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
+        pl.BlockSpec((BLK, BLK), win),       # el (window side)
+        pl.BlockSpec((BLK, BLK), grp),       # er
+        pl.BlockSpec((BLK, BLK), grp),       # mz
+        pl.BlockSpec((BLK, BLK), grp),       # den
+        pl.BlockSpec((BLK, BLK), grp),       # rho
+        pl.BlockSpec((BLK, BLK), win_f),     # ft
+        pl.BlockSpec((BLK, BLK), grp_f),     # ct
+        pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (0, fb)),  # r
+    ]
+    if to_src:
+        out_specs = [
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_fb, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, slope, to_src),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
+      el_pad, er_g, mz_g, den_g, rho_g, ft_pad, ct_g, r)
+    if to_src:
+        return outs[0], outs[1][:, :BLK]
+    return (outs[0][:, :BLK],)
+
+
+# ----------------------------------------------------------------------
+# The fused op
+# ----------------------------------------------------------------------
+
+class _Static(NamedTuple):
+    slope: float
+    num_src: int
+    num_dst: int
+    h: int
+    d: int
+    meta: HubMeta
+
+
+def _float0_like(tree):
+    return jax.tree.map(
+        lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), tree
+    )
+
+
+def _replication_r(h: int, d: int, f_pad: int):
+    r = np.zeros((BLK, f_pad), np.float32)
+    for i in range(h):
+        r[i, i * d:(i + 1) * d] = 1.0
+    return jnp.asarray(r)
+
+
+def _hub_rows_128(x, hub_ids, n_groups):
+    """(num_dst, H) node stats -> (n_groups*BLK, 128) compact hub blocks."""
+    rows = jnp.take(x, hub_ids, axis=0, mode="fill", fill_value=0.0)
+    return _pad_2d(rows, n_groups * BLK, BLK)
+
+
+def _tail_p(static, hub, el2, er2, mz):
+    """Per-tail-edge softmax numerators in compact tail-slot space."""
+    ts, td = hub["tail_src"], hub["tail_dst"]
+    el_t = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
+    er_t = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
+    mz_t = jnp.take(mz, td, axis=0, mode="fill", fill_value=0.0)
+    z = _leaky(el_t + er_t, static.slope)
+    valid = (ts != SENT).reshape(-1, 1)
+    return jnp.where(valid, jnp.exp(z - mz_t), 0.0)  # (T_pad, H)
+
+
+def _stats(static, hub, el2, er2):
+    """Stage A: per-destination softmax max, node-level (num_dst, H)."""
+    m = static.meta
+    el_pad = _pad_2d(el2, hub["dense_c"].shape[0], BLK)
+    mraw_hub = _seg_max_call(hub["full_fwd"], el_pad, m.n_groups)[:, :static.h]
+    mstack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"],
+                       "copy_lhs", "max", el2, None)
+    mraw = jnp.take(jnp.concatenate([mstack, mraw_hub], axis=0),
+                    hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
+    return _leaky(mraw + er2, static.slope)  # (num_dst, H)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gat_attention(static: _Static, hub, el2, er2, ft2):
+    out, _, _ = _attn_forward(static, hub, el2, er2, ft2)
+    return out
+
+
+def _attn_forward(static, hub, el2, er2, ft2):
+    m = static.meta
+    h, d = static.h, static.d
+    f = h * d
+    f_pad = _round_up(f, BLK)
+    rows_pad = hub["dense_c"].shape[0]
+
+    mz = _stats(static, hub, el2, er2)
+    el_pad = _pad_2d(el2, rows_pad, BLK)
+    ft_pad = _pad_2d(ft2, rows_pad, f_pad)
+    er_g = _hub_rows_128(er2, hub["hub_ids"], m.n_groups)
+    mz_g = _hub_rows_128(mz, hub["hub_ids"], m.n_groups)
+    r = _replication_r(h, d, f_pad)
+
+    num_hub, den_hub = _attn_fwd_call(
+        static.slope, hub["full_fwd"], el_pad, er_g, mz_g, ft_pad, r,
+        m.n_groups, f_pad,
+    )
+
+    # Tail in compact slot space; p maps into the ELL stacks through the
+    # compact-slot eid arrays.
+    p_t = _tail_p(static, hub, el2, er2, mz)
+    tail_dst_ell = {"idx": hub["t_idx"], "eid": hub["t_eid_c"]}
+    ft3 = ft2.reshape(-1, h, d)
+    num_stack = ell_stack(m.tail_meta_dst, tail_dst_ell["idx"],
+                          tail_dst_ell["eid"], "mul", "sum", ft3,
+                          p_t[:, :, None])
+    den_stack = ell_stack(m.tail_meta_dst, tail_dst_ell["idx"],
+                          tail_dst_ell["eid"], "copy_rhs", "sum", None, p_t)
+
+    num = jnp.take(
+        jnp.concatenate([num_stack.reshape(-1, f), num_hub[:, :f]], axis=0),
+        hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
+    den = jnp.take(
+        jnp.concatenate([den_stack, den_hub[:, :h]], axis=0),
+        hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
+
+    # NOTE: 1e-38 is subnormal — flushed to 0 on TPU/CPU, which turns the
+    # guard into 0/0=NaN at zero-in-degree rows. Keep the floor normal.
+    den_safe = jnp.maximum(den, 1e-30)
+    out = (num.reshape(-1, h, d) / den_safe[:, :, None]).astype(ft2.dtype)
+    return out, mz, den_safe
+
+
+def _fwd(static, hub, el2, er2, ft2):
+    out, mz, den = _attn_forward(static, hub, el2, er2, ft2)
+    return out, (hub, el2, er2, ft2, mz, den, out)
+
+
+def _bwd(static, res, ct):
+    hub, el2, er2, ft2, mz, den, out = res
+    m = static.meta
+    h, d = static.h, static.d
+    f = h * d
+    f_pad = _round_up(f, BLK)
+    rows_pad = hub["dense_c"].shape[0]
+    slope = static.slope
+
+    ct2 = ct.reshape(-1, f).astype(jnp.float32)
+    out3 = out.reshape(-1, h, d).astype(jnp.float32)
+    # Softmax jacobian row term: rho[d,h] = <ct[d,h,:], out[d,h,:]> =
+    # sum_e a_e <ct_d, ft_s> — node-level, no per-edge reduction needed.
+    rho = jnp.sum(ct2.reshape(-1, h, d) * out3, axis=2)  # (num_dst, h)
+
+    el_pad = _pad_2d(el2, rows_pad, BLK)
+    ft_pad = _pad_2d(ft2, rows_pad, f_pad)
+    er_g = _hub_rows_128(er2, hub["hub_ids"], m.n_groups)
+    mz_g = _hub_rows_128(mz, hub["hub_ids"], m.n_groups)
+    den_g = _hub_rows_128(den, hub["hub_ids"], m.n_groups)
+    rho_g = _hub_rows_128(rho, hub["hub_ids"], m.n_groups)
+    ct_g = _pad_2d(
+        jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill", fill_value=0.0),
+        m.n_groups * BLK, f_pad)
+    r = _replication_r(h, d, f_pad)
+
+    gft_hub, gel_hub = _attn_bwd_call(
+        slope, True, hub["full_bwd"], el_pad, er_g, mz_g, den_g, rho_g,
+        ft_pad, ct_g, r, m.n_win, f_pad)
+    win_rows = jnp.repeat(hub["win_mask_full"], BLK,
+                          total_repeat_length=m.n_win * BLK)
+    gft_hub = jnp.where(win_rows[:, None], gft_hub, 0.0)
+    gel_hub = jnp.where(win_rows[:, None], gel_hub, 0.0)
+
+    (ger_hub,) = _attn_bwd_call(
+        slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g, rho_g,
+        ft_pad, ct_g, r, m.n_groups, f_pad)
+
+    # ---- tail (compact slot space) ----
+    ts, td = hub["tail_src"], hub["tail_dst"]
+    p_t = _tail_p(static, hub, el2, er2, mz)
+    den_t = jnp.take(den, td, axis=0, mode="fill", fill_value=1.0)
+    a_t = p_t / den_t
+    ft3 = ft2.reshape(-1, h, d)
+    ct3 = ct2.reshape(-1, h, d)
+    ft_ts = jnp.take(ft3, ts, axis=0, mode="fill", fill_value=0.0)
+    ct_td = jnp.take(ct3, td, axis=0, mode="fill", fill_value=0.0)
+    g_t = jnp.sum(ft_ts * ct_td, axis=2)  # (T_pad, h)
+    rho_td = jnp.take(rho, td, axis=0, mode="fill", fill_value=0.0)
+    el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
+    er_td = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
+    s_t = el_ts + er_td
+    q_t = a_t * (g_t - rho_td) * _dleaky(s_t, slope)
+
+    rev = {"idx": hub["r_idx"], "eid": hub["r_eid_c"],
+           "inv_perm": hub["r_inv"]}
+    gft_tail = ell_reduce(m.tail_meta_src, rev, "mul", "sum",
+                          ct3, a_t[:, :, None], static.num_src)
+    gel_tail = ell_reduce(m.tail_meta_src, rev, "copy_rhs", "sum",
+                          None, q_t, static.num_src)
+    ger_stack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid_c"],
+                          "copy_rhs", "sum", None, q_t)
+
+    gft = (gft_hub[: static.num_src, :f]
+           + gft_tail.reshape(static.num_src, f)).astype(ft2.dtype)
+    gel = (gel_hub[: static.num_src, :h] + gel_tail).astype(el2.dtype)
+    ger = jnp.take(
+        jnp.concatenate([ger_stack, ger_hub[:, :h]], axis=0),
+        hub["t_inv"], axis=0, mode="fill", fill_value=0.0
+    ).astype(er2.dtype)
+
+    return (_float0_like(hub), gel, ger, gft)
+
+
+_gat_attention.defvjp(_fwd, _bwd)
+
+
+# ----------------------------------------------------------------------
+# Public API
+# ----------------------------------------------------------------------
+
+def can_fuse_attention(g: Graph) -> bool:
+    return g.hub_dst is not None and g.hub_dst_meta is not None \
+        and "t_eid_c" in g.hub_dst
+
+
+def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2):
+    """Fused softmax-attention aggregation:
+    ``out[d] = sum_e softmax_d(leaky_relu(el[s]+er[d])) * ft[s]``.
+
+    el: (num_src, H) or (num_src, H, 1); er likewise over dst;
+    ft: (num_src, H, D). Returns (num_dst, H, D). Requires the hub
+    format (``can_fuse_attention``); callers fall back to the composed
+    SDDMM/edge_softmax/SpMM path otherwise.
+    """
+    if not can_fuse_attention(g):
+        return None
+    h = ft.shape[1]
+    d = ft.shape[2]
+    if h > BLK:
+        return None
+    el2 = el.reshape(el.shape[0], -1).astype(jnp.float32)
+    er2 = er.reshape(er.shape[0], -1).astype(jnp.float32)
+    if el2.shape[1] != h or er2.shape[1] != h:
+        return None
+    static = _Static(
+        slope=float(negative_slope),
+        num_src=g.num_src_nodes(),
+        num_dst=g.num_dst_nodes(),
+        h=h,
+        d=d,
+        meta=g.hub_dst_meta,
+    )
+    ft2 = ft.reshape(ft.shape[0], h * d)
+    return _gat_attention(static, g.hub_dst, el2, er2, ft2).reshape(
+        g.num_dst_nodes(), h, d).astype(ft.dtype)

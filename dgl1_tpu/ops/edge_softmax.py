@@ -49,6 +49,8 @@ def edge_softmax(g: Graph, logits, norm_by: str = "dst"):
     shifted = gsddmm(g, "sub", logits, mx, lhs_target="e", rhs_target="v")
     ex = jnp.where(mask, jnp.exp(shifted), jnp.zeros_like(shifted))
     denom = gspmm(g, "copy_rhs", "sum", None, ex)
-    denom = jnp.maximum(denom, jnp.asarray(1e-38, dtype=denom.dtype))
+    # 1e-30, not 1e-38: subnormal constants flush to zero on TPU/CPU and
+    # would turn the guard into 0/0 = NaN.
+    denom = jnp.maximum(denom, jnp.asarray(1e-30, dtype=denom.dtype))
     out = gsddmm(g, "div", ex, denom, lhs_target="e", rhs_target="v")
     return out[..., 0] if squeeze else out

@@ -1,0 +1,128 @@
+"""Fused flash-style GAT attention vs the composed oracle path.
+
+The fused op must match SDDMM u_add_v -> leaky_relu -> edge_softmax ->
+u_mul_e SpMM (all on the XLA oracle engine) on values AND gradients, for
+every tier configuration of the hub format.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dgl1_tpu as dgl
+from dgl1_tpu.ops import dispatch
+from dgl1_tpu.ops.attention import can_fuse_attention, gat_attention
+from dgl1_tpu.ops.engine_xla import gspmm_xla
+
+from tests.test_hub import CONFIGS, make_skewed, N, E
+
+SLOPE = 0.2
+
+
+def composed(g, el, er, ft, slope=SLOPE):
+    """Oracle: the exact composed lowering (forced XLA engine)."""
+    from dgl1_tpu.ops import edge_softmax, gsddmm, gspmm
+
+    dispatch.set_engine("xla")
+    try:
+        e = gsddmm(g, "add", el[:, :, None], er[:, :, None],
+                   lhs_target="u", rhs_target="v")
+        e = jnp.where(e >= 0, e, slope * e)
+        a = edge_softmax(g, e)
+        return gspmm(g, "mul", "sum", ft, a)
+    finally:
+        dispatch.set_engine("auto")
+
+
+def data(h=4, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    el = jnp.asarray(rng.normal(size=(N, h)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(N, h)).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(N, h, d)).astype(np.float32))
+    return el, er, ft
+
+
+@pytest.mark.parametrize("config", list(CONFIGS))
+def test_fused_forward_matches_composed(config):
+    g = make_skewed(config)
+    assert can_fuse_attention(g)
+    el, er, ft = data()
+    a = gat_attention(g, el, er, ft, SLOPE)
+    b = composed(g, el, er, ft)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("config", list(CONFIGS))
+def test_fused_grads_match_composed(config):
+    g = make_skewed(config)
+    el, er, ft = data(seed=1)
+
+    def loss(fn):
+        return lambda el, er, ft: jnp.sum(
+            jnp.sin(fn(g, el, er, ft)))
+
+    gf = jax.grad(loss(lambda g, el, er, ft: gat_attention(
+        g, el, er, ft, SLOPE)), argnums=(0, 1, 2))(el, er, ft)
+    gc = jax.grad(loss(composed), argnums=(0, 1, 2))(el, er, ft)
+    for a, b, name in zip(gf, gc, ["el", "er", "ft"]):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"grad_{name}")
+
+
+def test_fused_single_head_and_wide():
+    g = make_skewed("mixed")
+    for h, d in [(1, 16), (8, 32), (2, 100)]:
+        el, er, ft = data(h=h, d=d, seed=h)
+        a = gat_attention(g, el, er, ft, SLOPE)
+        b = composed(g, el, er, ft)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_el_er_3d_shapes():
+    """(N, H, 1) logits (the GATConv shapes) are accepted."""
+    g = make_skewed("mixed")
+    el, er, ft = data(seed=3)
+    a = gat_attention(g, el[:, :, None], er[:, :, None], ft, SLOPE)
+    b = composed(g, el, er, ft)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_gatconv_uses_fused_and_matches():
+    """GATConv output identical whether the fused path or the composed
+    path runs (deterministic, attn_drop irrelevant)."""
+    from dgl1_tpu.nn import GATConv
+    from dgl1_tpu.ops import attention
+
+    g = make_skewed("mixed")
+    rng = np.random.default_rng(4)
+    feat = jnp.asarray(rng.normal(size=(N, 12)).astype(np.float32))
+    conv = GATConv(8, num_heads=4)
+    params = conv.init(jax.random.PRNGKey(0), g, feat)
+    out_fused = conv.apply(params, g, feat)
+
+    orig = attention.gat_attention
+    try:
+        # Disable fusion; the composed path must agree.
+        attention_can = attention.can_fuse_attention
+        import dgl1_tpu.nn.conv as conv_mod  # noqa: F401
+        attention.can_fuse_attention = lambda g: False
+        # nn.conv imported the names at call time via module attr access.
+        out_composed = conv.apply(params, g, feat)
+    finally:
+        attention.can_fuse_attention = attention_can
+        attention.gat_attention = orig
+    np.testing.assert_allclose(out_fused, out_composed, rtol=1e-4,
+                               atol=1e-4)
+    # And gradients flow through the fused path.
+    gr = jax.grad(lambda p: jnp.sum(conv.apply(p, g, feat) ** 2))(params)
+    assert all(np.isfinite(x).all() for x in jax.tree.leaves(gr))
+
+
+def test_fused_zero_in_degree_rows():
+    g = make_skewed("mixed")
+    el, er, ft = data(seed=5)
+    out = np.asarray(gat_attention(g, el, er, ft, SLOPE))
+    deg = np.asarray(g.in_degrees())
+    np.testing.assert_allclose(out[deg == 0], 0.0)
+    assert np.isfinite(out).all()
