@@ -54,7 +54,23 @@ from dgl1_tpu.graph import (
     create_block,
 )
 from dgl1_tpu.heterograph import HeteroGraph, heterograph
-from dgl1_tpu.batch import batch, unbatch
+from dgl1_tpu.batch import batch, unbatch, batch_num_nodes, batch_num_edges
+from dgl1_tpu.readout import (
+    readout_nodes,
+    readout_edges,
+    sum_nodes,
+    sum_edges,
+    mean_nodes,
+    mean_edges,
+    max_nodes,
+    max_edges,
+    softmax_nodes,
+    softmax_edges,
+    broadcast_nodes,
+    broadcast_edges,
+    topk_nodes,
+    topk_edges,
+)
 from dgl1_tpu import function
 from dgl1_tpu import ops
 from dgl1_tpu import transform
@@ -70,6 +86,12 @@ from dgl1_tpu.transform import (
     line_graph,
     to_block,
     compact_graphs,
+    in_subgraph,
+    out_subgraph,
+    knn_graph,
+    segmented_knn_graph,
+    metapath_reachable_graph,
+    laplacian_lambda_max,
 )
 from dgl1_tpu.ops.edge_softmax import edge_softmax
 from dgl1_tpu import sampling

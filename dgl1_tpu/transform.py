@@ -28,6 +28,12 @@ __all__ = [
     "compact_graphs",
     "to_homogeneous",
     "to_heterogeneous",
+    "in_subgraph",
+    "out_subgraph",
+    "knn_graph",
+    "segmented_knn_graph",
+    "metapath_reachable_graph",
+    "laplacian_lambda_max",
 ]
 
 
@@ -358,3 +364,158 @@ def to_heterogeneous(g: Graph, ntypes, etypes, metagraph=None):
             num_dst_nodes=counts[c[2]],
         )
     return HeteroGraph(rels, counts)
+
+
+def in_subgraph(g: Graph, nodes) -> Graph:
+    """Subgraph of all edges whose destination is in ``nodes``; node set
+    unchanged (parity: ``dgl.in_subgraph`` /
+    ``src/graph/transform/in_out_subgraph.cc``)."""
+    nodes = np.asarray(nodes)
+    if nodes.dtype == bool:
+        nodes = np.nonzero(nodes)[0]
+    mask = np.zeros((g.num_nodes(),), dtype=bool)
+    mask[nodes] = True
+    _, dst = _coo(g)
+    return edge_subgraph(g, np.nonzero(mask[dst])[0], relabel_nodes=False)
+
+
+def out_subgraph(g: Graph, nodes) -> Graph:
+    """Subgraph of all edges whose source is in ``nodes``; node set
+    unchanged (parity: ``dgl.out_subgraph``)."""
+    nodes = np.asarray(nodes)
+    if nodes.dtype == bool:
+        nodes = np.nonzero(nodes)[0]
+    mask = np.zeros((g.num_nodes(),), dtype=bool)
+    mask[nodes] = True
+    src, _ = _coo(g)
+    return edge_subgraph(g, np.nonzero(mask[src])[0], relabel_nodes=False)
+
+
+def _pairwise_sq_dists(x, seg_ids=None):
+    """(N, N) squared euclidean distances via one MXU matmul
+    (|a|^2 + |b|^2 - 2ab); cross-segment pairs masked to +inf."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    sq = jnp.sum(x * x, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    if seg_ids is not None:
+        same = seg_ids[:, None] == seg_ids[None, :]
+        d2 = jnp.where(same, d2, jnp.inf)
+    return d2
+
+
+def knn_graph(x, k: int) -> Graph:
+    """Graph where each point receives edges from its ``k`` nearest
+    neighbors, self included (parity: ``dgl.knn_graph`` /
+    ``python/dgl/transform.py :: knn_graph``). Distances are one dense
+    MXU matmul — the TPU-native formulation of kNN."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    if x.ndim == 3:  # (B, N, D) batched point clouds, reference-compatible
+        b, n, _ = x.shape
+        seg = jnp.repeat(jnp.arange(b), n)
+        return segmented_knn_graph(
+            x.reshape(b * n, -1), k, np.full((b,), n, dtype=np.int64)
+        )
+    n = x.shape[0]
+    d2 = _pairwise_sq_dists(x)
+    _, nbr = jax.lax.top_k(-d2, min(k, n))  # (N, k) nearest columns
+    dst = np.repeat(np.arange(n, dtype=np.int64), min(k, n))
+    src = np.asarray(nbr).reshape(-1).astype(np.int64)
+    return graph((src, dst), num_nodes=n)
+
+
+def segmented_knn_graph(x, k: int, segs) -> Graph:
+    """kNN graph within each segment of a packed point set (parity:
+    ``dgl.segmented_knn_graph``). ``segs``: per-segment point counts."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    segs = np.asarray(segs, dtype=np.int64)
+    n = x.shape[0]
+    assert int(segs.sum()) == n
+    seg_ids = jnp.asarray(np.repeat(np.arange(len(segs)), segs))
+    d2 = _pairwise_sq_dists(x, seg_ids=seg_ids)
+    kk = min(k, int(segs.min()))
+    _, nbr = jax.lax.top_k(-d2, kk)
+    dst = np.repeat(np.arange(n, dtype=np.int64), kk)
+    src = np.asarray(nbr).reshape(-1).astype(np.int64)
+    return graph((src, dst), num_nodes=n)
+
+
+def metapath_reachable_graph(hg, metapath) -> Graph:
+    """Graph between the start and end node types of ``metapath`` with an
+    edge wherever a path exists along the relation chain (parity:
+    ``dgl.metapath_reachable_graph``). Adjacency chain product on the host
+    (scipy.sparse); features of the end types are carried over."""
+    import scipy.sparse as sp
+
+    canon = [hg.to_canonical_etype(et) for et in metapath]
+    for a, b in zip(canon[:-1], canon[1:]):
+        if a[2] != b[0]:
+            raise ValueError(f"metapath breaks between {a} and {b}")
+    adj = None
+    for c in canon:
+        rel = hg.rel_graphs[c]
+        e = rel.num_edges()
+        s = np.asarray(rel.src)[:e]
+        d = np.asarray(rel.dst)[:e]
+        m = sp.csr_matrix(
+            (np.ones(e, dtype=np.int8), (s, d)),
+            shape=(hg.num_nodes(c[0]), hg.num_nodes(c[2])),
+        )
+        adj = m if adj is None else (adj @ m)
+        adj.data[:] = 1  # reachability, not path counts
+    coo = adj.tocoo()
+    srctype, dsttype = canon[0][0], canon[-1][2]
+    if srctype == dsttype:
+        new = graph((coo.row.astype(np.int64), coo.col.astype(np.int64)),
+                    num_nodes=hg.num_nodes(srctype))
+        new.ndata.update(hg.nodes_data(srctype))
+        return new
+    from dgl1_tpu.graph import block as _block
+
+    new = _block((coo.row.astype(np.int64), coo.col.astype(np.int64)),
+                 num_src_nodes=hg.num_nodes(srctype),
+                 num_dst_nodes=hg.num_nodes(dsttype))
+    new.srcdata.update(hg.nodes_data(srctype))
+    new.dstdata.update(hg.nodes_data(dsttype))
+    return new
+
+
+def laplacian_lambda_max(g: Graph):
+    """Largest eigenvalue of the symmetric-normalized Laplacian per graph
+    in the batch (parity: ``dgl.laplacian_lambda_max``; feeds ChebConv).
+    Host-side scipy — an offline preprocessing quantity."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from dgl1_tpu.batch import unbatch
+
+    graphs = [g]
+    if getattr(g, "_batch_num_nodes", None) is not None:
+        graphs = unbatch(g)
+    out = []
+    for sub in graphs:
+        n = sub.num_nodes()
+        src, dst = _coo(sub)
+        adj = sp.csr_matrix(
+            (np.ones(len(src)), (src, dst)), shape=(n, n)
+        )
+        deg = np.asarray(adj.sum(axis=1)).ravel()
+        inv_sqrt = np.where(deg > 0, deg ** -0.5, 0.0)
+        dmat = sp.diags(inv_sqrt)
+        lap = sp.eye(n) - dmat @ adj @ dmat
+        if n <= 64:
+            val = float(np.linalg.eigvals(lap.toarray()).real.max())
+        else:
+            val = float(
+                spla.eigs(lap, k=1, which="LM", return_eigenvectors=False,
+                          tol=1e-6).real[0]
+            )
+        out.append(val)
+    return out
