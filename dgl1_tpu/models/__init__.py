@@ -5,5 +5,6 @@ from dgl1_tpu.models.gcn import GCN
 from dgl1_tpu.models.gat import GAT
 from dgl1_tpu.models.graphsage import GraphSAGE
 from dgl1_tpu.models.rgcn import RGCN
+from dgl1_tpu.models.han import HAN, HANLayer, SemanticAttention
 
-__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN"]
+__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "HAN", "HANLayer", "SemanticAttention"]

@@ -21,6 +21,8 @@ from dgl1_tpu.nn.conv import (
     NNConv,
     DenseGraphConv,
     DenseSAGEConv,
+    DenseChebConv,
+    CFConv,
 )
 from dgl1_tpu.nn.glob import (
     SumPooling,
@@ -29,8 +31,11 @@ from dgl1_tpu.nn.glob import (
     SortPooling,
     GlobalAttentionPooling,
     Set2Set,
+    WeightAndSum,
 )
 from dgl1_tpu.nn.hetero import HeteroGraphConv
+from dgl1_tpu.nn.factory import KNNGraph, SegmentedKNNGraph
+from dgl1_tpu.nn.utils import WeightBasis
 from dgl1_tpu.nn.softmax import edge_softmax
 
 __all__ = [
@@ -49,6 +54,8 @@ __all__ = [
     "NNConv",
     "DenseGraphConv",
     "DenseSAGEConv",
+    "DenseChebConv",
+    "CFConv",
     "SumPooling",
     "AvgPooling",
     "MaxPooling",
@@ -57,6 +64,10 @@ __all__ = [
     "Set2Set",
     "HeteroGraphConv",
     "edge_softmax",
+    "WeightAndSum",
+    "KNNGraph",
+    "SegmentedKNNGraph",
+    "WeightBasis",
 ]
 
 from dgl1_tpu.nn.conv import GMMConv  # noqa: E402

@@ -36,6 +36,8 @@ __all__ = [
     "NNConv",
     "DenseGraphConv",
     "DenseSAGEConv",
+    "DenseChebConv",
+    "CFConv",
 ]
 
 
@@ -641,3 +643,66 @@ class GMMConv(nn.Module):
         src_e = gsddmm(g, "copy_lhs", proj, None, lhs_target="u")
         msg = jnp.sum(src_e * w[..., None], axis=1)
         return gspmm(g, "copy_rhs", self.aggregator_type, None, msg)
+
+
+class DenseChebConv(nn.Module):
+    """Chebyshev spectral conv on a dense adjacency (parity:
+    ``python/dgl/nn/pytorch/conv/densechebconv.py``): K Chebyshev
+    polynomial terms of the scaled normalized Laplacian, each with its own
+    projection — K dense MXU matmuls."""
+
+    out_feats: int
+    k: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, adj, feat, lambda_max: float = 2.0):
+        adj = adj.astype(feat.dtype)
+        n = adj.shape[0]
+        deg = jnp.maximum(adj.sum(axis=1), 1.0) ** -0.5
+        lap = jnp.eye(n, dtype=feat.dtype) - deg[:, None] * adj * deg[None, :]
+        lap_hat = (2.0 / lambda_max) * lap - jnp.eye(n, dtype=feat.dtype)
+        t_prev, t_cur = feat, None
+        out = nn.Dense(self.out_feats, use_bias=False, name="W_0")(t_prev)
+        if self.k > 1:
+            t_cur = lap_hat @ feat
+            out = out + nn.Dense(self.out_feats, use_bias=False,
+                                 name="W_1")(t_cur)
+        for i in range(2, self.k):
+            t_next = 2.0 * (lap_hat @ t_cur) - t_prev
+            out = out + nn.Dense(self.out_feats, use_bias=False,
+                                 name=f"W_{i}")(t_next)
+            t_prev, t_cur = t_cur, t_next
+        if self.use_bias:
+            out = out + self.param(
+                "bias", nn.initializers.zeros, (self.out_feats,)
+            )
+        return out
+
+
+def shifted_softplus(x):
+    """ssp(x) = ln(1 + e^x) - ln 2 (SchNet nonlinearity)."""
+    return jax.nn.softplus(x) - jnp.log(2.0)
+
+
+class CFConv(nn.Module):
+    """Continuous-filter conv from SchNet (parity:
+    ``python/dgl/nn/pytorch/conv/cfconv.py``): an edge-feature filter
+    network modulates projected source features; sum-aggregate."""
+
+    hidden_feats: int
+    out_feats: int
+
+    @nn.compact
+    def __call__(self, g: Graph, node_feat, edge_feat):
+        h_src, _ = _split_feat(node_feat)
+        h = nn.Dense(self.hidden_feats, use_bias=False,
+                     name="project_node")(h_src)
+        w = nn.Dense(self.hidden_feats, name="filter_1")(edge_feat)
+        w = shifted_softplus(w)
+        w = nn.Dense(self.hidden_feats, name="filter_2")(w)
+        w = shifted_softplus(w)
+        rst = gspmm(g, "mul", "sum", h, w)
+        rst = nn.Dense(self.out_feats, name="project_out1")(rst)
+        rst = shifted_softplus(rst)
+        return rst

@@ -26,6 +26,7 @@ __all__ = [
     "SortPooling",
     "GlobalAttentionPooling",
     "Set2Set",
+    "WeightAndSum",
 ]
 
 
@@ -120,3 +121,18 @@ class Set2Set(nn.Module):
             readout = segment_reduce(seglen, a * feat, "sum")
             q_star = jnp.concatenate([q, readout], axis=-1)
         return q_star
+
+
+class WeightAndSum(nn.Module):
+    """Per-node learned sigmoid gate, weighted-sum readout (parity:
+    ``python/dgl/nn/pytorch/glob.py :: WeightAndSum``)."""
+
+    in_feats: int
+
+    @nn.compact
+    def __call__(self, g: Graph, feat):
+        w = nn.sigmoid(
+            nn.Dense(1, name="atom_weighting")(feat)
+        )
+        seglen = batch_num_nodes(g)
+        return segment_reduce(seglen, w * feat[: g.num_src_nodes()], "sum")

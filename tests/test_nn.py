@@ -250,3 +250,88 @@ def test_apply_edges_subset():
     for e in eids:
         np.testing.assert_allclose(s[e], h[src[e]] + h[dst[e]], rtol=1e-6)
     np.testing.assert_allclose(s[0], 0.0)  # untouched row stays zero
+
+
+def test_dense_cheb_conv():
+    g, feat = make(n=10, e=40, f=6)
+    e = g.num_edges()
+    src, dst = np.asarray(g.src)[:e], np.asarray(g.dst)[:e]
+    adj = np.zeros((10, 10), np.float32)
+    adj[dst, src] = 1.0
+    conv = nn.DenseChebConv(4, k=3)
+    params = conv.init(KEY, jnp.asarray(adj), feat)
+    out = conv.apply(params, jnp.asarray(adj), feat)
+    assert out.shape == (10, 4)
+    # k=1 reduces to a plain dense projection + bias.
+    conv1 = nn.DenseChebConv(4, k=1)
+    p1 = conv1.init(KEY, jnp.asarray(adj), feat)
+    o1 = conv1.apply(p1, jnp.asarray(adj), feat)
+    W = np.asarray(p1["params"]["W_0"]["kernel"])
+    b = np.asarray(p1["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(feat) @ W + b,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cfconv():
+    g, feat = make(n=12, e=48, f=6)
+    efeat = jnp.asarray(
+        np.random.default_rng(5).normal(
+            size=(g.num_edges_padded(), 3)).astype(np.float32))
+    conv = nn.CFConv(hidden_feats=8, out_feats=5)
+    params = conv.init(KEY, g, feat, efeat)
+    out = conv.apply(params, g, feat, efeat)
+    assert out.shape == (12, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_weight_and_sum():
+    graphs = [dgl.rand_graph(5, 10, seed=s) for s in range(3)]
+    for g in graphs:
+        g.ndata["h"] = jnp.asarray(
+            np.random.default_rng(1).normal(size=(5, 4)).astype(np.float32))
+    bg = dgl.batch(graphs)
+    mod = nn.WeightAndSum(in_feats=4)
+    params = mod.init(KEY, bg, bg.ndata["h"])
+    out = mod.apply(params, bg, bg.ndata["h"])
+    assert out.shape == (3, 4)
+
+
+def test_weight_basis():
+    mod = nn.WeightBasis(shape=(4, 5), num_bases=2, num_outputs=7)
+    params = mod.init(KEY)
+    w = mod.apply(params)
+    assert w.shape == (7, 4, 5)
+    basis = np.asarray(params["params"]["weight"]).reshape(2, -1)
+    coeff = np.asarray(params["params"]["w_comp"])
+    np.testing.assert_allclose(
+        np.asarray(w).reshape(7, -1), coeff @ basis, rtol=1e-5, atol=1e-6)
+
+
+def test_knn_graph_module():
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(15, 3)).astype(np.float32))
+    g = nn.KNNGraph(4)(x)
+    assert g.num_nodes() == 15 and g.num_edges() == 60
+    g2 = nn.SegmentedKNNGraph(3)(x, [7, 8])
+    assert g2.num_edges() == 45
+
+
+def test_han_model():
+    from dgl1_tpu.models import HAN
+
+    hg = dgl.heterograph({
+        ("paper", "pa", "author"): ([0, 1, 2, 3], [0, 0, 1, 1]),
+        ("author", "ap", "paper"): ([0, 0, 1, 1], [0, 1, 2, 3]),
+    }, num_nodes_dict={"paper": 4, "author": 2})
+    graphs = [dgl.metapath_reachable_graph(hg, ["pa", "ap"])]
+    feat = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 6)).astype(np.float32))
+    model = HAN(num_metapaths=1, hidden_feats=3, out_feats=2, num_heads=2,
+                dropout=0.0)
+    params = model.init(KEY, graphs, feat)
+    out = model.apply(params, graphs, feat)
+    assert out.shape == (4, 2)
+    grads = jax.grad(
+        lambda p: jnp.sum(model.apply(p, graphs, feat) ** 2))(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(grads))
