@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["lib", "available"]
+__all__ = ["lib", "available", "gather_rows"]
 
 _LIB = None
 _TRIED = False
@@ -49,7 +49,32 @@ def _compile() -> Optional[ctypes.CDLL]:
     lib.plan_tiles.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32,
                                ctypes.c_int32, ctypes.c_int32]
     lib.plan_tiles.restype = ctypes.c_int64
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.gather_rows.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int64,
+                                ctypes.c_int64, ctypes.c_void_p,
+                                ctypes.c_int32]
+    lib.gather_rows.restype = None
     return lib
+
+
+def gather_rows(src: np.ndarray, ids: np.ndarray,
+                num_threads: int = 8) -> np.ndarray:
+    """dst[i] = src[ids[i]] via threaded memcpy; numpy fallback when the
+    native library is unavailable. ``src`` may be any C-contiguous 2-D+
+    array (including np.memmap)."""
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    out = np.empty((len(ids),) + src.shape[1:], dtype=src.dtype)
+    native = lib()
+    if native is None or not src.flags.c_contiguous or len(ids) == 0:
+        if len(ids):
+            np.take(src, ids, axis=0, out=out)
+        return out
+    row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    native.gather_rows(
+        src.ctypes.data, ids, len(ids), row_bytes,
+        out.ctypes.data, num_threads,
+    )
+    return out
 
 
 def lib() -> Optional[ctypes.CDLL]:

@@ -92,4 +92,41 @@ int64_t plan_tiles(const int32_t* tgt_sorted, int64_t num_edges,
   return total;
 }
 
+// Parallel row gather: dst[i] = src[ids[i]] for row_bytes-sized rows.
+// Parity role: the host side of DistDGL's KVStore pull fast path
+// (python/dgl/distributed/kvstore.py local shared-memory reads) and the
+// feature slicing in the sampling pipeline. numpy fancy indexing on this
+// host is page-fault/loop bound (~25 MB/s cold); threaded memcpy reaches
+// memory bandwidth.
+void gather_rows(const char* src, const int64_t* ids, int64_t n,
+                 int64_t row_bytes, char* dst, int32_t num_threads);
+
 }  // extern "C"
+
+#include <thread>
+#include <vector>
+
+extern "C" void gather_rows(const char* src, const int64_t* ids, int64_t n,
+                            int64_t row_bytes, char* dst,
+                            int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > 64) num_threads = 64;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      std::memcpy(dst + i * row_bytes, src + ids[i] * row_bytes, row_bytes);
+    }
+  };
+  if (num_threads == 1 || n < 4096) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n + num_threads - 1) / num_threads;
+  for (int32_t t = 0; t < num_threads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}

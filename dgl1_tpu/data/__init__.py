@@ -23,6 +23,7 @@ from dgl1_tpu.data.ogb import OGBDataset
 from dgl1_tpu.data.minigc import MiniGCDataset
 from dgl1_tpu.data.csv_dataset import CSVDataset
 from dgl1_tpu.data.ppi_tu import PPIDataset, TUDataset
+from dgl1_tpu.data.feature_store import HostFeatureStore, prefetch_to_device
 
 __all__ = [
     "save_graphs",
@@ -41,4 +42,6 @@ __all__ = [
     "CSVDataset",
     "PPIDataset",
     "TUDataset",
+    "HostFeatureStore",
+    "prefetch_to_device",
 ]
