@@ -22,8 +22,19 @@ from dgl1_tpu.data.knowledge import FB15k237Dataset, WN18Dataset, AIFBDataset
 from dgl1_tpu.data.ogb import OGBDataset
 from dgl1_tpu.data.minigc import MiniGCDataset
 from dgl1_tpu.data.csv_dataset import CSVDataset
-from dgl1_tpu.data.ppi_tu import PPIDataset, TUDataset
+from dgl1_tpu.data.ppi_tu import PPIDataset, TUDataset, GINDataset
 from dgl1_tpu.data.feature_store import HostFeatureStore, prefetch_to_device
+from dgl1_tpu.data.gnn_benchmark import (
+    CoraFullDataset,
+    CoauthorCSDataset,
+    CoauthorPhysicsDataset,
+    AmazonCoBuyComputerDataset,
+    AmazonCoBuyPhotoDataset,
+    KarateClubDataset,
+)
+from dgl1_tpu.data.sbm import SBMMixtureDataset
+from dgl1_tpu.data.qm import QM7bDataset, QM9Dataset
+from dgl1_tpu.data.utils import Subset, split_dataset
 
 __all__ = [
     "save_graphs",
@@ -44,4 +55,16 @@ __all__ = [
     "TUDataset",
     "HostFeatureStore",
     "prefetch_to_device",
+    "GINDataset",
+    "CoraFullDataset",
+    "CoauthorCSDataset",
+    "CoauthorPhysicsDataset",
+    "AmazonCoBuyComputerDataset",
+    "AmazonCoBuyPhotoDataset",
+    "KarateClubDataset",
+    "SBMMixtureDataset",
+    "QM7bDataset",
+    "QM9Dataset",
+    "Subset",
+    "split_dataset",
 ]

