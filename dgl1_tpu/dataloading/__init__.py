@@ -16,6 +16,7 @@ from dgl1_tpu.dataloading.edge_dataloader import (
 )
 from dgl1_tpu.dataloading import negative_sampler
 from dgl1_tpu.dataloading.inference import layerwise_inference
+from dgl1_tpu.dataloading.cluster import ClusterGCNDataLoader
 
 __all__ = [
     "NeighborSampler",
@@ -28,4 +29,5 @@ __all__ = [
     "as_edge_prediction_sampler",
     "negative_sampler",
     "layerwise_inference",
+    "ClusterGCNDataLoader",
 ]

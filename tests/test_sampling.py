@@ -1,6 +1,7 @@
 """Sampling tests (parity role: ``tests/compute/test_sampler.py``):
 fanout respected, no-replacement uniqueness, block pipeline invariants."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -179,3 +180,43 @@ def test_layerwise_inference_matches_full():
     )
     np.testing.assert_allclose(np.asarray(batched), np.asarray(full),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cluster_gcn_dataloader():
+    from dgl1_tpu.dataloading import ClusterGCNDataLoader
+
+    g = dgl.rand_graph(100, 600, seed=11)
+    g.ndata["feat"] = jnp.asarray(
+        np.random.default_rng(0).normal(size=(100, 4)).astype(np.float32))
+    loader = ClusterGCNDataLoader(g, num_parts=5, parts_per_batch=2,
+                                  shuffle=True, seed=3,
+                                  node_pad_multiple=32,
+                                  edge_pad_multiple=64)
+    assert len(loader) == 3
+    seen = []
+    for sg, mask in loader:
+        m = np.asarray(mask)
+        ids = np.asarray(sg.ndata["_ID"])[m]
+        seen.extend(ids.tolist())
+        # Padded shapes are bucketed multiples.
+        assert sg.num_nodes() % 32 == 0
+        assert sg.num_edges_padded() % 64 == 0
+        assert m.shape[0] == sg.num_nodes()
+        # Real nodes first; features match the parent rows.
+        np.testing.assert_allclose(
+            np.asarray(sg.ndata["feat"])[m],
+            np.asarray(g.ndata["feat"])[ids], rtol=1e-6)
+        # Every real edge connects real nodes, endpoints within cluster set.
+        e = sg.num_edges()
+        s = np.asarray(sg.src)[:e]
+        d = np.asarray(sg.dst)[:e]
+        assert m[s].all() and m[d].all()
+        # Induced-subgraph invariant: parent edges between selected nodes
+        # all appear.
+        sel = set(ids.tolist())
+        pe = g.num_edges()
+        ps, pd = np.asarray(g.src)[:pe], np.asarray(g.dst)[:pe]
+        n_induced = int(((np.isin(ps, ids)) & (np.isin(pd, ids))).sum())
+        assert e == n_induced
+    # Full cover, no duplicates across the epoch.
+    assert sorted(seen) == list(range(100))
