@@ -51,6 +51,8 @@ from dgl1_tpu.graph import (
     rand_graph,
     rand_bipartite,
     from_scipy,
+    from_networkx,
+    to_networkx,
     create_block,
 )
 from dgl1_tpu.heterograph import HeteroGraph, heterograph
@@ -92,6 +94,10 @@ from dgl1_tpu.transform import (
     segmented_knn_graph,
     metapath_reachable_graph,
     laplacian_lambda_max,
+    add_edges,
+    remove_edges,
+    add_nodes,
+    remove_nodes,
 )
 from dgl1_tpu.ops.edge_softmax import edge_softmax
 from dgl1_tpu import sampling
@@ -123,6 +129,8 @@ __all__ = [
     "rand_graph",
     "rand_bipartite",
     "from_scipy",
+    "from_networkx",
+    "to_networkx",
     "create_block",
     "HeteroGraph",
     "heterograph",
@@ -142,6 +150,16 @@ __all__ = [
     "line_graph",
     "to_block",
     "compact_graphs",
+    "add_edges",
+    "remove_edges",
+    "add_nodes",
+    "remove_nodes",
+    "in_subgraph",
+    "out_subgraph",
+    "knn_graph",
+    "segmented_knn_graph",
+    "metapath_reachable_graph",
+    "laplacian_lambda_max",
     "edge_softmax",
     "sampling",
     "dataloading",

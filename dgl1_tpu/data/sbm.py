@@ -42,8 +42,8 @@ class SBMMixtureDataset:
     standard (c + lambda*sqrt(c), c - lambda*sqrt(c)) mixture."""
 
     def __init__(self, n_graphs: int, n_nodes: int, n_communities: int,
-                 avg_deg: float = 3.0, pq: str = "Appendix_C",
-                 seed: int = 0):
+                 avg_deg: float = 3.0, pq="Appendix_C",
+                 pad_multiple: int = 256, seed: int = 0):
         import jax.numpy as jnp
 
         rng = np.random.default_rng(seed)
@@ -52,20 +52,38 @@ class SBMMixtureDataset:
         self.pm_pds: List[np.ndarray] = []
         self.labels: List[np.ndarray] = []
         for _ in range(n_graphs):
-            lam = rng.uniform(0.5, 2.0) if pq == "Appendix_C" else 1.0
+            # pq: "Appendix_C" draws the SNR lambda per graph like the
+            # reference; a number fixes lambda directly.
+            lam = (rng.uniform(0.5, 2.0) if pq == "Appendix_C"
+                   else float(pq))
             c = avg_deg
             p = min((c + lam * np.sqrt(c)) / n_nodes * n_communities, 1.0)
             q = max((c - lam * np.sqrt(c)) / n_nodes * n_communities, 0.0)
             src, dst, comm = _sbm_graph(n_nodes, n_communities, p, q, rng)
-            g = graph((src, dst), num_nodes=n_nodes)
-            lg = line_graph(g, backtracking=False)
-            e = g.num_edges()
-            # pm_pd: (N, 2E) incidence with +1 at src, +1 at dst per edge
-            # column (Pm + Pd), stored dense — LGNN multiplies it once per
-            # layer, which on TPU is a plain MXU matmul.
-            pm_pd = np.zeros((n_nodes, e), np.float32)
-            pm_pd[np.asarray(src), np.arange(e)[: src.shape[0]]] += 1.0
-            pm_pd[np.asarray(dst), np.arange(e)[: dst.shape[0]]] += 1.0
+            # Pad graph and line graph to bucketed static sizes so one
+            # compiled train step serves the whole mixture (the reference
+            # re-traces per graph; XLA must not).
+            def _round(x, m):
+                return max((int(x) + m - 1) // m * m, m)
+
+            e = int(src.shape[0])
+            e_pad = _round(e, pad_multiple)
+            g_real = graph((src, dst), num_nodes=n_nodes)
+            g = graph((src, dst), num_nodes=n_nodes, pad_edges_to=e_pad)
+            lg_real = line_graph(g_real, backtracking=False)
+            le = lg_real.num_edges()
+            ls = np.asarray(lg_real.src)[:le]
+            ld = np.asarray(lg_real.dst)[:le]
+            # Line-graph edge counts spread ~degree^2: bucket 4x coarser
+            # so the whole mixture shares a handful of compiled shapes.
+            lg = graph((ls, ld), num_nodes=e_pad,
+                       pad_edges_to=_round(le, 4 * pad_multiple))
+            # pm_pd: (N, E_pad) incidence with +1 at src, +1 at dst per
+            # edge column (Pm + Pd), stored dense (zero for padding) —
+            # LGNN multiplies it once per layer: a plain MXU matmul.
+            pm_pd = np.zeros((n_nodes, e_pad), np.float32)
+            pm_pd[np.asarray(src), np.arange(e)] += 1.0
+            pm_pd[np.asarray(dst), np.arange(e)] += 1.0
             self.graphs.append(g)
             self.line_graphs.append(lg)
             self.pm_pds.append(jnp.asarray(pm_pd))

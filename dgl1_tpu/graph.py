@@ -41,6 +41,8 @@ __all__ = [
     "rand_graph",
     "rand_bipartite",
     "from_scipy",
+    "from_networkx",
+    "to_networkx",
     "TILE_EDGES",
     "TILE_ROWS",
 ]
@@ -951,3 +953,59 @@ def from_scipy(sp_mat, **kw) -> Graph:
     """
     coo = sp_mat.tocoo()
     return graph((coo.row, coo.col), num_nodes=max(coo.shape), **kw)
+
+
+def from_networkx(nx_graph, node_attrs=(), edge_attrs=(), **kw) -> Graph:
+    """Create a graph from a networkx graph (parity: ``dgl.from_networkx``,
+    ``python/dgl/convert.py``). Undirected inputs get both edge
+    directions; listed node/edge attributes are stacked into
+    ndata/edata."""
+    import networkx as nx
+
+    nodes = list(nx_graph.nodes())
+    relabel = {v: i for i, v in enumerate(nodes)}
+    edges = list(nx_graph.edges())
+    src = np.asarray([relabel[u] for u, v in edges], dtype=np.int64)
+    dst = np.asarray([relabel[v] for u, v in edges], dtype=np.int64)
+    if not nx_graph.is_directed():
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    g = graph((src, dst), num_nodes=len(nodes), **kw)
+    if node_attrs:
+        import jax.numpy as jnp
+
+        for key in node_attrs:
+            vals = np.asarray([nx_graph.nodes[v][key] for v in nodes])
+            g.ndata[key] = jnp.asarray(
+                vals if vals.ndim > 1 else vals[:, None])
+    if edge_attrs:
+        import jax.numpy as jnp
+
+        for key in edge_attrs:
+            vals = np.asarray([nx_graph.edges[e][key] for e in edges])
+            if not nx_graph.is_directed():
+                vals = np.concatenate([vals, vals])
+            g.edata[key] = jnp.asarray(
+                vals if vals.ndim > 1 else vals[:, None])
+    return g
+
+
+def to_networkx(g: Graph, node_attrs=(), edge_attrs=()):
+    """Convert to a networkx MultiDiGraph (parity: ``dgl.to_networkx``)."""
+    import networkx as nx
+
+    nxg = nx.MultiDiGraph()
+    nxg.add_nodes_from(range(g.num_nodes()))
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e]
+    dst = np.asarray(g.dst)[:e]
+    keys = [nxg.add_edge(int(src[i]), int(dst[i]), id=i)
+            for i in range(e)]
+    for key in node_attrs:
+        vals = np.asarray(g.ndata[key])
+        for v in range(g.num_nodes()):
+            nxg.nodes[v][key] = vals[v]
+    for key in edge_attrs:
+        vals = np.asarray(g.edata[key])
+        for i in range(e):
+            nxg.edges[int(src[i]), int(dst[i]), keys[i]][key] = vals[i]
+    return nxg

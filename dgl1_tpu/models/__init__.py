@@ -6,5 +6,8 @@ from dgl1_tpu.models.gat import GAT
 from dgl1_tpu.models.graphsage import GraphSAGE
 from dgl1_tpu.models.rgcn import RGCN
 from dgl1_tpu.models.han import HAN, HANLayer, SemanticAttention
+from dgl1_tpu.models.gin import GIN
+from dgl1_tpu.models.lgnn import LGNN, LGNNLayer, LGNNCore
 
-__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "HAN", "HANLayer", "SemanticAttention"]
+__all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "HAN", "HANLayer",
+           "SemanticAttention", "GIN", "LGNN", "LGNNLayer", "LGNNCore"]

@@ -23,6 +23,7 @@ from dgl1_tpu.nn.conv import (
     DenseSAGEConv,
     DenseChebConv,
     CFConv,
+    AtomicConv,
 )
 from dgl1_tpu.nn.glob import (
     SumPooling,
@@ -58,6 +59,7 @@ __all__ = [
     "DenseSAGEConv",
     "DenseChebConv",
     "CFConv",
+    "AtomicConv",
     "SumPooling",
     "AvgPooling",
     "MaxPooling",

@@ -34,6 +34,10 @@ __all__ = [
     "segmented_knn_graph",
     "metapath_reachable_graph",
     "laplacian_lambda_max",
+    "add_edges",
+    "remove_edges",
+    "add_nodes",
+    "remove_nodes",
 ]
 
 
@@ -519,3 +523,79 @@ def laplacian_lambda_max(g: Graph):
             )
         out.append(val)
     return out
+
+
+def add_edges(g: Graph, src, dst, data: Optional[dict] = None) -> Graph:
+    """Return a new graph with edges appended (parity: ``dgl.add_edges``;
+    functional — our graphs are immutable pytrees). Existing edata keys
+    are zero-padded for the new edges unless ``data`` provides values."""
+    import jax.numpy as jnp
+
+    s0, d0 = _coo(g)
+    src = np.atleast_1d(np.asarray(src, dtype=np.int64))
+    dst = np.atleast_1d(np.asarray(dst, dtype=np.int64))
+    new = graph((np.concatenate([s0, src]), np.concatenate([d0, dst])),
+                num_nodes=g.num_nodes())
+    new.ndata.update(g.ndata)
+    keys = set(g.edata) | set(data or {})
+    for k in keys:
+        old = g.edata.get(k)
+        if old is not None:
+            old = old[: g.num_edges()]
+        if data is not None and k in data:
+            extra = jnp.asarray(data[k])
+        else:
+            extra = jnp.zeros((len(src),) + tuple(old.shape[1:]), old.dtype)
+        if old is None:
+            old = jnp.zeros((g.num_edges(),) + tuple(extra.shape[1:]),
+                            extra.dtype)
+        new.edata[k] = jnp.concatenate([old, extra], axis=0)
+    return new
+
+
+def remove_edges(g: Graph, eids) -> Graph:
+    """Return a new graph without the given edge ids (parity:
+    ``dgl.remove_edges``). Node set unchanged; edata sliced."""
+    eids = np.atleast_1d(np.asarray(eids, dtype=np.int64))
+    e = g.num_edges()
+    keep = np.ones((e,), dtype=bool)
+    keep[eids] = False
+    src, dst = _coo(g)
+    new = graph((src[keep], dst[keep]), num_nodes=g.num_nodes())
+    new.ndata.update(g.ndata)
+    if g.edata:
+        new.edata.update(_slice_rows(g.edata, np.nonzero(keep)[0]))
+    return new
+
+
+def add_nodes(g: Graph, num: int, data: Optional[dict] = None) -> Graph:
+    """Return a new graph with ``num`` extra isolated nodes (parity:
+    ``dgl.add_nodes``). Existing ndata keys are zero-padded unless
+    ``data`` provides values."""
+    import jax.numpy as jnp
+
+    src, dst = _coo(g)
+    n = g.num_nodes()
+    new = graph((src, dst), num_nodes=n + int(num))
+    new.edata.update(g.edata)
+    keys = set(g.ndata) | set(data or {})
+    for k in keys:
+        old = g.ndata.get(k)
+        if data is not None and k in data:
+            extra = jnp.asarray(data[k])
+        else:
+            extra = jnp.zeros((int(num),) + tuple(old.shape[1:]), old.dtype)
+        if old is None:
+            old = jnp.zeros((n,) + tuple(extra.shape[1:]), extra.dtype)
+        new.ndata[k] = jnp.concatenate([old, extra], axis=0)
+    return new
+
+
+def remove_nodes(g: Graph, nids) -> Graph:
+    """Return the induced subgraph on the complement of ``nids``
+    (parity: ``dgl.remove_nodes`` — remaining nodes are relabeled
+    contiguously, like the reference)."""
+    nids = np.atleast_1d(np.asarray(nids, dtype=np.int64))
+    keep = np.ones((g.num_nodes(),), dtype=bool)
+    keep[nids] = False
+    return node_subgraph(g, np.nonzero(keep)[0])

@@ -58,17 +58,26 @@ def test_gnn_benchmark_raw_npz(tmp_path):
 
 def test_sbm_mixture():
     ds = data.SBMMixtureDataset(n_graphs=3, n_nodes=40, n_communities=2,
-                                seed=1)
+                                pad_multiple=64, seed=1)
     assert len(ds) == 3
     g, lg, pm_pd = ds[0]
-    e = g.num_edges()
-    assert lg.num_nodes() == e
-    assert pm_pd.shape == (40, e)
-    # Every edge column touches exactly its two endpoints.
+    e, e_pad = g.num_edges(), g.num_edges_padded()
+    assert e_pad % 64 == 0
+    assert lg.num_nodes() == e_pad
+    assert pm_pd.shape == (40, e_pad)
+    # Every real edge column touches exactly its two endpoints; padded
+    # columns are zero.
     col = np.asarray(pm_pd).sum(0)
-    np.testing.assert_allclose(col, 2.0)
+    np.testing.assert_allclose(col[:e], 2.0)
+    np.testing.assert_allclose(col[e:], 0.0)
     # Labels cover both communities.
     assert set(np.asarray(ds.labels[0]).tolist()) == {0, 1}
+    # Every graph's padded sizes land on the bucket grid (few distinct
+    # compiled shapes across the mixture).
+    for i in range(3):
+        gi, lgi, _ = ds[i]
+        assert gi.num_edges_padded() % 64 == 0
+        assert lgi.num_edges_padded() % 64 == 0
 
 
 def test_qm7b():

@@ -146,3 +146,23 @@ def test_multi_update_all_cross_reducers():
         "stack",
     )
     assert hg.nodes_data("c")["o"].shape == (1, 2, 1)
+
+
+def test_networkx_roundtrip():
+    import networkx as nx
+
+    nxg = nx.karate_club_graph()
+    g = dgl.from_networkx(nxg)
+    assert g.num_nodes() == 34
+    assert g.num_edges() == 2 * nxg.number_of_edges()
+    back = dgl.to_networkx(g)
+    assert back.number_of_nodes() == 34
+    assert back.number_of_edges() == g.num_edges()
+    # Attributes survive.
+    g.ndata["h"] = jnp.arange(34.0)[:, None]
+    b2 = dgl.to_networkx(g, node_attrs=["h"])
+    assert float(b2.nodes[7]["h"][0]) == 7.0
+    # Directed input keeps directions as-is.
+    d = nx.DiGraph([(0, 1), (1, 2)])
+    gd = dgl.from_networkx(d)
+    assert gd.num_edges() == 2

@@ -384,3 +384,39 @@ def test_sequential():
     ])
     out = check_grads(seq, g, feat)
     assert out.shape == (12, 4)
+
+
+def test_atomic_conv():
+    g = dgl.rand_graph(10, 30, seed=9)
+    z = jnp.asarray(
+        np.random.default_rng(3).choice([1.0, 6.0, 8.0], size=(10, 1))
+    )
+    dist = jnp.asarray(
+        np.random.default_rng(4).uniform(0.5, 4.0, size=(30, 1)).astype(
+            np.float32))
+    conv = nn.AtomicConv(
+        interaction_cutoffs=(3.0, 3.0),
+        rbf_kernel_means=(1.0, 2.0),
+        rbf_kernel_scaling=(1.0, 1.0),
+        features_to_use=(1.0, 6.0, 8.0),
+    )
+    params = conv.init(KEY, g, z, dist)
+    out = conv.apply(params, g, z, dist)
+    assert out.shape == (10, 6)  # 3 types x 2 filters
+    # Oracle: dense accumulation.
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e]
+    dst = np.asarray(g.dst)[:e]
+    dn = np.asarray(dist)[:, 0]
+    ref = np.zeros((10, 3, 2))
+    for t_i, t in enumerate([1.0, 6.0, 8.0]):
+        for k in range(2):
+            mu, beta, cut = [1.0, 2.0][k], 1.0, 3.0
+            for ei in range(e):
+                rbf = np.exp(-beta * (dn[ei] - mu) ** 2)
+                env = 0.5 * (np.cos(np.pi * dn[ei] / cut) + 1)
+                val = rbf * env * (dn[ei] <= cut)
+                if abs(float(np.asarray(z)[src[ei], 0]) - t) < 1e-6:
+                    ref[dst[ei], t_i, k] += val
+    np.testing.assert_allclose(out, ref.reshape(10, 6), rtol=1e-4,
+                               atol=1e-5)

@@ -114,3 +114,39 @@ def test_save_load_graphs(tmp_path):
     assert gs[0].num_nodes() == 6
     np.testing.assert_allclose(np.asarray(gs[0].ndata["h"]), 1.0)
     np.testing.assert_array_equal(np.asarray(labels["y"]), np.arange(6))
+
+
+def test_mutation_ops():
+    import jax.numpy as jnp
+
+    g = dgl.rand_graph(8, 20, seed=4)
+    g.ndata["h"] = jnp.arange(8.0)[:, None]
+    g.edata["w"] = jnp.ones((20, 2))
+
+    g2 = dgl.add_edges(g, [0, 1], [7, 6], data={"w": jnp.full((2, 2), 5.0)})
+    assert g2.num_edges() == 22
+    w = np.asarray(g2.edata["w"])
+    np.testing.assert_allclose(w[:20], 1.0)
+    np.testing.assert_allclose(w[20:], 5.0)
+    s, d = np.asarray(g2.src)[:22], np.asarray(g2.dst)[:22]
+    assert (s[20], d[20]) == (0, 7) and (s[21], d[21]) == (1, 6)
+
+    g3 = dgl.remove_edges(g2, [0, 21])
+    assert g3.num_edges() == 20
+    assert np.asarray(g3.edata["w"]).shape == (20, 2)
+
+    g4 = dgl.add_nodes(g, 3)
+    assert g4.num_nodes() == 11
+    assert g4.num_edges() == 20
+    h = np.asarray(g4.ndata["h"])
+    np.testing.assert_allclose(h[8:], 0.0)
+
+    g5 = dgl.remove_nodes(g, [0])
+    assert g5.num_nodes() == 7
+    e = g5.num_edges()
+    s, d = np.asarray(g5.src)[:e], np.asarray(g5.dst)[:e]
+    # No edge references the removed node (old id 0 -> gone; ids shifted).
+    ids = np.asarray(g5.ndata["_ID"])
+    assert 0 not in ids
+    # Edge endpoints valid.
+    assert s.max(initial=0) < 7 and d.max(initial=0) < 7
