@@ -45,6 +45,8 @@ CHUNK = 1024       # edge slots per chunk (XLA T(1024) 1-D layout)
 MAX_GROUPS = 32    # cap on hub rows: 32*128 = 4096 hubs
 MAX_DENSE_GROUPS = 8   # cap on dense count-matrix columns (memory)
 SENT = np.int32(1 << 30)  # out-of-bounds gather index -> fill value
+EXPAND_RB = 512        # output rows per expand-merge block
+EXPAND_PACK = 1 << 20  # descriptor packing base (local_row*PACK + m_row)
 
 
 class HubMeta(NamedTuple):
@@ -235,6 +237,13 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         dense_c[:num_src] = np.bincount(
             flat, minlength=num_src * kd
         ).astype(np.float32).reshape(num_src, kd)
+        # Counts are tiny integers (edge multiplicities): store bf16 to
+        # halve the dominant HBM stream of the dense-tier matmul (exact
+        # for integers <= 256; the kernel accumulates in f32).
+        if dense_c.max(initial=0.0) <= 256:
+            import ml_dtypes
+
+            dense_c = dense_c.astype(ml_dtypes.bfloat16)
     else:
         dense_c = np.zeros((n_src_pad, 0), dtype=np.float32)
 
@@ -305,6 +314,34 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     t_eid_c = to_compact(tail_dst_ell["eid"])
     r_eid_c = to_compact(tail_src_ell["eid"])
 
+    # ------------------------------------------------------------------
+    # Expand-merge descriptors: the final inverse-permute (out[v] =
+    # merged[t_inv[v]]) is an XLA gather that runs ~2.5x off the HBM
+    # write floor and cannot fuse into the Pallas tail. When the merged
+    # block is small enough to sit whole in VMEM (hub-concentrated
+    # graphs), ops/engine_hub.py::_expand_call replaces it with a
+    # descriptor-driven Pallas pass: per output row-block, copy the few
+    # real rows out of VMEM-resident `merged`, write zeros elsewhere —
+    # pure sequential HBM writes. Descriptor: packed (local_row << 20 |
+    # merged_row) sorted by destination, plus per-block start offsets.
+    # ------------------------------------------------------------------
+    n_merge_rows = n_tail_rows + k_slots
+    if n_merge_rows < EXPAND_PACK:
+        valid = np.flatnonzero(t_inv != SENT).astype(np.int64)
+        m_of_valid = t_inv[valid].astype(np.int64)
+        x_blocks = -(-num_dst // EXPAND_RB)
+        x_starts = np.zeros((x_blocks + 1,), dtype=ID_DTYPE)
+        np.cumsum(np.bincount((valid // EXPAND_RB).astype(np.int64),
+                              minlength=x_blocks), out=x_starts[1:])
+        x_desc = ((valid % EXPAND_RB) * EXPAND_PACK
+                  + m_of_valid).astype(ID_DTYPE)
+        # SMEM-friendly padding (1-D int32 operands get T(1024) layout).
+        x_desc = np.pad(x_desc, (0, -len(x_desc) % CHUNK))
+        x_starts_p = np.pad(x_starts, (0, -len(x_starts) % CHUNK))
+    else:  # packing would overflow; engine falls back to jnp.take
+        x_desc = np.zeros((0,), dtype=ID_DTYPE)
+        x_starts_p = np.zeros((0,), dtype=ID_DTYPE)
+
     meta = HubMeta(
         n_full_f=len(full_fwd["in_id"]),
         n_full_b=len(full_bwd["in_id"]),
@@ -335,5 +372,6 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         "r_inv": tail_src_ell["inv_perm"],
         "tail_src": tail_src_c, "tail_dst": tail_dst_c,
         "edge_to_fslot": edge_to_fslot, "edge_to_tslot": edge_to_tslot,
+        "x_desc": x_desc, "x_starts": x_starts_p,
     }
     return meta, arrays

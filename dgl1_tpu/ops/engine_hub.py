@@ -44,7 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dgl1_tpu.graph import Graph
-from dgl1_tpu.hub_format import BLK, CHUNK, DENSE_RB, SENT, HubMeta
+from dgl1_tpu.hub_format import (BLK, CHUNK, DENSE_RB, EXPAND_PACK,
+                                 EXPAND_RB, SENT, HubMeta)
 from dgl1_tpu.ops.engine_ell import ell_reduce, ell_stack
 
 __all__ = ["gspmm_hub"]
@@ -164,7 +165,7 @@ def _dense_fwd_kernel(c_ref, u_ref, out_ref):
     N=2^19, Kd=128); a sequential-accumulation kernel is DMA-bound."""
     t = pl.program_id(1)
     part = jax.lax.dot_general(
-        c_ref[:], u_ref[:].astype(jnp.float32),
+        c_ref[:].astype(jnp.float32), u_ref[:].astype(jnp.float32),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -194,11 +195,63 @@ def _dense_fwd_call(c, u_pad):
         out_shape=jax.ShapeDtypeStruct((kd, f_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_rows * kd * f_pad,
-            bytes_accessed=(c.size + u_pad.size) * 4,
+            bytes_accessed=c.size * c.dtype.itemsize + u_pad.size * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(c, u_pad)
+
+
+def _expand_kernel(starts_ref, desc_ref, merged_ref, out_ref):
+    """Descriptor-driven inverse-permute: out[v] = merged[t_inv[v]].
+
+    The XLA gather for this runs ~2.5x off the HBM write floor (most
+    rows are zero-fill on hub-concentrated graphs). Here `merged` sits
+    whole in VMEM; each output row-block writes zeros then copies its
+    few real rows, so HBM traffic is one sequential write pass. Packed
+    descriptor p = local_row * EXPAND_PACK + merged_row, sorted by
+    destination; per-block [start, end) offsets in SMEM."""
+    rb = pl.program_id(1)
+    out_ref[:] = jnp.zeros_like(out_ref)
+    start = starts_ref[rb]
+    end = starts_ref[rb + 1]
+
+    def body(i, carry):
+        p = desc_ref[i]
+        r = p // EXPAND_PACK
+        m = p - r * EXPAND_PACK
+        out_ref[pl.ds(r, 1), :] = merged_ref[pl.ds(m, 1), :]
+        return carry
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
+# VMEM budget for the resident merged block (v5e has ~16MB more total;
+# leave room for the output block and double buffering).
+_EXPAND_VMEM_BYTES = 4 * 1024 * 1024
+
+
+def _expand_call(merged2, x_starts, x_desc, num_dst: int):
+    m_rows, f_pad = merged2.shape
+    n_fb = f_pad // BLK
+    n_rb = -(-num_dst // EXPAND_RB)
+    return pl.pallas_call(
+        _expand_kernel,
+        grid=(n_fb, n_rb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_rows, BLK), lambda fb, rb: (0, fb)),
+        ],
+        out_specs=pl.BlockSpec((EXPAND_RB, BLK), lambda fb, rb: (rb, fb)),
+        out_shape=jax.ShapeDtypeStruct((num_dst, f_pad), merged2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=num_dst * f_pad * merged2.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x_starts, x_desc, merged2)
 
 
 def _edge_grad_kernel(mode: str, in1_ref, in2_ref, a_ref, b_ref, r_ref,
@@ -380,6 +433,18 @@ def _hub_forward(static, hub, u, e):
                         "sum", u if op != "copy_rhs" else None,
                         e if op != "copy_lhs" else None)
     merged = jnp.concatenate([stacked, hub_block], axis=0)
+
+    # Inverse permute back to destination order: descriptor-driven Pallas
+    # expand when `merged` fits in VMEM (sequential HBM writes), else the
+    # XLA gather.
+    m_pad = _round_up(merged.shape[0], 32)
+    if (hub["x_desc"].shape[0] > 0
+            and m_pad * BLK * merged.dtype.itemsize <= _EXPAND_VMEM_BYTES):
+        merged2 = _pad_2d(merged.reshape(merged.shape[0], ff), m_pad, f_pad)
+        out2 = _expand_call(merged2, hub["x_starts"], hub["x_desc"],
+                            static.num_dst)
+        return out2[:, :ff].reshape((static.num_dst,)
+                                    + tuple(static.out_feat))
     return jnp.take(merged, hub["t_inv"], axis=0, mode="fill",
                     fill_value=0.0)
 
@@ -408,8 +473,10 @@ def _bwd(static, res, ct):
         gu_hub = jnp.zeros((static.num_src, ff), jnp.float32)
         if op == "copy_lhs":
             if m.n_dense:
+                # C may be bf16 (convert fuses into the dot's HBM read).
                 gu_hub = gu_hub + jax.lax.dot_general(
-                    hub["dense_c"], ct_hubs[: m.n_dense * BLK],
+                    hub["dense_c"].astype(jnp.float32),
+                    ct_hubs[: m.n_dense * BLK],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )[: static.num_src]

@@ -14,7 +14,7 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--graphs", type=int, default=60)
     p.add_argument("--nodes", type=int, default=60)
     p.add_argument("--communities", type=int, default=2)

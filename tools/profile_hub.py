@@ -22,11 +22,12 @@ def timeit(fn, *args):
     import jax
 
     out = fn(*args)
-    jax.block_until_ready(out)
-    _ = float(np.asarray(out).reshape(-1)[0])
+    # Fetch ONE element (slice on device) — np.asarray(out) would drag the
+    # whole array over the ~8MB/s tunnel and corrupt the timing.
+    _ = float(out.reshape(-1)[0])
     t0 = time.perf_counter()
     out = fn(*args)
-    _ = float(np.asarray(out).reshape(-1)[0])
+    _ = float(out.reshape(-1)[0])
     return (time.perf_counter() - t0) / ITERS
 
 
