@@ -80,20 +80,46 @@ def ell_stack(meta: Tuple, idx, eid, op: str, reduce_op: str, u, e):
     # tensor (measured ~2x on TPU).
     fused_fill = reduce_op in ("sum", "mean") and op in ("copy_lhs", "mul")
 
+    # Single-gather mode: each per-bucket jnp.take is a separate gather
+    # launch (~0.2ms fixed on TPU); when the stack is small, one gather
+    # over ALL slots + per-bucket slice/reduce (cheap, fusable) wins. At
+    # large slot counts the materialized (S, F) intermediate would cost
+    # extra HBM traffic vs the fused per-bucket gather+reduce, so gate.
+    total_slots = sum(k * n_b for k, n_b in meta)
+    single = len(meta) > 1 and 0 < total_slots <= (1 << 17)
+    mu_all = me_all = None
+    if single:
+        mode = "fill" if fused_fill else "clip"
+        if op != "copy_rhs":
+            mu_all = jnp.take(
+                u, idx[:total_slots], axis=0, mode=mode,
+                **({"fill_value": 0.0} if fused_fill else {}),
+            )
+        if op != "copy_lhs":
+            me_all = jnp.take(e, eid[:total_slots], axis=0, mode="clip")
+
     outs = []
     off = 0
     for k, n_b in meta:
         sl = idx[off:off + n_b * k]
         if op != "copy_rhs":
-            mode = "fill" if fused_fill else "clip"
-            mu = jnp.take(
-                u, sl, axis=0, mode=mode,
-                **({"fill_value": 0.0} if fused_fill else {}),
-            ).reshape((n_b, k) + u.shape[1:])
+            if single:
+                mu = mu_all[off:off + n_b * k].reshape(
+                    (n_b, k) + u.shape[1:])
+            else:
+                mode = "fill" if fused_fill else "clip"
+                mu = jnp.take(
+                    u, sl, axis=0, mode=mode,
+                    **({"fill_value": 0.0} if fused_fill else {}),
+                ).reshape((n_b, k) + u.shape[1:])
         if op != "copy_lhs":
-            el = eid[off:off + n_b * k]
-            me = jnp.take(e, el, axis=0, mode="clip").reshape(
-                (n_b, k) + e.shape[1:])
+            if single:
+                me = me_all[off:off + n_b * k].reshape(
+                    (n_b, k) + e.shape[1:])
+            else:
+                el = eid[off:off + n_b * k]
+                me = jnp.take(e, el, axis=0, mode="clip").reshape(
+                    (n_b, k) + e.shape[1:])
         if op == "copy_lhs":
             msg = mu
         elif op == "copy_rhs":
