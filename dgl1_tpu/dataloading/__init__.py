@@ -17,6 +17,7 @@ from dgl1_tpu.dataloading.edge_dataloader import (
 from dgl1_tpu.dataloading import negative_sampler
 from dgl1_tpu.dataloading.inference import layerwise_inference
 from dgl1_tpu.dataloading.cluster import ClusterGCNDataLoader
+from dgl1_tpu.dataloading.graph_dataloader import GraphDataLoader
 
 __all__ = [
     "NeighborSampler",
@@ -30,4 +31,5 @@ __all__ = [
     "negative_sampler",
     "layerwise_inference",
     "ClusterGCNDataLoader",
+    "GraphDataLoader",
 ]

@@ -1,8 +1,9 @@
-"""Graph classification with GIN + batching + readout (parity:
-``examples/pytorch/gin`` on MiniGC-style data).
+"""Graph classification with the GIN model + GraphDataLoader (parity:
+``examples/pytorch/gin/main.py`` on MiniGC-style data).
 
-TPU-native: batches of small graphs are padded to a fixed
-(nodes, edges) budget so training compiles once.
+TPU-native: ``GraphDataLoader(pad=True)`` pads every batch to bucketed
+(nodes, edges) budgets by appending a disjoint padding graph, so the
+jitted train step compiles for a handful of shapes across the run.
 """
 
 from __future__ import annotations
@@ -26,86 +27,69 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import flax.linen as nn
     import jax.numpy as jnp
     import numpy as np
     import optax
 
     import dgl1_tpu as dgl
-    from dgl1_tpu.data import MiniGCDataset
+    from dgl1_tpu.data import MiniGCDataset, split_dataset
+    from dgl1_tpu.dataloading import GraphDataLoader
+    from dgl1_tpu.models import GIN
 
     ds = MiniGCDataset(args.num_graphs, 10, 20)
-    split = int(0.8 * len(ds))
+    train_ds, test_ds = split_dataset(ds, (0.8, 0.2), shuffle=True,
+                                      random_state=0)
     print(f"[data] MiniGC: {len(ds)} graphs, 8 classes")
 
-    class GINClassifier(nn.Module):
-        hidden: int
-        classes: int = 8
+    loader = GraphDataLoader(train_ds, batch_size=args.batch_size,
+                             shuffle=True, seed=0)
+    test_loader = GraphDataLoader(test_ds, batch_size=args.batch_size,
+                                  shuffle=False)
 
-        @nn.compact
-        def __call__(self, g, x):
-            x = x / 10.0  # degree features: bring into unit range
-            for i in range(3):
-                mlp = nn.Sequential([
-                    nn.Dense(self.hidden), nn.relu, nn.Dense(self.hidden)
-                ])
-                x = dgl.nn.GINConv(apply_func=mlp, name=f"gin{i}")(g, x)
-                x = nn.LayerNorm()(x)
-                x = nn.relu(x)
-            hg = dgl.nn.AvgPooling()(g, x)
-            return nn.Dense(self.classes)(hg)
+    model = GIN(hidden=args.hidden, classes=8, num_layers=4)
 
-    model = GINClassifier(hidden=args.hidden)
-
-    rng = np.random.default_rng(0)
-
-    def make_batch(idxs):
-        graphs = [ds[i][0] for i in idxs]
-        labels = jnp.asarray(np.asarray([ds[i][1] for i in idxs]))
-        bg = dgl.batch(graphs)
-        return bg, bg.ndata["attr"], labels
-
-    bg0, x0, y0 = make_batch(range(args.batch_size))
+    bg0, y0, m0 = next(iter(loader))
+    x0 = bg0.ndata["attr"] / 10.0  # degree feature into unit range
     params = model.init(jax.random.PRNGKey(0), bg0, x0)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
-    # NOTE: batched graphs have data-dependent sizes; on CPU this is fine,
-    # on TPU pad the batch to a node/edge budget (kept simple here).
-    def loss_fn(p, bg, x, y):
-        logits = model.apply(p, bg, x)
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y
-        ).mean()
+    @jax.jit
+    def train_step(p, st, bg, y, mask):
+        def loss_fn(p):
+            logits = model.apply(p, bg, bg.ndata["attr"] / 10.0)
+            logits = logits[: y.shape[0]]  # drop the padding graph
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            m = mask.astype(jnp.float32)
+            return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
 
-    train_step = jax.jit(
-        lambda p, st, bg, x, y: _step(p, st, bg, x, y)
-    )
-
-    def _step(p, st, bg, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(p, bg, x, y)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
         updates, st = opt.update(grads, st)
         return optax.apply_updates(p, updates), st, loss
 
+    @jax.jit
+    def predict(p, bg):
+        logits = model.apply(p, bg, bg.ndata["attr"] / 10.0)
+        return jnp.argmax(logits[: args.batch_size], axis=1)
+
     for epoch in range(args.epochs):
-        order = rng.permutation(split)
+        t0 = time.perf_counter()
         tot = nb = 0
-        for i in range(0, split - args.batch_size + 1, args.batch_size):
-            bg, x, y = make_batch(order[i:i + args.batch_size])
-            params, opt_state, loss = train_step(params, opt_state, bg, x, y)
+        for bg, y, mask in loader:
+            params, opt_state, loss = train_step(params, opt_state, bg, y,
+                                                 mask)
             tot += float(loss)
             nb += 1
+        dt = time.perf_counter() - t0
         if (epoch + 1) % 5 == 0 or epoch == 0:
-            # Test accuracy.
             correct = total = 0
-            for i in range(split, len(ds), args.batch_size):
-                idxs = range(i, min(i + args.batch_size, len(ds)))
-                bg, x, y = make_batch(idxs)
-                pred = jnp.argmax(model.apply(params, bg, x), axis=1)
-                correct += int(jnp.sum(pred == y))
-                total += len(y)
+            for bg, y, mask in test_loader:
+                pred = predict(params, bg)
+                m = np.asarray(mask)
+                correct += int((np.asarray(pred)[m] == np.asarray(y)[m]).sum())
+                total += int(m.sum())
             print(f"epoch {epoch + 1:3d} loss {tot / max(nb, 1):.4f} "
-                  f"test acc {correct / max(total, 1):.4f}")
+                  f"test acc {correct / max(total, 1):.4f} ({dt:.2f}s)")
 
 
 if __name__ == "__main__":

@@ -220,3 +220,31 @@ def test_cluster_gcn_dataloader():
         assert e == n_induced
     # Full cover, no duplicates across the epoch.
     assert sorted(seen) == list(range(100))
+
+
+def test_graph_dataloader_padded():
+    from dgl1_tpu.batch import batch_num_nodes
+    from dgl1_tpu.dataloading import GraphDataLoader
+
+    ds = dgl.data.MiniGCDataset(10, 8, 14, seed=5)
+    loader = GraphDataLoader(ds, batch_size=4, shuffle=True, seed=1,
+                             node_pad_multiple=64, edge_pad_multiple=128)
+    assert len(loader) == 3
+    shapes = set()
+    seen = 0
+    for bg, labels, mask in loader:
+        assert labels.shape == (4,)
+        assert mask.shape == (4,)
+        seen += int(np.asarray(mask).sum())
+        # Padded budgets: total nodes/edges land on the bucket grid.
+        assert bg.num_nodes() % 64 == 0
+        assert bg.num_edges() % 128 == 0
+        shapes.add((bg.num_nodes(), bg.num_edges()))
+        # batch bookkeeping includes the pad graph as a final segment.
+        assert batch_num_nodes(bg).shape[0] == 5
+        # Pad graph contributes zero to a sum readout.
+        from dgl1_tpu import nn as gnn
+        out = gnn.SumPooling().apply({}, bg, bg.ndata["attr"])
+        assert out.shape[0] == 5
+    assert seen == 10
+    assert len(shapes) <= 2  # few compiled shapes per epoch
