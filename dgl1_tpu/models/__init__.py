@@ -8,6 +8,7 @@ from dgl1_tpu.models.rgcn import RGCN
 from dgl1_tpu.models.han import HAN, HANLayer, SemanticAttention
 from dgl1_tpu.models.gin import GIN
 from dgl1_tpu.models.lgnn import LGNN, LGNNLayer, LGNNCore
+from dgl1_tpu.models.dgi import DGI, DGIEncoder
 
 __all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "HAN", "HANLayer",
-           "SemanticAttention", "GIN", "LGNN", "LGNNLayer", "LGNNCore"]
+           "SemanticAttention", "GIN", "LGNN", "LGNNLayer", "LGNNCore", "DGI", "DGIEncoder"]
