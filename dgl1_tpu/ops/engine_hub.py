@@ -202,6 +202,39 @@ def _dense_fwd_call(c, u_pad):
     )(c, u_pad)
 
 
+def _dense_bwd_kernel(c_ref, ct_ref, out_ref):
+    """grad_u row block = C_block @ ct (C may be bf16; converted
+    per-block in VMEM — an XLA-level astype would materialize the whole
+    f32 count matrix in HBM)."""
+    out_ref[:] = jax.lax.dot_general(
+        c_ref[:].astype(jnp.float32), ct_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dense_bwd_call(c, ct_pad):
+    n_rows, kd = c.shape
+    f_pad = ct_pad.shape[1]
+    return pl.pallas_call(
+        _dense_bwd_kernel,
+        grid=(f_pad // BLK, n_rows // DENSE_RB),
+        in_specs=[
+            pl.BlockSpec((DENSE_RB, kd), lambda fb, t: (t, 0)),
+            pl.BlockSpec((kd, BLK), lambda fb, t: (0, fb)),
+        ],
+        out_specs=pl.BlockSpec((DENSE_RB, BLK), lambda fb, t: (t, fb)),
+        out_shape=jax.ShapeDtypeStruct((n_rows, f_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rows * kd * f_pad,
+            bytes_accessed=c.size * c.dtype.itemsize
+            + n_rows * f_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(c, ct_pad)
+
+
 def _expand_kernel(starts_ref, desc_ref, merged_ref, out_ref):
     """Descriptor-driven inverse-permute: out[v] = merged[t_inv[v]].
 
@@ -473,13 +506,10 @@ def _bwd(static, res, ct):
         gu_hub = jnp.zeros((static.num_src, ff), jnp.float32)
         if op == "copy_lhs":
             if m.n_dense:
-                # C may be bf16 (convert fuses into the dot's HBM read).
-                gu_hub = gu_hub + jax.lax.dot_general(
-                    hub["dense_c"].astype(jnp.float32),
-                    ct_hubs[: m.n_dense * BLK],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )[: static.num_src]
+                ct_d = _pad_2d(ct_hubs[: m.n_dense * BLK].astype(
+                    jnp.float32), m.n_dense * BLK, f_pad)
+                gu_hub = gu_hub + _dense_bwd_call(
+                    hub["dense_c"], ct_d)[: static.num_src, :ff]
             if m.n_groups > m.n_dense:
                 lay = hub["part_bwd"]
                 ct_part = ct_pad[m.n_dense * BLK:]

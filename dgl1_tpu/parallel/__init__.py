@@ -24,6 +24,10 @@ from dgl1_tpu.parallel.sharded_ops import (
 )
 from dgl1_tpu.parallel.dist_graph import DistGraph, DistTensor
 from dgl1_tpu.parallel.dist_dataloader import DistDataLoader, DistNodeDataLoader
+from dgl1_tpu.parallel.dist_context import initialize, exit_client
+# DistDGL-name parity: DistEmbedding is the row-sparse NodeEmbedding +
+# sparse optimizer pair in dgl1_tpu.optim.
+from dgl1_tpu.optim import NodeEmbedding as DistEmbedding
 
 __all__ = [
     "partition_graph",
@@ -41,4 +45,7 @@ __all__ = [
     "DistTensor",
     "DistDataLoader",
     "DistNodeDataLoader",
+    "initialize",
+    "exit_client",
+    "DistEmbedding",
 ]

@@ -22,6 +22,10 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--full-scale", action="store_true",
                    help="full-size synthetic Reddit")
+    p.add_argument("--feature-store", action="store_true",
+                   help="keep features in the host store (papers100M "
+                        "pattern: beyond-HBM features, threaded C++ row "
+                        "gather + device prefetch)")
     p.add_argument("--metrics", default=None)
     args = p.parse_args()
 
@@ -35,6 +39,7 @@ def main():
     import optax
 
     import dgl1_tpu as dgl
+    from dgl1_tpu.data import HostFeatureStore, prefetch_to_device
     from dgl1_tpu.dataloading import NeighborSampler, NodeDataLoader
     from dgl1_tpu.models import GraphSAGE
     from dgl1_tpu.utils import MetricsLogger
@@ -84,20 +89,32 @@ def main():
     def predict(params, blocks, x):
         return jnp.argmax(model.apply(params, blocks, x), axis=1)
 
+    store = None
+    if args.feature_store:
+        # Features never enter HBM whole: host store + device prefetch
+        # (the DistDGL KVStore-pull replacement; see data/feature_store.py).
+        store = HostFeatureStore(feat)
+
     logger = MetricsLogger(args.metrics) if args.metrics else None
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         total_loss = n_batches = 0
         seeds_done = 0
-        for inp, out, blocks, mask in loader:
-            x = jnp.asarray(feat[inp])
-            y = jnp.asarray(labels[np.asarray(out)])
+        if store is not None:
+            it = prefetch_to_device(iter(loader), store, labels=labels)
+        else:
+            it = ((inp, out, blocks, mask, None, None)
+                  for inp, out, blocks, mask in loader)
+        for inp, out, blocks, mask, xs, ys in it:
+            x = xs if xs is not None else jnp.asarray(feat[inp])
+            y = (jnp.asarray(ys.reshape(-1)) if ys is not None
+                 else jnp.asarray(labels[np.asarray(out)]))
             params, opt_state, loss = train_step(
                 params, opt_state, blocks, x, y, jnp.asarray(mask)
             )
             total_loss += float(loss)
             n_batches += 1
-            seeds_done += int(mask.sum())
+            seeds_done += int(np.asarray(mask).sum())
         dt = time.perf_counter() - t0
         print(f"epoch {epoch} loss {total_loss / max(n_batches, 1):.4f} "
               f"({dt:.1f}s, {seeds_done / dt:.0f} seeds/s)")
