@@ -8,6 +8,7 @@ features flow through the module), and lowers to the same fused-op calls.
 from dgl1_tpu.nn.conv import (
     GraphConv,
     GATConv,
+    DotGatConv,
     SAGEConv,
     RelGraphConv,
     GINConv,
@@ -44,6 +45,7 @@ from dgl1_tpu.nn.softmax import edge_softmax
 __all__ = [
     "GraphConv",
     "GATConv",
+    "DotGatConv",
     "SAGEConv",
     "RelGraphConv",
     "GINConv",

@@ -23,6 +23,7 @@ from dgl1_tpu.ops.segment import gather_mm, segment_mm
 __all__ = [
     "GraphConv",
     "GATConv",
+    "DotGatConv",
     "SAGEConv",
     "RelGraphConv",
     "GINConv",
@@ -175,6 +176,32 @@ class GATConv(nn.Module):
         if self.activation is not None:
             rst = self.activation(rst)
         return rst
+
+
+class DotGatConv(nn.Module):
+    """Dot-product attention conv (parity:
+    ``python/dgl/nn/pytorch/conv/dotgatconv.py``): shared fc ->
+    scaled u_dot_v logits -> edge_softmax -> weighted SpMM.
+    """
+
+    out_feats: int
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, g: Graph, feat):
+        h_src, h_dst = _split_feat(feat)
+        H, F = self.num_heads, self.out_feats
+        fc = nn.Dense(H * F, use_bias=False, name="fc")
+        feat_src = fc(h_src).reshape(-1, H, F)
+        if g.is_block:
+            feat_dst = feat_src[: g.num_dst_nodes()]
+        else:
+            feat_dst = fc(h_dst).reshape(-1, H, F)
+
+        e = gsddmm(g, "dot", feat_src, feat_dst,
+                   lhs_target="u", rhs_target="v")  # (E, H, 1)
+        a = edge_softmax(g, e / jnp.sqrt(jnp.asarray(F, feat_src.dtype)))
+        return gspmm(g, "mul", "sum", feat_src, a)  # (N_dst, H, F)
 
 
 class SAGEConv(nn.Module):

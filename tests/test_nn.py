@@ -66,6 +66,25 @@ def test_gatconv():
     # output is a convex combination; just check finiteness + shape here.
 
 
+def test_dotgatconv():
+    g, feat = make()
+    out = check_grads(nn.DotGatConv(4, num_heads=3), g, feat)
+    assert out.shape == (12, 3, 4)
+    # edge_softmax weights sum to 1 per dst: with identical source rows
+    # the aggregated output equals the (shared) projected row.
+    const = jnp.ones_like(feat)
+    conv = nn.DotGatConv(4, num_heads=2)
+    params = conv.init(KEY, g, const)
+    out = conv.apply(params, g, const)
+    proj = np.asarray(const @ params["params"]["fc"]["kernel"]).reshape(
+        12, 2, 4)
+    deg = np.asarray(g.in_degrees())
+    has_in = deg > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[has_in], proj[has_in], rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(out)[~has_in], 0.0)
+
+
 def test_sageconv_aggregators():
     g, feat = make()
     for agg in ["mean", "gcn", "pool"]:
