@@ -12,6 +12,9 @@ engine sits at that gather-based roofline.
 Methodology (docs/PERF_NOTES.md): iterations are chained inside one
 jitted fori_loop with a scalar fetch at the end — on remote-attached
 TPUs, per-execute latency and result memoization corrupt naive timing.
+The dispatch+fetch roundtrip is a FIXED ~30-45ms per call on the tunnel
+(measured 2026-08-19), so the per-iteration time is taken as the slope
+between two iteration counts, which cancels it exactly.
 """
 
 from __future__ import annotations
@@ -25,7 +28,8 @@ NUM_NODES = 1 << 19
 AVG_DEGREE = 8
 FEAT_DIM = 128
 DTYPE_BYTES = 4
-ITERS = 20
+ITERS_LO = 20
+ITERS_HI = 120
 
 HBM_BW = {"tpu": 819e9, "cpu": 100e9}
 
@@ -39,7 +43,7 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     n = NUM_NODES if on_tpu else NUM_NODES // 8
-    iters = ITERS if on_tpu else 3
+    iters_lo, iters_hi = (ITERS_LO, ITERS_HI) if on_tpu else (1, 4)
 
     from dgl1_tpu.data.synthetic import powerlaw_graph
 
@@ -54,17 +58,26 @@ def main():
     # g is a jit ARGUMENT, not a closure: closed-over device arrays are
     # baked into the HLO as constants, which breaks the remote-compile
     # path once the graph carries the dense hub count matrix (~256MB).
-    @jax.jit
-    def run(g, x):
-        def body(i, x):
-            return dgl.ops.gspmm(g, "copy_lhs", "sum", x, None) * 0.1
+    def make_run(iters):
+        @jax.jit
+        def run(g, x):
+            def body(i, x):
+                return dgl.ops.gspmm(g, "copy_lhs", "sum", x, None) * 0.1
 
-        return jax.lax.fori_loop(0, iters, body, x)
+            return jax.lax.fori_loop(0, iters, body, x)
 
-    _ = float(run(g, feat)[0, 0])  # compile + warmup
-    t0 = time.perf_counter()
-    _ = float(run(g, feat)[0, 0])
-    dt = (time.perf_counter() - t0) / iters
+        return run
+
+    def timed(run):
+        _ = float(run(g, feat)[0, 0])  # compile + warmup
+        t0 = time.perf_counter()
+        _ = float(run(g, feat)[0, 0])
+        return time.perf_counter() - t0
+
+    t_lo = timed(make_run(iters_lo))
+    t_hi = timed(make_run(iters_hi))
+    # Two-point slope: cancels the fixed dispatch+fetch roundtrip.
+    dt = (t_hi - t_lo) / (iters_hi - iters_lo)
 
     edges_per_s = num_edges / dt
     roofline = HBM_BW["tpu" if on_tpu else "cpu"] / (FEAT_DIM * DTYPE_BYTES)

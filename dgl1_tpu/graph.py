@@ -251,6 +251,38 @@ class Graph:
     # ------------------------------------------------------------------
     # Queries
     # ------------------------------------------------------------------
+    def formats(self, formats=None):
+        """Parity: ``DGLGraph.formats`` (``python/dgl/heterograph.py``) /
+        ``UnitGraph::restrict_format``. No argument: report which layouts
+        exist. With a format name or list: return a NEW graph rebuilt
+        from the edge list with only those derived layouts ("coo"/"csr"/
+        "csc" are always kept; "tile"/"ell"/"hub" opt into the engine
+        layouts)."""
+        if formats is None:
+            created = ["coo", "csr", "csc"]
+            if self.tdst is not None:
+                created.append("tile")
+            if self.ell_dst is not None:
+                created.append("ell")
+            if self.hub_dst is not None:
+                created.append("hub")
+            universe = ["coo", "csr", "csc", "tile", "ell", "hub"]
+            return {"created": created,
+                    "not created": [f for f in universe
+                                    if f not in created]}
+        if isinstance(formats, str):
+            formats = (formats,)
+        e = self.num_edges()
+        src = np.asarray(self.src)[:e]
+        dst = np.asarray(self.dst)[:e]
+        g2 = graph((src, dst),
+                   num_nodes=max(self.num_src_nodes(), self.num_dst_nodes()),
+                   pad_edges_to=self.num_edges_padded(),
+                   formats=tuple(formats))
+        g2.ndata.update(self.ndata)
+        g2.edata.update(self.edata)
+        return g2
+
     def edges(self, order: str = "eid"):
         """Return (src, dst) in user edge order (padded length)."""
         if order == "eid":
@@ -524,13 +556,24 @@ jax.tree_util.register_pytree_node(
 
 def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
                    num_edges: int, num_padded: int, hub=None,
-                   hub_dense_floor: Optional[int] = None):
+                   hub_dense_floor: Optional[int] = None,
+                   formats: Optional[Tuple[str, ...]] = None):
     """Build padded COO + CSR + CSC host-side.
 
     Parity: ``src/array/array.cc`` COOToCSR/COOSort; implemented as numpy
     argsort + bincount (stable sorts keep edge-id order within a row, which
     preserves the reference's edge-order guarantees).
+
+    ``formats``: None builds everything (COO/CSR/CSC plus the derived
+    engine layouts — tiles, ELL, hub). A tuple restricts the derived
+    layouts (parity: ``DGLGraph.formats`` / ``UnitGraph::restrict_format``):
+    the canonical COO+CSR+CSC trio is always built (cheap, C++ builder);
+    "tile"/"ell"/"hub" opt into the corresponding engine layout. E.g.
+    ``formats=("csc",)`` gives a sampling-only parent graph at a fraction
+    of the build time/memory.
     """
+    want = (lambda k: True) if formats is None else (
+        lambda k: k in formats)
     pad = num_padded - num_edges
 
     def padded(a, sentinel):
@@ -588,18 +631,20 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         csc_indptr = np.zeros((num_dst + 1,), dtype=ID_DTYPE)
         np.cumsum(counts, out=csc_indptr[1:])
 
-    ell_dst_meta, ell_dst = _build_ell(
-        csc_indptr, csc_src, csc_eid, num_dst, num_edges
-    )
-    ell_src_meta, ell_src = _build_ell(
-        csr_indptr, csr_dst, csr_eid, num_src, num_edges
-    )
+    ell_dst_meta = ell_dst = ell_src_meta = ell_src = None
+    if want("ell"):
+        ell_dst_meta, ell_dst = _build_ell(
+            csc_indptr, csc_src, csc_eid, num_dst, num_edges
+        )
+        ell_src_meta, ell_src = _build_ell(
+            csr_indptr, csr_dst, csr_eid, num_src, num_edges
+        )
     # Hub-dense HYB layout (reduce-by-dst): auto-built only when the head
     # of the in-degree distribution clears the density bar. hub=True
     # forces it (tests / known-skewed graphs), an int sets the per-group
     # edge floor explicitly, hub=False skips.
     hub_dst_meta = hub_dst = None
-    if hub is not False and num_edges > 0:
+    if want("hub") and hub is not False and num_edges > 0:
         from dgl1_tpu import hub_format
 
         if hub is None:
@@ -625,8 +670,10 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
         csc_src=csc_src,
         csc_eid=csc_eid,
         csc_dst=csc_dst,
-        tdst=_build_tiles(csc_dst, csc_src, csc_eid, num_edges, num_dst),
-        tsrc=_build_tiles(csr_src, csr_dst, csr_eid, num_edges, num_src),
+        tdst=(_build_tiles(csc_dst, csc_src, csc_eid, num_edges, num_dst)
+              if want("tile") else None),
+        tsrc=(_build_tiles(csr_src, csr_dst, csr_eid, num_edges, num_src)
+              if want("tile") else None),
         ell_dst_meta=ell_dst_meta,
         ell_dst=ell_dst,
         ell_src_meta=ell_src_meta,
@@ -856,6 +903,7 @@ def graph(
     device_arrays: bool = False,
     hub=None,
     hub_dense_floor: Optional[int] = None,
+    formats: Optional[Tuple[str, ...]] = None,
 ) -> Graph:
     """Create a homogeneous graph from an edge list ``(src, dst)``.
 
@@ -884,7 +932,8 @@ def graph(
         num_padded = max(_round_up(num_edges, pad_edges_multiple), pad_edges_multiple)
     arrays = _build_formats(src, dst, num_nodes, num_nodes, num_edges,
                             num_padded, hub=hub,
-                            hub_dense_floor=hub_dense_floor)
+                            hub_dense_floor=hub_dense_floor,
+                            formats=formats)
     if device_arrays:
         metas = {k: arrays.pop(k)
                  for k in ("ell_dst_meta", "ell_src_meta", "hub_dst_meta")}

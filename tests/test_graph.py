@@ -83,6 +83,27 @@ def test_graph_is_pytree():
     )
 
 
+def test_formats_restriction():
+    g = dgl.rand_graph(30, 120, seed=3)
+    rep = g.formats()
+    assert {"coo", "csr", "csc"} <= set(rep["created"])
+
+    g2 = g.formats("csc")
+    assert g2.formats()["created"] == ["coo", "csr", "csc"]
+    assert g2.ell_dst is None and g2.tdst is None and g2.hub_dst is None
+    # Engines decline; dispatch falls back to the XLA oracle with the
+    # same values.
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(30, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dgl.ops.copy_u_sum(g2, x)),
+        np.asarray(dgl.ops.copy_u_sum(g, x)), rtol=1e-5, atol=1e-5)
+
+    # Restriction at construction.
+    g3 = dgl.rand_graph(30, 120, seed=3, formats=("csc", "ell"))
+    assert g3.ell_dst is not None and g3.tdst is None
+
+
 def test_zero_edge_graph():
     g = dgl.graph((np.array([], np.int64), np.array([], np.int64)),
                   num_nodes=4)

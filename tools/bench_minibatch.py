@@ -1,0 +1,185 @@
+"""Mini-batch GraphSAGE epoch-time benchmark at ogbn-products scale
+(BASELINE.md metric: "epoch time — ogbn-products (sampled GraphSAGE)").
+
+The pipeline has three stages, measured separately because they overlap
+in steady state (the dataloader prefetches on a host thread while the
+device trains on the previous batch):
+
+* **host sampling** — neighbor sampling + to_block per batch (numpy/C++);
+* **transfer** — blocks + feature indices to device. On this dev setup
+  the tunnel moves ~8MB/s (docs/PERF_NOTES.md) which is 3 orders of
+  magnitude below a production host link, so it is reported but NOT
+  folded into the epoch estimate;
+* **device step** — on-device feature-row gather (features HBM-resident)
+  + 2-layer GraphSAGE fwd+bwd+adam on padded static-shape blocks, timed
+  with the two-point chained-fori_loop method (the tunnel's fixed
+  ~30-45ms dispatch+fetch roundtrip cancels in the slope).
+
+Epoch time (overlapped) = steps_per_epoch * max(host, device).
+
+Parity anchor: ``examples/pytorch/graphsage/train_sampling.py`` timings;
+graph is a synthetic scale-match (no network: N=2.45M, E=124M directed,
+F=100, 47 classes, 196,615 train seeds — the ogbn-products card).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_graph(scale: str, seed: int = 0):
+    import dgl1_tpu as dgl
+
+    if scale == "products":
+        n, e, f, classes, n_train = 2_449_029, 123_718_280, 100, 47, 196_615
+        deg_alpha = 2.9  # products is mildly skewed (co-purchase)
+    elif scale == "reddit":
+        n, e, f, classes, n_train = 232_965, 114_615_892, 602, 41, 153_431
+        deg_alpha = 2.2
+    else:  # smoke
+        n, e, f, classes, n_train = 20_000, 200_000, 32, 7, 4_000
+        deg_alpha = 2.5
+
+    rng = np.random.default_rng(seed)
+    # Zipf-ish dst degrees, uniform src — same generator family as
+    # data/synthetic.py but built once here at exact scale, csc-only
+    # (sampling parent: no device engine layouts needed).
+    w = rng.zipf(deg_alpha, size=n).astype(np.float64)
+    p = w / w.sum()
+    dst = rng.choice(n, size=e, p=p).astype(np.int64)
+    src = rng.integers(0, n, size=e).astype(np.int64)
+    g = dgl.graph((src, dst), num_nodes=n, formats=("csc",))
+    train_ids = rng.choice(n, size=n_train, replace=False)
+    return g, f, classes, train_ids
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scale", default="products",
+                   choices=["products", "reddit", "smoke"])
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--fanouts", default="10,25")
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--host-batches", type=int, default=8,
+                   help="batches to time the host sampler over")
+    p.add_argument("--iters", default="10,60",
+                   help="two-point device iteration counts")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import optax
+
+    import dgl1_tpu as dgl  # noqa: F401
+    from dgl1_tpu.dataloading import NeighborSampler, NodeDataLoader
+    from dgl1_tpu.models import GraphSAGE
+
+    t0 = time.perf_counter()
+    g, in_f, classes, train_ids = build_graph(args.scale)
+    build_s = time.perf_counter() - t0
+    print(f"[build] {g.num_nodes()} nodes {g.num_edges()} edges "
+          f"in {build_s:.1f}s", flush=True)
+
+    fanouts = [int(x) for x in args.fanouts.split(",")]
+    sampler = NeighborSampler(fanouts)
+    loader = NodeDataLoader(g, train_ids, sampler,
+                            batch_size=args.batch_size, shuffle=True,
+                            seed=0)
+    steps_per_epoch = -(-len(train_ids) // args.batch_size)
+
+    # ---- host sampling rate ----
+    it = iter(loader)
+    first = next(it)  # warm caches
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(args.host_batches):
+        try:
+            next(it)
+            done += 1
+        except StopIteration:
+            break
+    host_ms = (time.perf_counter() - t0) / max(done, 1) * 1e3
+
+    # ---- transfer time (tunnel artifact; reported, not folded in) ----
+    inp, out, blocks, mask = first
+    t0 = time.perf_counter()
+    blocks_d = jax.device_put(blocks)
+    inp_d = jax.device_put(jnp.asarray(inp))
+    mask_d = jax.device_put(jnp.asarray(mask))
+    jax.block_until_ready(jax.tree.leaves(blocks_d))
+    transfer_ms = (time.perf_counter() - t0) * 1e3
+
+    # ---- device step (features HBM-resident, on-device row gather) ----
+    n = g.num_nodes()
+    feat = jax.random.normal(jax.random.PRNGKey(0), (n, in_f), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, classes)
+
+    model = GraphSAGE(hidden_feats=args.hidden, out_feats=classes,
+                      num_layers=len(fanouts))
+    x0 = jnp.take(feat, inp_d, axis=0, mode="clip")
+    params = model.init(jax.random.PRNGKey(2), blocks_d, x0)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    out_d = jax.device_put(jnp.asarray(np.asarray(out)))
+
+    def step(carry, blocks, inp_ids, out_ids, mask):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            x = jnp.take(feat, inp_ids, axis=0, mode="clip")
+            logits = model.apply(p, blocks, x)
+            y = jnp.take(labels, out_ids, mode="clip")
+            logp = jax.nn.log_softmax(logits)
+            ce = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            m = mask.astype(jnp.float32)
+            return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state
+
+    iters_lo, iters_hi = (int(x) for x in args.iters.split(","))
+    totals = []
+    for iters in (iters_lo, iters_hi):
+        @jax.jit
+        def run(params, opt_state, blocks, inp_ids, out_ids, mask):
+            def body(i, carry):
+                return step(carry, blocks, inp_ids, out_ids, mask)
+
+            return jax.lax.fori_loop(0, iters, body, (params, opt_state))
+
+        r = run(params, opt_state, blocks_d, inp_d, out_d, mask_d)
+        _ = float(jax.tree.leaves(r[0])[0].reshape(-1)[0])
+        t0 = time.perf_counter()
+        r = run(params, opt_state, blocks_d, inp_d, out_d, mask_d)
+        _ = float(jax.tree.leaves(r[0])[0].reshape(-1)[0])
+        totals.append(time.perf_counter() - t0)
+    device_ms = (totals[1] - totals[0]) / (iters_hi - iters_lo) * 1e3
+
+    bottleneck = max(host_ms, device_ms)
+    print(json.dumps({
+        "scale": args.scale,
+        "nodes": g.num_nodes(), "edges": g.num_edges(),
+        "batch_size": args.batch_size, "fanouts": fanouts,
+        "hidden": args.hidden,
+        "steps_per_epoch": steps_per_epoch,
+        "host_sample_ms_per_batch": round(host_ms, 2),
+        "device_step_ms_per_batch": round(device_ms, 2),
+        "transfer_ms_per_batch_tunnel": round(transfer_ms, 2),
+        "epoch_s_overlapped": round(steps_per_epoch * bottleneck / 1e3, 2),
+        "bottleneck": "host_sampler" if host_ms > device_ms else "device",
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,12 @@
 """Stage-level profile of the hub engine forward on the bench graph.
 
 Times each tier (dense MXU pass, chunked one-hot pass, ELL tail stack,
-final inverse-permute gather) in isolation with the fori_loop chained
-method (docs/PERF_NOTES.md), to target kernel work where the ms are.
+final inverse-permute) with the two-point chained-fori_loop method: the
+tunnel's dispatch+fetch roundtrip is a FIXED ~30-45ms per call, so the
+per-iteration time is the slope between two iteration counts
+(docs/PERF_NOTES.md). Each isolated stage body also carries the
+`x + eps*sum(out)` chaining pass (~0.67ms at N=2^19, F=128) — the
+`carry_ms` row measures exactly that, subtract it per stage.
 """
 
 from __future__ import annotations
@@ -15,20 +19,25 @@ import numpy as np
 NUM_NODES = 1 << 19
 AVG_DEGREE = 8
 FEAT_DIM = 128
-ITERS = 20
+ITERS_LO = 20
+ITERS_HI = 120
 
 
-def timeit(fn, *args):
+def slope(body, g, feat):
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    # Fetch ONE element (slice on device) — np.asarray(out) would drag the
-    # whole array over the ~8MB/s tunnel and corrupt the timing.
-    _ = float(out.reshape(-1)[0])
-    t0 = time.perf_counter()
-    out = fn(*args)
-    _ = float(out.reshape(-1)[0])
-    return (time.perf_counter() - t0) / ITERS
+    totals = []
+    for iters in (ITERS_LO, ITERS_HI):
+        @jax.jit
+        def run(g, x):
+            return jax.lax.fori_loop(0, iters, lambda i, x: body(g, x), x)
+
+        _ = float(run(g, feat).reshape(-1)[0])  # compile + warmup
+        t0 = time.perf_counter()
+        _ = float(run(g, feat).reshape(-1)[0])
+        totals.append(time.perf_counter() - t0)
+    return (totals[1] - totals[0]) / (ITERS_HI - ITERS_LO)
 
 
 def main():
@@ -45,7 +54,8 @@ def main():
     g = powerlaw_graph(n, AVG_DEGREE, seed=0)
     meta: HubMeta = g.hub_dst_meta
     print(f"E={g.num_edges()} n_groups={meta.n_groups} "
-          f"n_dense={meta.n_dense} tail_slots={g.hub_dst['t_idx'].shape}")
+          f"n_dense={meta.n_dense} tail_slots={g.hub_dst['t_idx'].shape}",
+          flush=True)
     g = jax.device_put(g)
     jax.block_until_ready(jax.tree.leaves(g))
     feat = jax.random.normal(jax.random.PRNGKey(0), (n, FEAT_DIM),
@@ -54,77 +64,75 @@ def main():
     ff = FEAT_DIM
     f_pad = H._round_up(ff, H.BLK)
 
-    def loop(body):
-        @jax.jit
-        def run(g, x):
-            def b(i, x):
-                return body(g, x)
+    # The chaining pass alone: every isolated stage pays this on top.
+    t_carry = slope(lambda g, x: x * 1.0001, g, feat)
 
-            return jax.lax.fori_loop(0, ITERS, b, x)
+    # Full forward (output IS the carry: no extra pass).
+    t_full = slope(
+        lambda g, x: dgl.ops.gspmm(g, "copy_lhs", "sum", x, None) * 0.1,
+        g, feat)
 
-        return run
+    rows_pad = None  # set below per stage
 
-    # Full forward.
-    full = loop(lambda g, x: dgl.ops.gspmm(g, "copy_lhs", "sum", x, None)
-                * 0.1)
-    t_full = timeit(full, g, feat)
-
-    # Dense tier only (output reused as next input via slice).
     def dense_only(g, x):
         rows_pad = g.hub_dst["dense_c"].shape[0]
         u_pad = H._pad_2d(x, rows_pad, f_pad)
-        out = H._dense_fwd_call(g.hub_dst["dense_c"], u_pad)  # (n_dense*BLK, f)
+        out = H._dense_fwd_call(g.hub_dst["dense_c"], u_pad)
         return x + 1e-30 * jnp.sum(out)
 
-    t_dense = timeit(loop(dense_only), g, feat)
+    t_dense = slope(dense_only, g, feat)
 
-    # Chunked tier only.
     meta_groups = int(meta.n_groups - meta.n_dense)
 
     def chunk_only(g, x):
+        if meta_groups == 0:
+            return x * 1.0001
         rows_pad = g.hub_dst["dense_c"].shape[0]
         u_pad = H._pad_2d(x, rows_pad, f_pad)
-        out = H._chunk_call("plain", g.hub_dst["part_fwd"], None, None, u_pad,
-                            meta_groups, f_pad)
+        out = H._chunk_call("plain", g.hub_dst["part_fwd"], None, None,
+                            u_pad, meta_groups, f_pad)
         return x + 1e-30 * jnp.sum(out)
 
-    t_chunk = timeit(loop(chunk_only), g, feat)
+    t_chunk = slope(chunk_only, g, feat)
 
-    # ELL tail only.
     def tail_only(g, x):
         stacked = ell_stack(meta.tail_meta_dst, g.hub_dst["t_idx"],
                             g.hub_dst["t_eid"], "copy_lhs", "sum", x, None)
         return x + 1e-30 * jnp.sum(stacked)
 
-    t_tail = timeit(loop(tail_only), g, feat)
+    t_tail = slope(tail_only, g, feat)
 
-    # Final inverse-permute gather only, on a correctly-sized merged tensor.
-    stacked = ell_stack(meta.tail_meta_dst, g.hub_dst["t_idx"], g.hub_dst["t_eid"],
-                        "copy_lhs", "sum", feat, None)
+    # Expand/inverse-permute on a correctly-sized merged tensor.
+    stacked = ell_stack(meta.tail_meta_dst, g.hub_dst["t_idx"],
+                        g.hub_dst["t_eid"], "copy_lhs", "sum", feat, None)
     hub_rows = int(meta.n_groups * H.BLK)
-    merged0 = jnp.concatenate(
-        [stacked, jnp.zeros((hub_rows, ff), feat.dtype)], axis=0)
-    t_inv = g.hub_dst["t_inv"]
+    n_merge = int(stacked.shape[0]) + hub_rows
+    m_pad = H._round_up(n_merge, 32)
+    use_expand = (g.hub_dst["x_desc"].shape[0] > 0
+                  and m_pad * H.BLK * 4 <= H._EXPAND_VMEM_BYTES)
 
-    @jax.jit
-    def take_loop(merged, idx):
-        def b(i, m):
-            out = jnp.take(m, idx, axis=0, mode="fill", fill_value=0.0)
-            return m + 1e-30 * jnp.sum(out)
+    def expand_only(g, x):
+        merged2 = jnp.zeros((m_pad, f_pad), jnp.float32) + x[:m_pad]
+        if use_expand:
+            out = H._expand_call(merged2, g.hub_dst["x_starts"],
+                                 g.hub_dst["x_desc"], n)
+        else:
+            out = jnp.take(merged2, g.hub_dst["t_inv"], axis=0,
+                           mode="fill", fill_value=0.0)
+        return x + 1e-30 * jnp.sum(out)
 
-        return jax.lax.fori_loop(0, ITERS, b, merged)
-
-    t_take = timeit(take_loop, merged0, t_inv)
+    t_expand = slope(expand_only, g, feat)
 
     print(json.dumps({
+        "carry_ms": round(t_carry * 1e3, 3),
         "full_ms": round(t_full * 1e3, 3),
-        "dense_ms": round(t_dense * 1e3, 3),
-        "chunk_ms": round(t_chunk * 1e3, 3),
-        "tail_ell_ms": round(t_tail * 1e3, 3),
-        "inverse_take_ms": round(t_take * 1e3, 3),
+        "dense_ms_incl_carry": round(t_dense * 1e3, 3),
+        "chunk_ms_incl_carry": round(t_chunk * 1e3, 3),
+        "tail_ell_ms_incl_carry": round(t_tail * 1e3, 3),
+        "expand_ms_incl_carry": round(t_expand * 1e3, 3),
+        "uses_pallas_expand": bool(use_expand),
         "stacked_rows": int(stacked.shape[0]),
         "hub_rows": hub_rows,
-        "out_rows": int(t_inv.shape[0]),
     }))
 
 
