@@ -952,6 +952,7 @@ def block(
     num_src_nodes: Optional[int] = None,
     num_dst_nodes: Optional[int] = None,
     pad_edges_to: Optional[int] = None,
+    formats: Optional[Tuple[str, ...]] = None,
 ) -> Graph:
     """Create a bipartite message-flow block (parity: ``dgl.create_block`` /
     ``src/graph/transform/to_bipartite.cc :: ToBlock`` output shape)."""
@@ -965,7 +966,8 @@ def block(
         num_dst_nodes = int(dst.max(initial=-1) + 1)
     num_padded = int(pad_edges_to) if pad_edges_to is not None else num_edges
     arrays = _build_formats(
-        src, dst, num_src_nodes, num_dst_nodes, num_edges, num_padded
+        src, dst, num_src_nodes, num_dst_nodes, num_edges, num_padded,
+        formats=formats,
     )
     return Graph(
         **arrays,

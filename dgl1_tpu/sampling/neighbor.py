@@ -102,16 +102,23 @@ def sample_neighbors(
     prob: Optional[str] = None,
     replace: bool = False,
     rng: Optional[np.random.Generator] = None,
+    formats=None,
 ) -> Graph:
     """Sample up to ``fanout`` in-edges (or out-edges) per seed node.
 
     Returns a frontier graph in the parent node space whose edges are the
     sampled ones; original edge ids are in ``edata['_ID']``.
     Parity: ``dgl.sampling.sample_neighbors``.
+
+    ``formats``: restrict the frontier's derived layouts (see
+    ``dgl.graph``). The block pipeline passes ``("coo",)`` — ``to_block``
+    only reads the edge list, and the ELL/tile builds were ~half the
+    host sampling cost per batch.
     """
     if edge_dir == "out":
         rev = sample_neighbors(
-            g.reverse(copy_edata=False), nodes, fanout, "in", prob, replace, rng
+            g.reverse(copy_edata=False), nodes, fanout, "in", prob, replace,
+            rng, formats=formats,
         )
         out = rev.reverse(copy_edata=True)
         return out
@@ -127,7 +134,8 @@ def sample_neighbors(
         indptr, src_arr, eid_arr, nodes, fanout, replace, rng, p
     )
     dst = nodes[seed_idx]
-    frontier = graph((nbr, dst), num_nodes=g.num_src_nodes())
+    frontier = graph((nbr, dst), num_nodes=g.num_src_nodes(),
+                     formats=formats)
     import jax.numpy as jnp
 
     frontier.edata["_ID"] = jnp.asarray(eids.astype(np.int32))

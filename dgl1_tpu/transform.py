@@ -209,7 +209,8 @@ def line_graph(g: Graph, backtracking: bool = True) -> Graph:
 def to_block(frontier: Graph, dst_nodes, include_dst_in_src: bool = True,
              num_real_dst: Optional[int] = None,
              pad_src_to: Optional[int] = None,
-             pad_edges_to: Optional[int] = None) -> Graph:
+             pad_edges_to: Optional[int] = None,
+             formats=None) -> Graph:
     """Convert a frontier graph (edges into seed nodes, in parent ids) to a
     bipartite message-flow block with compact local ids.
 
@@ -264,6 +265,7 @@ def to_block(frontier: Graph, dst_nodes, include_dst_in_src: bool = True,
         num_src_nodes=num_src,
         num_dst_nodes=len(dst_nodes),
         pad_edges_to=pad_edges_to,
+        formats=formats,
     )
     src_id_arr = np.zeros((num_src,), dtype=np.int32)
     src_id_arr[: len(src_ids)] = src_ids

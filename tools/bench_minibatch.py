@@ -45,12 +45,15 @@ def build_graph(scale: str, seed: int = 0):
         deg_alpha = 2.5
 
     rng = np.random.default_rng(seed)
-    # Zipf-ish dst degrees, uniform src — same generator family as
-    # data/synthetic.py but built once here at exact scale, csc-only
-    # (sampling parent: no device engine layouts needed).
+    # Zipf-ish dst degrees, uniform src — same family as
+    # data/synthetic.py but O(E) (repeat by degree, not choice(p=...)):
+    # at E=124M on a 2-core host the weighted choice takes minutes.
     w = rng.zipf(deg_alpha, size=n).astype(np.float64)
-    p = w / w.sum()
-    dst = rng.choice(n, size=e, p=p).astype(np.int64)
+    deg = np.maximum((w * (e / w.sum())).astype(np.int64), 0)
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    if len(dst) < e:
+        dst = np.concatenate([dst, rng.integers(0, n, size=e - len(dst))])
+    dst = dst[:e]
     src = rng.integers(0, n, size=e).astype(np.int64)
     g = dgl.graph((src, dst), num_nodes=n, formats=("csc",))
     train_ids = rng.choice(n, size=n_train, replace=False)
