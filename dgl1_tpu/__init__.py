@@ -55,7 +55,19 @@ from dgl1_tpu.graph import (
     to_networkx,
     create_block,
 )
-from dgl1_tpu.heterograph import HeteroGraph, heterograph
+from dgl1_tpu.heterograph import (
+    HeteroGraph,
+    heterograph,
+    node_type_subgraph,
+    edge_type_subgraph,
+)
+from dgl1_tpu import random
+from dgl1_tpu.random import seed
+from dgl1_tpu.data.serialize import save_graphs, load_graphs
+
+# Reference-name aliases (``dgl.DGLGraph`` / ``dgl.DGLHeteroGraph``).
+DGLGraph = Graph
+DGLHeteroGraph = HeteroGraph
 from dgl1_tpu.batch import batch, unbatch, batch_num_nodes, batch_num_edges
 from dgl1_tpu.readout import (
     readout_nodes,
@@ -134,6 +146,14 @@ __all__ = [
     "create_block",
     "HeteroGraph",
     "heterograph",
+    "node_type_subgraph",
+    "edge_type_subgraph",
+    "DGLGraph",
+    "DGLHeteroGraph",
+    "random",
+    "seed",
+    "save_graphs",
+    "load_graphs",
     "batch",
     "unbatch",
     "function",

@@ -16,6 +16,8 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
+from dgl1_tpu import random as dgl_random
+
 from dgl1_tpu.graph import Graph
 
 __all__ = ["NodeCollator", "NodeDataLoader", "DataLoader"]
@@ -29,7 +31,7 @@ class NodeCollator:
                  rng: Optional[np.random.Generator] = None):
         self.g = g
         self.sampler = sampler
-        self.rng = rng or np.random.default_rng()
+        self.rng = rng or dgl_random.default_rng()
 
     def collate(self, seeds: np.ndarray, batch_size: int):
         seeds = np.asarray(seeds, dtype=np.int64)

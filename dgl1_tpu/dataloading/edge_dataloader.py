@@ -12,6 +12,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from dgl1_tpu import random as dgl_random
+
 from dgl1_tpu.graph import Graph, block
 from dgl1_tpu.dataloading.dataloader import NodeDataLoader
 
@@ -28,7 +30,7 @@ class as_edge_prediction_sampler:
 
     def sample(self, g: Graph, eids: np.ndarray,
                rng: Optional[np.random.Generator] = None):
-        rng = rng or np.random.default_rng()
+        rng = rng or dgl_random.default_rng()
         eids = np.asarray(eids, dtype=np.int64)
         src = np.asarray(g.src)[eids].astype(np.int64)
         dst = np.asarray(g.dst)[eids].astype(np.int64)

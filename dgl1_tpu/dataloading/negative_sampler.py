@@ -7,6 +7,8 @@ from typing import Optional
 
 import numpy as np
 
+from dgl1_tpu import random as dgl_random
+
 from dgl1_tpu.graph import Graph
 
 __all__ = ["Uniform", "PerSourceUniform"]
@@ -21,7 +23,7 @@ class Uniform:
 
     def __call__(self, g: Graph, eids: np.ndarray,
                  rng: Optional[np.random.Generator] = None):
-        rng = rng or np.random.default_rng()
+        rng = rng or dgl_random.default_rng()
         eids = np.asarray(eids, dtype=np.int64)
         src = np.asarray(g.src)[eids]
         neg_src = np.repeat(src, self.k)

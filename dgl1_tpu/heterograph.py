@@ -20,7 +20,8 @@ import numpy as np
 from dgl1_tpu.function import BinaryMessage, CopyMessage, Reducer
 from dgl1_tpu.graph import Graph, block
 
-__all__ = ["HeteroGraph", "heterograph"]
+__all__ = ["HeteroGraph", "heterograph", "node_type_subgraph",
+           "edge_type_subgraph"]
 
 CanonicalEtype = Tuple[str, str, str]
 
@@ -87,6 +88,27 @@ class HeteroGraph:
         if len(self._num_nodes) != 1:
             raise ValueError("ndata is ambiguous: multiple node types")
         return self.nframes[self.ntypes[0]]
+
+    @property
+    def edata(self):
+        if len(self.rel_graphs) != 1:
+            raise ValueError("edata is ambiguous: multiple edge types")
+        return self.rel_graphs[self.canonical_etypes[0]].edata
+
+    def apply_edges(self, func, etype=None):
+        """Per-etype ``apply_edges`` (parity: ``DGLHeteroGraph.apply_edges``)."""
+        c = self.to_canonical_etype(etype) if etype is not None else None
+        if c is None:
+            if len(self.rel_graphs) != 1:
+                raise ValueError("etype is required: multiple edge types")
+            c = self.canonical_etypes[0]
+        srctype, _, dsttype = c
+        rel = self.rel_graphs[c]
+        rel.srcdata.clear()
+        rel.srcdata.update(self.nframes[srctype])
+        rel.dstdata.clear()
+        rel.dstdata.update(self.nframes[dsttype])
+        return rel.apply_edges(func)
 
     # ------------------------------------------------------------------
     def update_all(self, mfunc, rfunc, etype=None):
@@ -180,6 +202,43 @@ class HeteroGraph:
 jax.tree_util.register_pytree_node(
     HeteroGraph, HeteroGraph.tree_flatten, HeteroGraph.tree_unflatten
 )
+
+
+def node_type_subgraph(hg: HeteroGraph, ntypes) -> HeteroGraph:
+    """Subgraph induced on the given node types: keeps every relation whose
+    endpoints are both retained, with node/edge features shared (graphs are
+    immutable pytrees, so sharing is safe).
+
+    Parity: ``DGLHeteroGraph.node_type_subgraph``
+    (``python/dgl/heterograph.py``).
+    """
+    keep = set([ntypes] if isinstance(ntypes, str) else ntypes)
+    unknown = keep - set(hg.ntypes)
+    if unknown:
+        raise KeyError(f"unknown node types: {sorted(unknown)}")
+    rels = {c: g for c, g in hg.rel_graphs.items()
+            if c[0] in keep and c[2] in keep}
+    counts = {nt: hg.num_nodes(nt) for nt in keep}
+    frames = {nt: dict(hg.nframes[nt]) for nt in keep}
+    return HeteroGraph(rels, counts, frames)
+
+
+def edge_type_subgraph(hg: HeteroGraph, etypes) -> HeteroGraph:
+    """Subgraph with only the given edge types; node types that appear as an
+    endpoint of a kept relation are retained in full.
+
+    Parity: ``DGLHeteroGraph.edge_type_subgraph``.
+    """
+    if isinstance(etypes, (str, tuple)):
+        etypes = [etypes]
+    canon = [hg.to_canonical_etype(e) for e in etypes]
+    rels = {c: hg.rel_graphs[c] for c in canon}
+    keep = set()
+    for st, _, dt in canon:
+        keep.update((st, dt))
+    counts = {nt: hg.num_nodes(nt) for nt in keep}
+    frames = {nt: dict(hg.nframes[nt]) for nt in keep}
+    return HeteroGraph(rels, counts, frames)
 
 
 def heterograph(data_dict, num_nodes_dict: Optional[Dict[str, int]] = None

@@ -6,6 +6,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from dgl1_tpu import random as dgl_random
+
 from dgl1_tpu.graph import Graph
 
 __all__ = ["global_uniform_negative_sampling"]
@@ -19,7 +21,7 @@ def global_uniform_negative_sampling(
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample (src, dst) pairs that are not edges of ``g``, by rejection."""
-    rng = rng or np.random.default_rng()
+    rng = rng or dgl_random.default_rng()
     n = g.num_src_nodes()
     e = g.num_edges()
     existing = set(

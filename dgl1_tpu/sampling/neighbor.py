@@ -18,6 +18,8 @@ from typing import Optional
 
 import numpy as np
 
+from dgl1_tpu import random as dgl_random
+
 from dgl1_tpu.graph import Graph, graph
 
 __all__ = ["sample_neighbors", "sample_neighbors_arrays"]
@@ -46,7 +48,7 @@ def sample_neighbors_arrays(
     Returns (nbr_sampled, seed_index_per_sample, eid_sampled). Raw-array
     form so the distributed sampler can reuse it on partition-local CSCs.
     """
-    rng = rng or np.random.default_rng()
+    rng = rng or dgl_random.default_rng()
     seeds = np.asarray(seeds, dtype=np.int64)
     starts = indptr[seeds].astype(np.int64)
     degs = (indptr[seeds + 1] - indptr[seeds]).astype(np.int64)

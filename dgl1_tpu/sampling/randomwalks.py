@@ -9,6 +9,8 @@ from typing import Optional
 
 import numpy as np
 
+from dgl1_tpu import random as dgl_random
+
 from dgl1_tpu.graph import Graph
 
 __all__ = ["random_walk", "node2vec_random_walk"]
@@ -26,7 +28,7 @@ def random_walk(
     Returns traces of shape (num_seeds, length+1); -1 marks a terminated
     walk (dead end or restart).
     """
-    rng = rng or np.random.default_rng()
+    rng = rng or dgl_random.default_rng()
     indptr = np.asarray(g.csr_indptr).astype(np.int64)
     nbr = np.asarray(g.csr_dst).astype(np.int64)
     cur = np.asarray(nodes, dtype=np.int64)
@@ -56,7 +58,7 @@ def node2vec_random_walk(
 ) -> np.ndarray:
     """node2vec biased walk (2nd-order). Simple host implementation using
     rejection sampling per step (parity: ``dgl.sampling.node2vec_random_walk``)."""
-    rng = rng or np.random.default_rng()
+    rng = rng or dgl_random.default_rng()
     indptr = np.asarray(g.csr_indptr).astype(np.int64)
     nbr = np.asarray(g.csr_dst).astype(np.int64)
     nbr_sets = None  # lazily built per-walk for the q bias check

@@ -136,3 +136,54 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step == 7
     np.testing.assert_allclose(np.asarray(restored["w"]),
                                np.asarray(tree["w"]))
+
+
+def test_hetero_type_subgraphs():
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): ([0, 1], [1, 2]),
+        ("user", "plays", "game"): ([0, 2], [0, 1]),
+        ("dev", "makes", "game"): ([0], [1]),
+    })
+    hg.nodes_data("user")["h"] = jnp.ones((3, 2))
+    sub = dgl.node_type_subgraph(hg, ["user", "game"])
+    assert set(sub.ntypes) == {"user", "game"}
+    assert sub.canonical_etypes == [("user", "follows", "user"),
+                                    ("user", "plays", "game")]
+    assert sub.nodes_data("user")["h"].shape == (3, 2)
+    sub2 = dgl.edge_type_subgraph(hg, ["plays"])
+    assert set(sub2.ntypes) == {"user", "game"}
+    assert sub2.num_edges() == 2
+    with pytest.raises(KeyError):
+        dgl.node_type_subgraph(hg, ["nope"])
+
+
+def test_hetero_apply_edges():
+    from dgl1_tpu import function as fn
+
+    hg = dgl.heterograph({("u", "r", "v"): ([0, 1, 1], [0, 0, 1])})
+    hg.nodes_data("u")["h"] = jnp.asarray([[1.0], [2.0]])
+    hg.nodes_data("v")["h"] = jnp.asarray([[10.0], [20.0]])
+    out = hg.apply_edges(fn.u_add_v("h", "h", "e"), etype="r")
+    np.testing.assert_allclose(np.asarray(out).ravel(),
+                               [11.0, 12.0, 22.0])
+
+
+def test_global_seed_determinism():
+    from dgl1_tpu.sampling import sample_neighbors
+
+    g = dgl.rand_graph(50, 400, seed=1)
+    dgl.seed(42)
+    f1 = sample_neighbors(g, np.arange(20), 3)
+    dgl.seed(42)
+    f2 = sample_neighbors(g, np.arange(20), 3)
+    np.testing.assert_array_equal(np.asarray(f1.edges()[0]),
+                                  np.asarray(f2.edges()[0]))
+
+
+def test_top_level_serialize_alias(tmp_path):
+    g = dgl.rand_graph(8, 20, seed=2)
+    path = str(tmp_path / "g.npz")
+    dgl.save_graphs(path, [g])
+    loaded, _ = dgl.load_graphs(path)
+    assert loaded[0].num_edges() == 20
+    assert dgl.DGLGraph is dgl.Graph
