@@ -54,6 +54,19 @@ def _compile() -> Optional[ctypes.CDLL]:
                                 ctypes.c_int64, ctypes.c_void_p,
                                 ctypes.c_int32]
     lib.gather_rows.restype = None
+    lib.plan_ell.argtypes = [i32p, ctypes.c_int32, ctypes.c_int64,
+                             ctypes.c_int64, i64p, i64p, i64p]
+    lib.plan_ell.restype = ctypes.c_int32
+    lib.fill_ell.argtypes = [i32p, i32p, i32p, ctypes.c_int32,
+                             ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+                             i32p]
+    lib.fill_ell.restype = None
+    lib.sample_block.argtypes = [i32p, i32p, i32p, ctypes.c_int32, i64p,
+                                 ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int32, ctypes.c_uint64,
+                                 ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+                                 i32p, i64p, i64p]
+    lib.sample_block.restype = ctypes.c_int32
     return lib
 
 

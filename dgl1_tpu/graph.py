@@ -829,6 +829,30 @@ def _build_ell(indptr: np.ndarray, nbr_sorted: np.ndarray,
     scheduler (``python/dgl/runtime/degree_bucketing.py``) into the fused
     kernel path itself.
     """
+    if num_edges > 0 and num_target > 0:
+        from dgl1_tpu import _native
+
+        native = _native.lib()
+        if native is not None:
+            ip32 = np.ascontiguousarray(indptr[: num_target + 1], ID_DTYPE)
+            nbr32 = np.ascontiguousarray(nbr_sorted, ID_DTYPE)
+            eid32 = np.ascontiguousarray(eid_sorted, ID_DTYPE)
+            meta_k = np.zeros((64,), np.int64)
+            meta_nb = np.zeros((64,), np.int64)
+            n_out = np.zeros((2,), np.int64)
+            ms = -1 if min_slots is None else int(min_slots)
+            nb = native.plan_ell(ip32, num_target, num_edges, ms, meta_k,
+                                 meta_nb, n_out)
+            idx = np.empty((int(n_out[0]),), ID_DTYPE)
+            eid = np.empty((int(n_out[0]),), ID_DTYPE)
+            inv_perm = np.empty((num_target,), ID_DTYPE)
+            native.fill_ell(ip32, nbr32, eid32, num_target, num_edges, ms,
+                            idx, eid, inv_perm)
+            meta = tuple(
+                (int(meta_k[i]), int(meta_nb[i])) for i in range(nb)
+            )
+            return meta, {"idx": idx, "eid": eid, "inv_perm": inv_perm}
+
     deg = np.diff(indptr[: num_target + 1]).astype(np.int64)
     ladder = np.asarray(_ELL_LADDER, dtype=np.int64)
     kidx = np.searchsorted(ladder, deg, side="left")

@@ -1,0 +1,110 @@
+"""Native fused sampler (sampling/fused.py) and native ELL builder parity.
+
+Mirrors the reference's sampler tests (tests/compute/test_sampler.py:
+fanout respected, no-replacement uniqueness) plus the block-relabel
+invariants of to_block, against the C++ fast path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import dgl1_tpu as dgl
+from dgl1_tpu import _native
+from dgl1_tpu.graph import ID_DTYPE, _build_ell
+
+native_only = pytest.mark.skipif(_native.lib() is None,
+                                 reason="native library unavailable")
+
+
+@native_only
+def test_build_ell_native_matches_numpy():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n_dst = int(rng.integers(1, 200))
+        n_src = int(rng.integers(1, 200))
+        e = int(rng.integers(0, 1000))
+        dst = rng.integers(0, n_dst, size=e)
+        src = rng.integers(0, n_src, size=e)
+        order = np.argsort(dst, kind="stable")
+        sd, ss = dst[order], src[order]
+        eid = np.arange(e)[order]
+        indptr = np.zeros(n_dst + 1, np.int64)
+        np.cumsum(np.bincount(dst, minlength=n_dst), out=indptr[1:])
+        ms = None if trial % 2 == 0 else int(rng.integers(1, 300))
+        m1, a1 = _build_ell(indptr.astype(ID_DTYPE), ss.astype(ID_DTYPE),
+                            eid.astype(ID_DTYPE), n_dst, e, min_slots=ms)
+        os.environ["DGL1_TPU_NO_NATIVE"] = "1"
+        try:
+            m2, a2 = _build_ell(indptr, ss, eid, n_dst, e, min_slots=ms)
+        finally:
+            del os.environ["DGL1_TPU_NO_NATIVE"]
+        assert m1 == m2
+        for k in ("idx", "eid", "inv_perm"):
+            assert np.array_equal(np.asarray(a1[k]), np.asarray(a2[k]))
+
+
+@native_only
+def test_sample_block_fused_invariants():
+    from dgl1_tpu.sampling.fused import sample_block_fused
+
+    g = dgl.rand_graph(500, 5000, seed=1)
+    indptr = np.asarray(g.csc_indptr)
+    coo_s = np.asarray(g.src)
+    coo_d = np.asarray(g.dst)
+
+    seeds_real = np.random.default_rng(2).choice(500, size=64, replace=False)
+    P, k = 128, 5  # phantom dst tail beyond the 64 real seeds
+    seeds = np.zeros(P, np.int64)
+    seeds[:64] = seeds_real
+    blk = sample_block_fused(g, seeds, 64, k, pad_src_to=P * (k + 1),
+                             pad_edges_to=P * k,
+                             rng=np.random.default_rng(3))
+    ne = blk.num_edges()
+    src_ids = np.asarray(blk.srcdata["_ID"])
+    dst_ids = np.asarray(blk.dstdata["_ID"])
+    peid = np.asarray(blk.edata["_ID"])
+    lsrc = np.asarray(blk.src)[:ne]
+    ldst = np.asarray(blk.dst)[:ne]
+
+    assert blk.meta["num_real_dst"] == 64
+    assert np.array_equal(src_ids[:64], seeds_real)  # seeds-first prefix
+    deg_per_dst = np.bincount(ldst, minlength=P)
+    assert deg_per_dst[64:].sum() == 0  # phantom rows sample nothing
+    for v in range(64):
+        parent = seeds_real[v]
+        d = indptr[parent + 1] - indptr[parent]
+        assert deg_per_dst[v] == min(d, k)  # fanout respected
+        sel = peid[ldst == v]
+        assert len(np.unique(sel)) == len(sel)  # without replacement
+    # Relabel consistency: parent endpoints match through the id maps.
+    assert np.array_equal(coo_d[peid], dst_ids[ldst])
+    assert np.array_equal(coo_s[peid], src_ids[lsrc])
+    assert np.array_equal(np.asarray(blk.in_degrees())[:P], deg_per_dst)
+
+
+@native_only
+def test_dataloader_fast_path_matches_dense_oracle():
+    import jax.numpy as jnp
+
+    from dgl1_tpu.dataloading import NeighborSampler, NodeDataLoader
+
+    gg = dgl.rand_graph(300, 3000, seed=4)
+    loader = NodeDataLoader(gg, np.arange(100), NeighborSampler([3, 4]),
+                            batch_size=32, shuffle=False, seed=0)
+    feat = jnp.asarray(np.random.default_rng(5)
+                       .normal(size=(300, 16)).astype(np.float32))
+    n_batches = 0
+    for inp, out, blocks, mask in loader:
+        x = jnp.take(feat, jnp.asarray(inp), axis=0, mode="clip")
+        h = dgl.ops.gspmm(blocks[0], "copy_lhs", "sum", x, None)
+        b0 = blocks[0]
+        ne0 = b0.num_edges()
+        ls = np.asarray(b0.src)[:ne0]
+        ld = np.asarray(b0.dst)[:ne0]
+        ref = np.zeros((b0.num_dst_nodes(), 16), np.float32)
+        np.add.at(ref, ld, np.asarray(x)[ls])
+        assert np.allclose(np.asarray(h), ref, atol=1e-5)
+        n_batches += 1
+    assert n_batches == 4
