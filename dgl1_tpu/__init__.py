@@ -106,6 +106,8 @@ from dgl1_tpu.transform import (
     segmented_knn_graph,
     metapath_reachable_graph,
     laplacian_lambda_max,
+    to_homogeneous,
+    to_heterogeneous,
     add_edges,
     remove_edges,
     add_nodes,
@@ -119,7 +121,24 @@ from dgl1_tpu import nn
 from dgl1_tpu import parallel
 from dgl1_tpu import models
 from dgl1_tpu import utils
-from dgl1_tpu.core import filter_nodes, filter_edges, prop_nodes, prop_edges
+from dgl1_tpu.core import (
+    filter_nodes,
+    filter_edges,
+    prop_nodes,
+    prop_edges,
+    prop_nodes_topo,
+    prop_nodes_bfs,
+    prop_edges_dfs,
+    pull,
+    push,
+)
+
+# Reserved field names (parity: ``dgl.NID`` / ``dgl.EID`` / ``dgl.NTYPE`` /
+# ``dgl.ETYPE`` from ``python/dgl/base.py``).
+NID = "_ID"
+EID = "_ID"
+NTYPE = "_TYPE"
+ETYPE = "_TYPE"
 from dgl1_tpu import optim
 from dgl1_tpu import traversal
 from dgl1_tpu.traversal import (

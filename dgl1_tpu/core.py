@@ -151,16 +151,25 @@ def invoke_udf_reduce(g: Graph, msg: Dict[str, jnp.ndarray], rfunc: Callable):
             # Zero-degree nodes produce zeros (reference zero-initializes).
             results.setdefault("__zero__", []).append(nodes)
             continue
+        # Pow-2 bucket padding: repeated eager reduces (Tree-LSTM
+        # frontiers) hit the same compiled shapes; pad node ids are OOB so
+        # gathers clip and the final scatter drops them.
+        pad_n = 1 << (len(nodes) - 1).bit_length() if len(nodes) > 1 else 1
+        if pad_n != len(nodes):
+            nodes = np.concatenate(
+                [nodes, np.full((pad_n - len(nodes),), num_dst, np.int32)]
+            )
         # Gather each bucket's mailbox: (n_nodes, d, *feat) per msg field.
-        starts = indptr[nodes]
-        idx = starts[:, None] + np.arange(d)[None, :]
+        starts = indptr[np.minimum(nodes, num_dst)]
+        idx = np.minimum(starts[:, None] + np.arange(d)[None, :],
+                         max(len(eid_by_dst) - 1, 0))
         eids = eid_by_dst[idx]  # (n, d) user edge ids
         mailbox = {
             k: jnp.take(v, jnp.asarray(eids.reshape(-1)), axis=0,
                         mode="clip").reshape(eids.shape + v.shape[1:])
             for k, v in msg.items()
         }
-        ndata = {k: jnp.take(v, jnp.asarray(nodes), axis=0)
+        ndata = {k: jnp.take(v, jnp.asarray(nodes), axis=0, mode="clip")
                  for k, v in g.dstdata.items()}
         ret = rfunc(NodeBatch(ndata, mailbox, jnp.asarray(nodes)))
         if out_fields is None:
@@ -307,21 +316,145 @@ def filter_edges(g: Graph, predicate) -> jnp.ndarray:
     return jnp.nonzero(mask)[0]
 
 
+def pull(g: Graph, v, message_func, reduce_func, apply_node_func=None):
+    """Pull messages into nodes ``v`` along their in-edges (parity:
+    ``DGLHeteroGraph.pull``). Writeback is row-masked: only receiving
+    nodes' rows change and only ``v`` rows get ``apply_node_func`` — nodes
+    outside ``v`` keep their current values, which is what makes stateful
+    topological propagation (Tree-LSTM) correct. ``apply_node_func`` runs
+    on all of ``v`` even when some receive no messages (the reference
+    zero-initializes those mailboxes). Eager-only."""
+    from dgl1_tpu.transform import edge_subgraph
+
+    v = np.asarray(v, dtype=np.int64)
+    e = g.num_edges()
+    dst = np.asarray(g.dst)[:e]
+    eids = np.nonzero(np.isin(dst, v))[0]
+    if len(eids):
+        # Pow-2 edge padding + minimal formats: repeated data-dependent
+        # pulls (Tree-LSTM frontiers) reuse compiled programs instead of
+        # recompiling per frontier size (static-shape design stance).
+        pad_e = 1 << (len(eids) - 1).bit_length() if len(eids) > 1 else 1
+        builtin_r = isinstance(reduce_func, Reducer)
+        sub = edge_subgraph(g, eids, relabel_nodes=False,
+                            pad_edges_to=pad_e,
+                            formats=("ell",) if builtin_r else ("csc",))
+        result = message_passing(sub, message_func, reduce_func, None)
+        recv = np.unique(dst[eids])
+        mask = np.zeros((g.num_dst_nodes(),), bool)
+        mask[recv] = True
+        mj = jnp.asarray(mask)
+        for k, col in result.items():
+            old = g.dstdata.get(k)
+            if old is not None and tuple(np.shape(old)) == tuple(col.shape):
+                m = mj.reshape((-1,) + (1,) * (col.ndim - 1))
+                col = jnp.where(m, col, old)
+            g.dstdata[k] = col
+    if apply_node_func is not None:
+        # Pow-2 node padding; pad ids are out-of-bounds, so the clip
+        # gather reads a harmless row and the scatter drops the update.
+        pad_n = 1 << (len(v) - 1).bit_length() if len(v) > 1 else 1
+        v_pad = np.full((pad_n,), g.num_dst_nodes(), np.int64)
+        v_pad[: len(v)] = v
+        vj = jnp.asarray(v_pad)
+        ndata = {k: jnp.take(x, vj, axis=0, mode="clip")
+                 for k, x in g.dstdata.items()}
+        out = apply_node_func(NodeBatch(ndata, {}, vj))
+        for k, val in out.items():
+            old = g.dstdata.get(k)
+            if old is None or tuple(np.shape(old)) != \
+                    (g.num_dst_nodes(),) + tuple(val.shape[1:]):
+                old = jnp.zeros((g.num_dst_nodes(),) + tuple(val.shape[1:]),
+                                val.dtype)
+            g.dstdata[k] = old.at[vj].set(val)
+    return g
+
+
+def push(g: Graph, u, message_func, reduce_func, apply_node_func=None):
+    """Send messages along the out-edges of ``u`` and reduce at their
+    destinations (parity: ``DGLHeteroGraph.push``). Eager-only."""
+    u = np.asarray(u, dtype=np.int64)
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e]
+    eids = np.nonzero(np.isin(src, u))[0]
+    recv = np.unique(np.asarray(g.dst)[:e][eids])
+    if len(eids) == 0:
+        return g
+    from dgl1_tpu.transform import edge_subgraph
+
+    sub = edge_subgraph(g, eids, relabel_nodes=False)
+    result = message_passing(sub, message_func, reduce_func, None)
+    mask = np.zeros((g.num_dst_nodes(),), bool)
+    mask[recv] = True
+    mj = jnp.asarray(mask)
+    for k, col in result.items():
+        old = g.dstdata.get(k)
+        if old is not None and tuple(np.shape(old)) == tuple(col.shape):
+            m = mj.reshape((-1,) + (1,) * (col.ndim - 1))
+            col = jnp.where(m, col, old)
+        g.dstdata[k] = col
+    if apply_node_func is not None:
+        rj = jnp.asarray(recv)
+        ndata = {k: jnp.take(x, rj, axis=0, mode="clip")
+                 for k, x in g.dstdata.items()}
+        out = apply_node_func(NodeBatch(ndata, {}, rj))
+        for k, val in out.items():
+            old = g.dstdata.get(k)
+            if old is None or tuple(np.shape(old)) != \
+                    (g.num_dst_nodes(),) + tuple(val.shape[1:]):
+                old = jnp.zeros((g.num_dst_nodes(),) + tuple(val.shape[1:]),
+                                val.dtype)
+            g.dstdata[k] = old.at[rj].set(val)
+    return g
+
+
 def prop_nodes(g: Graph, nodes_generator, message_func, reduce_func,
                apply_node_func=None):
     """Propagate messages along node frontiers (parity: ``dgl.prop_nodes``
     and traversal-based propagation): for each frontier, pull messages into
     those nodes (eager)."""
     for frontier in nodes_generator:
-        frontier = np.asarray(frontier)
-        # Pull: edges whose dst is in the frontier.
-        e = g.num_edges()
-        dst = np.asarray(g.dst)[:e]
-        eids = np.nonzero(np.isin(dst, frontier))[0]
-        if len(eids) == 0:
-            continue
-        send_and_recv(g, eids, message_func, reduce_func, apply_node_func)
+        pull(g, np.asarray(frontier), message_func, reduce_func,
+             apply_node_func)
     return g
+
+
+def prop_nodes_topo(g: Graph, message_func, reduce_func, reverse=False,
+                    apply_node_func=None):
+    """Propagate in topological frontier order (parity:
+    ``dgl.prop_nodes_topo`` — the Tree-LSTM recurrence driver).
+    ``reverse=True`` traverses/propagates against edge direction."""
+    from dgl1_tpu import traversal
+
+    if reverse:
+        rg = g.reverse(copy_edata=True)
+        rg.ndata = g.ndata
+        rg.srcdata = g.srcdata
+        rg.dstdata = g.dstdata
+        prop_nodes(rg, traversal.topological_nodes_generator(rg),
+                   message_func, reduce_func, apply_node_func)
+        return g
+    return prop_nodes(g, traversal.topological_nodes_generator(g),
+                      message_func, reduce_func, apply_node_func)
+
+
+def prop_nodes_bfs(g: Graph, source, message_func, reduce_func,
+                   apply_node_func=None):
+    """Propagate along BFS frontiers from ``source`` (parity:
+    ``dgl.prop_nodes_bfs``)."""
+    from dgl1_tpu import traversal
+
+    return prop_nodes(g, traversal.bfs_nodes_generator(g, source),
+                      message_func, reduce_func, apply_node_func)
+
+
+def prop_edges_dfs(g: Graph, source, message_func, reduce_func,
+                   apply_node_func=None):
+    """Propagate along DFS edge frontiers (parity: ``dgl.prop_edges_dfs``)."""
+    from dgl1_tpu import traversal
+
+    return prop_edges(g, traversal.dfs_edges_generator(g, source),
+                      message_func, reduce_func, apply_node_func)
 
 
 def prop_edges(g: Graph, edges_generator, message_func, reduce_func,

@@ -33,6 +33,7 @@ from dgl1_tpu.data.gnn_benchmark import (
     KarateClubDataset,
 )
 from dgl1_tpu.data.sbm import SBMMixtureDataset
+from dgl1_tpu.data.sst import SSTDataset
 from dgl1_tpu.data.qm import QM7bDataset, QM9Dataset
 from dgl1_tpu.data.utils import Subset, split_dataset
 
@@ -63,6 +64,7 @@ __all__ = [
     "AmazonCoBuyPhotoDataset",
     "KarateClubDataset",
     "SBMMixtureDataset",
+    "SSTDataset",
     "QM7bDataset",
     "QM9Dataset",
     "Subset",

@@ -57,7 +57,8 @@ class NodeDataLoader:
 
     def __init__(self, g: Graph, nids, sampler, batch_size: int = 1024,
                  shuffle: bool = True, drop_last: bool = False,
-                 prefetch: int = 2, seed: Optional[int] = None):
+                 prefetch: int = 2, seed: Optional[int] = None,
+                 num_workers: int = 1):
         self.g = g
         self.nids = np.asarray(nids, dtype=np.int64)
         self.sampler = sampler
@@ -65,7 +66,9 @@ class NodeDataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self.num_workers = max(int(num_workers), 1)
         self.collator = NodeCollator(g, sampler, rng=self.rng)
 
     def __len__(self):
@@ -90,31 +93,78 @@ class NodeDataLoader:
                 yield self.collator.collate(seeds, self.batch_size)
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # num_workers > 1: strided workers with per-worker bounded queues,
+        # consumed round-robin — deterministic batch order, and the C++
+        # sampler releases the GIL so workers overlap (the TPU-native
+        # analog of the reference dataloader's num_workers processes).
+        batches = list(self._batches())
+        n_w = min(self.num_workers, max(len(batches), 1))
+        # Independent, deterministic RNG stream per batch index.
+        seeds_ss = np.random.SeedSequence(
+            self.seed if self.seed is not None
+            else int(self.rng.integers(1 << 62))
+        ).spawn(len(batches))
         stop = object()
+        qs = [queue.Queue(maxsize=max(self.prefetch, 1)) for _ in range(n_w)]
         err: list = []
 
-        def producer():
+        cancel = threading.Event()
+
+        def put(w, item) -> bool:
+            while not cancel.is_set():
+                try:
+                    qs[w].put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer(w: int):
             try:
-                for seeds in self._batches():
-                    q.put(self.collator.collate(seeds, self.batch_size))
+                coll = NodeCollator(self.g, self.sampler)
+                for i in range(w, len(batches), n_w):
+                    if cancel.is_set():
+                        return
+                    coll.rng = np.random.default_rng(seeds_ss[i])
+                    if not put(w, coll.collate(batches[i], self.batch_size)):
+                        return
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)
             finally:
-                q.put(stop)
+                put(w, stop)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=producer, args=(w,), daemon=True)
+                   for w in range(n_w)]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
+            done = [False] * n_w
+            i = 0
+            while not all(done):
+                w = i % n_w
+                i += 1
+                if done[w]:
+                    continue
+                item = qs[w].get()
                 if item is stop:
-                    break
+                    done[w] = True
+                    continue
                 yield item
             if err:
                 raise err[0]
         finally:
-            t.join(timeout=1.0)
+            # Abandoned mid-iteration (e.g. the consumer breaks): unblock
+            # and reap the producers instead of leaking them on a full
+            # queue. Swallow interpreter-shutdown join errors.
+            cancel.set()
+            try:
+                for q_ in qs:
+                    while not q_.empty():
+                        q_.get_nowait()
+                for t in threads:
+                    t.join(timeout=1.0)
+            except Exception:
+                pass
 
 
 # DGL >=0.8 exposes a unified DataLoader name.

@@ -391,6 +391,18 @@ class Graph:
         return core.prop_nodes(self, nodes_generator, message_func,
                                reduce_func, apply_node_func)
 
+    def pull(self, v, message_func, reduce_func, apply_node_func=None):
+        from dgl1_tpu import core
+
+        return core.pull(self, v, message_func, reduce_func,
+                         apply_node_func)
+
+    def push(self, u, message_func, reduce_func, apply_node_func=None):
+        from dgl1_tpu import core
+
+        return core.push(self, u, message_func, reduce_func,
+                         apply_node_func)
+
     def local_scope(self):
         """Context manager restoring ndata/edata on exit (parity:
         ``DGLHeteroGraph.local_scope``)."""

@@ -9,6 +9,10 @@ from dgl1_tpu.models.han import HAN, HANLayer, SemanticAttention
 from dgl1_tpu.models.gin import GIN
 from dgl1_tpu.models.lgnn import LGNN, LGNNLayer, LGNNCore
 from dgl1_tpu.models.dgi import DGI, DGIEncoder
+from dgl1_tpu.models.treelstm import (TreeLSTM, ChildSumTreeLSTMCell,
+                                      NAryTreeLSTMCell)
 
 __all__ = ["GCN", "GAT", "GraphSAGE", "RGCN", "HAN", "HANLayer",
-           "SemanticAttention", "GIN", "LGNN", "LGNNLayer", "LGNNCore", "DGI", "DGIEncoder"]
+           "SemanticAttention", "GIN", "LGNN", "LGNNLayer", "LGNNCore",
+           "DGI", "DGIEncoder", "TreeLSTM", "ChildSumTreeLSTMCell",
+           "NAryTreeLSTMCell"]

@@ -138,7 +138,6 @@ def sample_neighbors(
     dst = nodes[seed_idx]
     frontier = graph((nbr, dst), num_nodes=g.num_src_nodes(),
                      formats=formats)
-    import jax.numpy as jnp
-
-    frontier.edata["_ID"] = jnp.asarray(eids.astype(np.int32))
+    # Host-side numpy on purpose (sampling hot path; see fused.py note).
+    frontier.edata["_ID"] = eids.astype(np.int32)
     return frontier

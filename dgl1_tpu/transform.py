@@ -158,8 +158,15 @@ def node_subgraph(g: Graph, nodes) -> Graph:
     return new
 
 
-def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True) -> Graph:
-    """Edge-induced subgraph (parity: ``dgl.edge_subgraph``)."""
+def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True,
+                  pad_edges_to: Optional[int] = None,
+                  formats=None) -> Graph:
+    """Edge-induced subgraph (parity: ``dgl.edge_subgraph``).
+
+    ``pad_edges_to`` / ``formats``: static-shape knobs for hot callers
+    (``core.pull`` pads the edge set to a power of two so repeated
+    data-dependent pulls — the Tree-LSTM recurrence — reuse compiled
+    programs instead of recompiling per frontier size)."""
     import jax.numpy as jnp
 
     edges = np.asarray(edges)
@@ -172,14 +179,27 @@ def edge_subgraph(g: Graph, edges, relabel_nodes: bool = True) -> Graph:
         nodes = np.unique(np.concatenate([s, d]))
         relabel = np.full((g.num_src_nodes(),), -1, dtype=np.int64)
         relabel[nodes] = np.arange(len(nodes))
-        new = graph((relabel[s], relabel[d]), num_nodes=len(nodes))
+        new = graph((relabel[s], relabel[d]), num_nodes=len(nodes),
+                    pad_edges_to=pad_edges_to, formats=formats)
         new.ndata.update(_slice_rows(g.ndata, nodes))
-        new.ndata["_ID"] = jnp.asarray(nodes.astype(np.int32))
+        new.ndata["_ID"] = nodes.astype(np.int32)
     else:
-        new = graph((s, d), num_nodes=g.num_src_nodes())
+        new = graph((s, d), num_nodes=g.num_src_nodes(),
+                    pad_edges_to=pad_edges_to, formats=formats)
         new.ndata.update(g.ndata)
-    new.edata.update(_slice_rows(g.edata, edges))
-    new.edata["_ID"] = jnp.asarray(edges.astype(np.int32))
+    if pad_edges_to is not None and pad_edges_to > len(edges):
+        # Row-pad edge features by clip-gather so edata shapes stay static
+        # (padded edges are masked out of every reduce via the csc/engine
+        # edge masks).
+        pad_ids = jnp.asarray(np.minimum(
+            np.concatenate([edges,
+                            np.zeros(pad_edges_to - len(edges), np.int64)]),
+            max(len(np.asarray(g.edge_mask)) - 1, 0)))
+        new.edata.update({k: jnp.take(v, pad_ids, axis=0, mode="clip")
+                          for k, v in g.edata.items()})
+    else:
+        new.edata.update(_slice_rows(g.edata, edges))
+    new.edata["_ID"] = edges.astype(np.int32)
     return new
 
 
@@ -269,8 +289,10 @@ def to_block(frontier: Graph, dst_nodes, include_dst_in_src: bool = True,
     )
     src_id_arr = np.zeros((num_src,), dtype=np.int32)
     src_id_arr[: len(src_ids)] = src_ids
-    b.srcdata["_ID"] = jnp.asarray(src_id_arr)
-    b.dstdata["_ID"] = jnp.asarray(dst_nodes.astype(np.int32))
+    # Host-side numpy on purpose: an eager jnp.asarray is a per-block
+    # host->device transfer on the sampling hot path.
+    b.srcdata["_ID"] = src_id_arr
+    b.dstdata["_ID"] = dst_nodes.astype(np.int32)
     b.meta["num_real_src"] = int(len(src_ids))
     b.meta["num_real_dst"] = int(num_real_dst)
     return b

@@ -1,0 +1,161 @@
+"""pull/push row-masked writeback, topological propagation, Tree-LSTM.
+
+Parity anchors: ``DGLHeteroGraph.pull/push`` (python/dgl/heterograph.py),
+``dgl.prop_nodes_topo`` (python/dgl/propagate.py), and the Tree-LSTM
+reference example (examples/pytorch/tree_lstm) — the showcase of the
+degree-bucketed UDF reduce path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dgl1_tpu as dgl
+from dgl1_tpu import function as fn
+
+
+def chain_graph():
+    # 0 -> 1 -> 2 -> 3
+    return dgl.graph(([0, 1, 2], [1, 2, 3]), num_nodes=4)
+
+
+def test_pull_only_touches_target_rows():
+    g = chain_graph()
+    g.ndata["h"] = jnp.asarray(np.arange(4, dtype=np.float32)[:, None] + 1.0)
+    g.ndata["s"] = jnp.full((4, 1), 7.0)
+    dgl.pull(g, [2], fn.copy_u("h", "m"), fn.sum("m", "s"))
+    s = np.asarray(g.ndata["s"])[:, 0]
+    # Node 2 pulled h[1]=2; every other row keeps its old value.
+    assert s[2] == pytest.approx(2.0)
+    assert (s[[0, 1, 3]] == 7.0).all()
+
+
+def test_pull_apply_runs_on_messageless_nodes():
+    g = chain_graph()
+    g.ndata["h"] = jnp.ones((4, 1))
+
+    def afunc(nodes):
+        return {"h": nodes.data["h"] + 10.0}
+
+    # Node 0 has no in-edges: apply must still fire on it.
+    dgl.pull(g, [0, 2], fn.copy_u("h", "m"), fn.sum("m", "h"), afunc)
+    h = np.asarray(g.ndata["h"])[:, 0]
+    assert h[0] == pytest.approx(11.0)   # old 1 + 10 (no message)
+    assert h[2] == pytest.approx(11.0)   # pulled 1 + 10
+    assert h[1] == pytest.approx(1.0)    # untouched
+    assert h[3] == pytest.approx(1.0)
+
+
+def test_push():
+    g = chain_graph()
+    g.ndata["h"] = jnp.asarray(np.arange(4, dtype=np.float32)[:, None] + 1.0)
+    g.ndata["o"] = jnp.full((4, 1), -1.0)
+    dgl.push(g, [0], fn.copy_u("h", "m"), fn.sum("m", "o"))
+    o = np.asarray(g.ndata["o"])[:, 0]
+    assert o[1] == pytest.approx(1.0)
+    assert (o[[0, 2, 3]] == -1.0).all()
+
+
+def test_prop_nodes_topo_accumulates_leaf_sum():
+    # Tree: 0,1 -> 4; 2,3 -> 5; 4,5 -> 6 (root). Edges child -> parent.
+    g = dgl.graph(([0, 1, 2, 3, 4, 5], [4, 4, 5, 5, 6, 6]), num_nodes=7)
+    g.ndata["h"] = jnp.asarray(
+        np.array([1, 2, 3, 4, 0, 0, 0], np.float32)[:, None])
+    dgl.prop_nodes_topo(g, fn.copy_u("h", "m"), fn.sum("m", "h"))
+    h = np.asarray(g.ndata["h"])[:, 0]
+    assert h[4] == pytest.approx(3.0)    # 1 + 2
+    assert h[5] == pytest.approx(7.0)    # 3 + 4
+    assert h[6] == pytest.approx(10.0)   # total leaf mass reaches the root
+
+
+def test_prop_nodes_topo_reverse():
+    # Same tree, but propagate root -> leaves against edge direction.
+    g = dgl.graph(([0, 1, 2, 3, 4, 5], [4, 4, 5, 5, 6, 6]), num_nodes=7)
+    g.ndata["h"] = jnp.asarray(
+        np.array([0, 0, 0, 0, 0, 0, 5], np.float32)[:, None])
+    dgl.prop_nodes_topo(g, fn.copy_u("h", "m"), fn.sum("m", "h"),
+                        reverse=True)
+    h = np.asarray(g.ndata["h"])[:, 0]
+    assert (h[[0, 1, 2, 3]] == 5.0).all()
+
+
+@pytest.mark.parametrize("cell", ["childsum", "nary"])
+def test_treelstm_trains(cell):
+    from dgl1_tpu.data import SSTDataset
+    from dgl1_tpu.models import TreeLSTM
+
+    ds = SSTDataset("train", num_trees=8, seed=0)
+    trees = [ds[i] for i in range(8)]
+    bg = dgl.batch(trees)
+    toks = jnp.asarray(np.asarray(bg.ndata["x"], np.int32))
+    mask = jnp.asarray(np.asarray(bg.ndata["mask"], np.float32))
+    y = jnp.asarray(np.asarray(bg.ndata["y"], np.int32))
+    model = TreeLSTM(num_vocab=ds.vocab_size, x_size=16, h_size=16,
+                     num_classes=5, cell_type=cell)
+    params = model.init(jax.random.PRNGKey(0), bg, toks, mask)
+
+    def loss_fn(p):
+        logits = model.apply(p, bg, toks, mask)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+    l0 = float(loss_fn(params))
+    grads = jax.grad(loss_fn)(params)
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(grads))
+    assert np.isfinite(l0) and total > 0
+    # A few SGD steps reduce the loss.
+    lr = 0.5
+    p = params
+    for _ in range(5):
+        g_ = jax.grad(loss_fn)(p)
+        p = jax.tree.map(lambda a, b: a - lr * b, p, g_)
+    assert float(loss_fn(p)) < l0
+
+
+def test_treelstm_childsum_manual_one_node():
+    """Pin the cell math on a 2-leaf tree against a plain-numpy
+    reimplementation of the Tai et al. child-sum equations."""
+    from dgl1_tpu.models import TreeLSTM
+
+    g = dgl.graph(([0, 1], [2, 2]), num_nodes=3)
+    toks = jnp.asarray(np.array([1, 2, 0], np.int32))
+    mask = jnp.asarray(np.array([1.0, 1.0, 0.0], np.float32))
+    model = TreeLSTM(num_vocab=5, x_size=4, h_size=4, num_classes=2)
+    params = model.init(jax.random.PRNGKey(1), g, toks, mask)
+    v = params["params"]
+    emb = np.asarray(v["embedding"]["embedding"])
+    cell_key = [k for k in v if "TreeLSTMCell" in k][0]
+    cv = v[cell_key]
+    W_iou = np.asarray(cv["W_iou"]["kernel"])
+    U_iou = np.asarray(cv["U_iou"]["kernel"])
+    b_iou = np.asarray(cv["b_iou"])
+    U_f_k = np.asarray(cv["U_f"]["kernel"])
+    U_f_b = np.asarray(cv["U_f"]["bias"])
+    W_cls = np.asarray(v["cls"]["kernel"])
+    b_cls = np.asarray(v["cls"]["bias"])
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    # Leaves: iou = W_iou x + b_iou; c = i*u; h = o*tanh(c).
+    hs, cs = [], []
+    for t in (1, 2):
+        iou = emb[t] @ W_iou + b_iou
+        i, o, u = np.split(iou, 3)
+        i, o, u = sigmoid(i), sigmoid(o), np.tanh(u)
+        c = i * u
+        hs.append(o * np.tanh(c))
+        cs.append(c)
+    # Root: h~ = sum h_k; f_k = sigmoid(U_f h_k); iou = U_iou h~ + b_iou.
+    h_tild = hs[0] + hs[1]
+    c_sum = sum(sigmoid(h @ U_f_k + U_f_b) * c for h, c in zip(hs, cs))
+    iou = h_tild @ U_iou + b_iou
+    i, o, u = np.split(iou, 3)
+    i, o, u = sigmoid(i), sigmoid(o), np.tanh(u)
+    c_root = i * u + c_sum
+    h_root = o * np.tanh(c_root)
+    want = h_root @ W_cls + b_cls
+
+    got = np.asarray(model.apply(params, g, toks, mask))[2]
+    assert np.allclose(got, want, atol=1e-5), (got, want)

@@ -67,6 +67,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--fanouts", default="10,25")
     p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--num-workers", type=int, default=2)
     p.add_argument("--host-batches", type=int, default=8,
                    help="batches to time the host sampler over")
     p.add_argument("--iters", default="10,60",
@@ -96,7 +97,7 @@ def main():
     sampler = NeighborSampler(fanouts)
     loader = NodeDataLoader(g, train_ids, sampler,
                             batch_size=args.batch_size, shuffle=True,
-                            seed=0)
+                            seed=0, num_workers=args.num_workers)
     steps_per_epoch = -(-len(train_ids) // args.batch_size)
 
     # ---- host sampling rate ----
@@ -134,7 +135,7 @@ def main():
     opt_state = opt.init(params)
     out_d = jax.device_put(jnp.asarray(np.asarray(out)))
 
-    def step(carry, blocks, inp_ids, out_ids, mask):
+    def step(carry, feat, labels, blocks, inp_ids, out_ids, mask):
         params, opt_state = carry
 
         def loss_fn(p):
@@ -153,17 +154,24 @@ def main():
     iters_lo, iters_hi = (int(x) for x in args.iters.split(","))
     totals = []
     for iters in (iters_lo, iters_hi):
+        # feat/labels ride as jit ARGUMENTS: closed-over device arrays are
+        # baked into the HLO as constants, which overflows the remote-
+        # compile path at products scale (980MB feature matrix -> HTTP 413).
         @jax.jit
-        def run(params, opt_state, blocks, inp_ids, out_ids, mask):
+        def run(params, opt_state, feat, labels, blocks, inp_ids, out_ids,
+                mask):
             def body(i, carry):
-                return step(carry, blocks, inp_ids, out_ids, mask)
+                return step(carry, feat, labels, blocks, inp_ids, out_ids,
+                            mask)
 
             return jax.lax.fori_loop(0, iters, body, (params, opt_state))
 
-        r = run(params, opt_state, blocks_d, inp_d, out_d, mask_d)
+        r = run(params, opt_state, feat, labels, blocks_d, inp_d, out_d,
+                mask_d)
         _ = float(jax.tree.leaves(r[0])[0].reshape(-1)[0])
         t0 = time.perf_counter()
-        r = run(params, opt_state, blocks_d, inp_d, out_d, mask_d)
+        r = run(params, opt_state, feat, labels, blocks_d, inp_d, out_d,
+                mask_d)
         _ = float(jax.tree.leaves(r[0])[0].reshape(-1)[0])
         totals.append(time.perf_counter() - t0)
     device_ms = (totals[1] - totals[0]) / (iters_hi - iters_lo) * 1e3

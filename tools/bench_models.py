@@ -41,28 +41,53 @@ def make_graph(scale: str):
 
 def bench(model_name: str, scale: str, epochs: int = 20):
     import dgl1_tpu as dgl  # noqa: F401
-    from dgl1_tpu.models import GAT, GCN
+    from dgl1_tpu.models import GAT, GCN, RGCN
 
-    g, n, in_f, classes = make_graph(scale)
+    num_rels = 0
+    if model_name == "rgcn":
+        # BASELINE config #4 shape (ogbn-mag-style typed edges): the
+        # per-relation SpMM runs as relation-bucketed grouped matmuls.
+        import dgl1_tpu as dgl
+        from dgl1_tpu.data.synthetic import powerlaw_graph
+
+        n, in_f, classes, num_rels = 169343, 128, 40, 8
+        g = powerlaw_graph(n, 26, seed=0)
+        rng = np.random.default_rng(0)
+        g.edata["etype"] = jnp.asarray(
+            rng.integers(0, num_rels, size=g.num_edges_padded())
+            .astype(np.int32))
+    else:
+        g, n, in_f, classes = make_graph(scale)
     hidden = 256 if scale == "arxiv" else 64
 
     if model_name == "gcn":
         model = GCN(hidden_feats=hidden, out_feats=classes, dropout=0.0)
+    elif model_name == "rgcn":
+        model = RGCN(num_nodes=n, hidden_feats=64, out_feats=classes,
+                     num_rels=num_rels, num_bases=4)
     else:
         model = GAT(hidden_feats=hidden // 8 if scale == "arxiv" else 8,
                     out_feats=classes, heads=8, feat_drop=0.0, attn_drop=0.0)
 
+    etypes = g.edata.pop("etype", None)
     g = jax.device_put(g)
     jax.block_until_ready(jax.tree.leaves(g))
     feat = jax.random.normal(jax.random.PRNGKey(0), (n, in_f), jnp.float32)
     labels = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, classes)
 
-    params = model.init(jax.random.PRNGKey(2), g, feat)
+    if model_name == "rgcn":
+        etypes = jax.device_put(etypes)
+        params = model.init(jax.random.PRNGKey(2), g, etypes, feat)
+    else:
+        params = model.init(jax.random.PRNGKey(2), g, feat)
     opt = optax.adam(1e-2)
     opt_state = opt.init(params)
 
     def loss_fn(params, g):
-        logits = model.apply(params, g, feat)
+        if model_name == "rgcn":
+            logits = model.apply(params, g, etypes, feat)
+        else:
+            logits = model.apply(params, g, feat)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
 
@@ -100,7 +125,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scale", default="arxiv",
                    choices=["cora", "pubmed", "arxiv"])
-    p.add_argument("--model", default="all", choices=["gcn", "gat", "all"])
+    p.add_argument("--model", default="all",
+                   choices=["gcn", "gat", "rgcn", "all"])
     p.add_argument("--epochs", type=int, default=20)
     args = p.parse_args()
     models = ["gcn", "gat"] if args.model == "all" else [args.model]
