@@ -19,6 +19,8 @@ from dgl1_tpu.ops.segment import (
     gather_mm,
 )
 from dgl1_tpu.ops.dispatch import set_engine, get_engine
+from dgl1_tpu.ops.precision import (set_matmul_precision,
+                                    get_matmul_precision, matmul_precision)
 
 # Register the fast engines (each falls back per-call when not covered).
 from dgl1_tpu.ops import engine_ell as _engine_ell

@@ -72,8 +72,12 @@ def _dleaky(x, slope):
     return jnp.where(x >= 0, 1.0, slope)
 
 
-def _dot(a, b, dims):
-    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+def _dot(a, b, dims, dt=jnp.float32):
+    """MXU dot with f32 accumulation. ``dt=bfloat16`` (ops.precision
+    "bf16" mode) runs one MXU pass instead of f32's multi-pass — one-hot
+    operands are exact in bf16; features round at ~4e-3 relative."""
+    return jax.lax.dot_general(a.astype(dt), b.astype(dt),
+                               dimension_numbers=(dims, ((), ())),
                                preferred_element_type=jnp.float32)
 
 
@@ -84,11 +88,11 @@ def _dot(a, b, dims):
 # as engine_pallas._minmax_kernel) + last-of-segment one-hot extraction.
 # ----------------------------------------------------------------------
 
-def _seg_max_kernel(in_id, out_id, first, a_ref, b_ref, el_ref, out_ref):
+def _seg_max_kernel(dt, in_id, out_id, first, a_ref, b_ref, el_ref, out_ref):
     t = pl.program_id(1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
     one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-    vals = _dot(one_a, el_ref[:], ((1,), (0,)))  # (CHUNK, 128)
+    vals = _dot(one_a, el_ref[:], ((1,), (0,)))  # (CHUNK, 128) f32 max stat
     valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
     vals = jnp.where(valid, vals, NEG)
 
@@ -117,7 +121,7 @@ def _seg_max_kernel(in_id, out_id, first, a_ref, b_ref, el_ref, out_ref):
         out_ref[:] = jnp.maximum(out_ref[:], partial)
 
 
-def _seg_max_call(lay, el_pad, n_groups):
+def _seg_max_call(lay, el_pad, n_groups, dt=jnp.float32):
     n_chunks = lay["in_id"].shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -130,7 +134,7 @@ def _seg_max_call(lay, el_pad, n_groups):
         out_specs=pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
     )
     return pl.pallas_call(
-        _seg_max_kernel,
+        functools.partial(_seg_max_kernel, dt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
         interpret=_interpret(),
@@ -142,7 +146,7 @@ def _seg_max_call(lay, el_pad, n_groups):
 # Kernel 2: fused numerator + denominator accumulation per hub group.
 # ----------------------------------------------------------------------
 
-def _attn_fwd_kernel(slope: float, in_id, out_id, first, a_ref, b_ref,
+def _attn_fwd_kernel(slope: float, dt, in_id, out_id, first, a_ref, b_ref,
                      el_ref, erg_ref, mzg_ref, ft_ref, r_ref,
                      num_ref, den_ref):
     # NOTE: both outputs use the SAME (o[t], fb) block pattern — Pallas
@@ -154,17 +158,19 @@ def _attn_fwd_kernel(slope: float, in_id, out_id, first, a_ref, b_ref,
     one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
     one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
 
+    # el/er stay f32: sign(el+er) picks the leaky_relu branch, and a
+    # bf16 kink-flip would change gradients discontinuously.
     el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
     er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
-    mz_e = _dot(one_b, mzg_ref[:], ((1,), (0,)))
+    mz_e = _dot(one_b, mzg_ref[:], ((1,), (0,)), dt)
     z = _leaky(el_e + er_e, slope)
     valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
     p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)  # (CHUNK, 128) H lanes
 
-    ft_e = _dot(one_a, ft_ref[:].astype(jnp.float32), ((1,), (0,)))
-    p_exp = _dot(p, r_ref[:], ((1,), (0,)))  # (CHUNK, FB)
-    num_partial = _dot(one_b, p_exp * ft_e, ((0,), (0,)))
-    den_partial = _dot(one_b, p, ((0,), (0,)))
+    ft_e = _dot(one_a, ft_ref[:], ((1,), (0,)), dt)
+    p_exp = _dot(p, r_ref[:], ((1,), (0,)), dt)  # (CHUNK, FB)
+    num_partial = _dot(one_b, p_exp * ft_e, ((0,), (0,)), dt)
+    den_partial = _dot(one_b, p, ((0,), (0,)), dt)
 
     @pl.when(first[t] == 1)
     def _init():
@@ -178,7 +184,7 @@ def _attn_fwd_kernel(slope: float, in_id, out_id, first, a_ref, b_ref,
 
 
 def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
-                   f_pad):
+                   f_pad, dt=jnp.float32):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -199,7 +205,7 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
         ],
     )
     num, den = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, slope),
+        functools.partial(_attn_fwd_kernel, slope, dt),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
@@ -218,7 +224,7 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
 # window side; p and the jacobian term q are recomputed in VMEM.
 # ----------------------------------------------------------------------
 
-def _attn_bwd_kernel(slope: float, to_src: bool, in_id, out_id, first,
+def _attn_bwd_kernel(slope: float, to_src: bool, dt, in_id, out_id, first,
                      a_ref, b_ref, el_ref, erg_ref, mzg_ref, deng_ref,
                      rhog_ref, ft_ref, ct_ref, r_ref, *outs):
     t = pl.program_id(1)
@@ -229,20 +235,20 @@ def _attn_bwd_kernel(slope: float, to_src: bool, in_id, out_id, first,
     # src selector / hub selector depend on the layout direction.
     one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
 
-    el_e = _dot(one_s, el_ref[:], ((1,), (0,)))
+    el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: see fwd kernel
     er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
-    mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)))
-    den_e = _dot(one_h, deng_ref[:], ((1,), (0,)))
-    rho_e = _dot(one_h, rhog_ref[:], ((1,), (0,)))
+    mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)), dt)
+    den_e = _dot(one_h, deng_ref[:], ((1,), (0,)), dt)
+    rho_e = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
     s = el_e + er_e
     z = _leaky(s, slope)
     valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
     p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
     a_coef = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal: flushes
 
-    ft_e = _dot(one_s, ft_ref[:].astype(jnp.float32), ((1,), (0,)))
-    ct_e = _dot(one_h, ct_ref[:].astype(jnp.float32), ((1,), (0,)))
-    g_e = _dot(ft_e * ct_e, r_ref[:], ((1,), (1,)))  # (CHUNK, 128) heads
+    ft_e = _dot(one_s, ft_ref[:], ((1,), (0,)), dt)
+    ct_e = _dot(one_h, ct_ref[:], ((1,), (0,)), dt)
+    g_e = _dot(ft_e * ct_e, r_ref[:], ((1,), (1,)), dt)  # (CHUNK, 128) heads
     q = a_coef * (g_e - rho_e) * _dleaky(s, slope)
 
     # Secondary (head-width) outputs are band-replicated across feature
@@ -250,9 +256,9 @@ def _attn_bwd_kernel(slope: float, to_src: bool, in_id, out_id, first,
     # non-consecutively revisited Pallas output blocks are unspecified.
     if to_src:
         gft_ref, gel_ref = outs
-        a_exp = _dot(a_coef, r_ref[:], ((1,), (0,)))
-        gft_partial = _dot(one_s, a_exp * ct_e, ((0,), (0,)))
-        gel_partial = _dot(one_s, q, ((0,), (0,)))
+        a_exp = _dot(a_coef, r_ref[:], ((1,), (0,)), dt)
+        gft_partial = _dot(one_s, a_exp * ct_e, ((0,), (0,)), dt)
+        gel_partial = _dot(one_s, q, ((0,), (0,)), dt)
 
         @pl.when(first[t] == 1)
         def _init():
@@ -265,7 +271,7 @@ def _attn_bwd_kernel(slope: float, to_src: bool, in_id, out_id, first,
             gel_ref[:] = gel_ref[:] + gel_partial
     else:
         (ger_ref,) = outs
-        ger_partial = _dot(one_h, q, ((0,), (0,)))
+        ger_partial = _dot(one_h, q, ((0,), (0,)), dt)
 
         @pl.when(first[t] == 1)
         def _init():
@@ -277,7 +283,7 @@ def _attn_bwd_kernel(slope: float, to_src: bool, in_id, out_id, first,
 
 
 def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
-                   ft_pad, ct_g, r, n_out_blocks, f_pad):
+                   ft_pad, ct_g, r, n_out_blocks, f_pad, dt=jnp.float32):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
 
@@ -332,7 +338,7 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, slope, to_src),
+        functools.partial(_attn_bwd_kernel, slope, to_src, dt),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -354,6 +360,7 @@ class _Static(NamedTuple):
     h: int
     d: int
     meta: HubMeta
+    prec: str = "f32"  # ops.precision matmul mode, captured at trace time
 
 
 def _float0_like(tree):
@@ -386,11 +393,16 @@ def _tail_p(static, hub, el2, er2, mz):
     return jnp.where(valid, jnp.exp(z - mz_t), 0.0)  # (T_pad, H)
 
 
+def _dtype_of(static):
+    return jnp.bfloat16 if static.prec == "bf16" else jnp.float32
+
+
 def _stats(static, hub, el2, er2):
     """Stage A: per-destination softmax max, node-level (num_dst, H)."""
     m = static.meta
     el_pad = _pad_2d(el2, hub["dense_c"].shape[0], BLK)
-    mraw_hub = _seg_max_call(hub["full_fwd"], el_pad, m.n_groups)[:, :static.h]
+    mraw_hub = _seg_max_call(hub["full_fwd"], el_pad, m.n_groups,
+                             _dtype_of(static))[:, :static.h]
     mstack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"],
                        "copy_lhs", "max", el2, None)
     mraw = jnp.take(jnp.concatenate([mstack, mraw_hub], axis=0),
@@ -420,7 +432,7 @@ def _attn_forward(static, hub, el2, er2, ft2):
 
     num_hub, den_hub = _attn_fwd_call(
         static.slope, hub["full_fwd"], el_pad, er_g, mz_g, ft_pad, r,
-        m.n_groups, f_pad,
+        m.n_groups, f_pad, _dtype_of(static),
     )
 
     # Tail in compact slot space; p maps into the ELL stacks through the
@@ -481,7 +493,7 @@ def _bwd(static, res, ct):
 
     gft_hub, gel_hub = _attn_bwd_call(
         slope, True, hub["full_bwd"], el_pad, er_g, mz_g, den_g, rho_g,
-        ft_pad, ct_g, r, m.n_win, f_pad)
+        ft_pad, ct_g, r, m.n_win, f_pad, _dtype_of(static))
     win_rows = jnp.repeat(hub["win_mask_full"], BLK,
                           total_repeat_length=m.n_win * BLK)
     gft_hub = jnp.where(win_rows[:, None], gft_hub, 0.0)
@@ -489,7 +501,7 @@ def _bwd(static, res, ct):
 
     (ger_hub,) = _attn_bwd_call(
         slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g, rho_g,
-        ft_pad, ct_g, r, m.n_groups, f_pad)
+        ft_pad, ct_g, r, m.n_groups, f_pad, _dtype_of(static))
 
     # ---- tail (compact slot space) ----
     ts, td = hub["tail_src"], hub["tail_dst"]
@@ -558,6 +570,8 @@ def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2):
     er2 = er.reshape(er.shape[0], -1).astype(jnp.float32)
     if el2.shape[1] != h or er2.shape[1] != h:
         return None
+    from dgl1_tpu.ops.precision import get_matmul_precision
+
     static = _Static(
         slope=float(negative_slope),
         num_src=g.num_src_nodes(),
@@ -565,6 +579,7 @@ def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2):
         h=h,
         d=d,
         meta=g.hub_dst_meta,
+        prec=get_matmul_precision(),
     )
     ft2 = ft.reshape(ft.shape[0], h * d)
     return _gat_attention(static, g.hub_dst, el2, er2, ft2).reshape(

@@ -65,7 +65,7 @@ def _round_up(x, m):
 # Chunk kernels. Modes: "plain" = copy_u, "mul" = u_mul_e, "rhs" = copy_e.
 # ----------------------------------------------------------------------
 
-def _chunk_kernel(mode: str, in_id_ref, out_id_ref, first_ref,
+def _chunk_kernel(mode: str, dt, in_id_ref, out_id_ref, first_ref,
                   a_ref, b_ref, *rest):
     """out[out_id] += S_b^T @ msg for one chunk, where msg is
     S_a @ IN (plain), (S_a @ IN) * (W^T R) (mul), or W^T R (rhs)."""
@@ -79,9 +79,10 @@ def _chunk_kernel(mode: str, in_id_ref, out_id_ref, first_ref,
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
 
     if mode != "rhs":
-        one_a = (a_ref[:][:, None] == iota).astype(in_ref.dtype)
+        one_a = (a_ref[:][:, None] == iota).astype(dt)
         msg = jax.lax.dot_general(
-            one_a, in_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            one_a, in_ref[:].astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     if mode != "plain":
@@ -93,9 +94,9 @@ def _chunk_kernel(mode: str, in_id_ref, out_id_ref, first_ref,
         )
         msg = msg * w_exp if mode == "mul" else w_exp
 
-    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+    one_b = (b_ref[:][:, None] == iota).astype(dt)
     partial = jax.lax.dot_general(
-        one_b, msg, dimension_numbers=(((0,), (0,)), ((), ())),
+        one_b, msg.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -109,7 +110,7 @@ def _chunk_kernel(mode: str, in_id_ref, out_id_ref, first_ref,
 
 
 def _chunk_call(mode: str, lay, wt, r, inp, n_out_blocks: int,
-                f_pad: int):
+                f_pad: int, dt=jnp.float32):
     """lay: chunk layout dict. wt: (H_pad, n_slots) weights or None.
     inp: (n_in_blocks*BLK, f_pad) or None (rhs). Returns
     (n_out_blocks*BLK, f_pad) float32."""
@@ -143,7 +144,7 @@ def _chunk_call(mode: str, lay, wt, r, inp, n_out_blocks: int,
     )
     flops = 2 * n_chunks * n_fb * (CHUNK * BLK * BLK * 2)
     return pl.pallas_call(
-        functools.partial(_chunk_kernel, mode),
+        functools.partial(_chunk_kernel, mode, dt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad),
                                        jnp.float32),
@@ -157,7 +158,7 @@ def _chunk_call(mode: str, lay, wt, r, inp, n_out_blocks: int,
     )(lay["in_id"], lay["out_id"], lay["first"], *operands)
 
 
-def _dense_fwd_kernel(c_ref, u_ref, out_ref):
+def _dense_fwd_kernel(dt, c_ref, u_ref, out_ref):
     """out (Kd, FB) accumulates C_block^T @ U_block over all row blocks.
 
     XLA's dot_general leaves ~3x on the table for this tall-skinny
@@ -165,7 +166,7 @@ def _dense_fwd_kernel(c_ref, u_ref, out_ref):
     N=2^19, Kd=128); a sequential-accumulation kernel is DMA-bound."""
     t = pl.program_id(1)
     part = jax.lax.dot_general(
-        c_ref[:].astype(jnp.float32), u_ref[:].astype(jnp.float32),
+        c_ref[:].astype(dt), u_ref[:].astype(dt),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -179,13 +180,13 @@ def _dense_fwd_kernel(c_ref, u_ref, out_ref):
         out_ref[:] = out_ref[:] + part
 
 
-def _dense_fwd_call(c, u_pad):
+def _dense_fwd_call(c, u_pad, dt=jnp.float32):
     n_rows, kd = c.shape
     f_pad = u_pad.shape[1]
     n_rb = n_rows // DENSE_RB
     n_fb = f_pad // BLK
     return pl.pallas_call(
-        _dense_fwd_kernel,
+        functools.partial(_dense_fwd_kernel, dt),
         grid=(n_fb, n_rb),
         in_specs=[
             pl.BlockSpec((DENSE_RB, kd), lambda fb, t: (t, 0)),
@@ -202,22 +203,22 @@ def _dense_fwd_call(c, u_pad):
     )(c, u_pad)
 
 
-def _dense_bwd_kernel(c_ref, ct_ref, out_ref):
+def _dense_bwd_kernel(dt, c_ref, ct_ref, out_ref):
     """grad_u row block = C_block @ ct (C may be bf16; converted
     per-block in VMEM — an XLA-level astype would materialize the whole
     f32 count matrix in HBM)."""
     out_ref[:] = jax.lax.dot_general(
-        c_ref[:].astype(jnp.float32), ct_ref[:].astype(jnp.float32),
+        c_ref[:].astype(dt), ct_ref[:].astype(dt),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _dense_bwd_call(c, ct_pad):
+def _dense_bwd_call(c, ct_pad, dt=jnp.float32):
     n_rows, kd = c.shape
     f_pad = ct_pad.shape[1]
     return pl.pallas_call(
-        _dense_bwd_kernel,
+        functools.partial(_dense_bwd_kernel, dt),
         grid=(f_pad // BLK, n_rows // DENSE_RB),
         in_specs=[
             pl.BlockSpec((DENSE_RB, kd), lambda fb, t: (t, 0)),
@@ -287,7 +288,7 @@ def _expand_call(merged2, x_starts, x_desc, num_dst: int):
     )(x_starts, x_desc, merged2)
 
 
-def _edge_grad_kernel(mode: str, in1_ref, in2_ref, a_ref, b_ref, r_ref,
+def _edge_grad_kernel(mode: str, dt, in1_ref, in2_ref, a_ref, b_ref, r_ref,
                       *rest):
     """Per-(edge, head) grads in transposed (H_pad, CHUNK) layout:
     ge = R @ (m1 * m2)^T (mul) or R @ m2^T (rhs)."""
@@ -297,22 +298,25 @@ def _edge_grad_kernel(mode: str, in1_ref, in2_ref, a_ref, b_ref, r_ref,
         ct_ref, out_ref = rest
     fb = pl.program_id(1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-    one_b = (b_ref[:][:, None] == iota).astype(ct_ref.dtype)
+    one_b = (b_ref[:][:, None] == iota).astype(dt)
     m2 = jax.lax.dot_general(
-        one_b, ct_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        one_b, ct_ref[:].astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if mode == "mul":
-        one_a = (a_ref[:][:, None] == iota).astype(u_ref.dtype)
+        one_a = (a_ref[:][:, None] == iota).astype(dt)
         m1 = jax.lax.dot_general(
-            one_a, u_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            one_a, u_ref[:].astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         p = m1 * m2
     else:
         p = m2
     part = jax.lax.dot_general(
-        r_ref[:], p, dimension_numbers=(((1,), (1,)), ((), ())),
+        r_ref[:].astype(dt), p.astype(dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (H_pad, CHUNK)
 
@@ -325,7 +329,8 @@ def _edge_grad_kernel(mode: str, in1_ref, in2_ref, a_ref, b_ref, r_ref,
         out_ref[:] = out_ref[:] + part
 
 
-def _edge_grad_call(mode: str, lay, r, u_pad, ct_pad, f_pad: int):
+def _edge_grad_call(mode: str, lay, r, u_pad, ct_pad, f_pad: int,
+                    dt=jnp.float32):
     """Returns (H_pad, n_slots) float32 per-(head, slot) grads."""
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
@@ -352,7 +357,7 @@ def _edge_grad_call(mode: str, lay, r, u_pad, ct_pad, f_pad: int):
         out_specs=pl.BlockSpec((h_pad, CHUNK), lambda t, fb, i1, i2: (0, t)),
     )
     return pl.pallas_call(
-        functools.partial(_edge_grad_kernel, mode),
+        functools.partial(_edge_grad_kernel, mode, dt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h_pad, n_chunks * CHUNK),
                                        jnp.float32),
@@ -404,6 +409,11 @@ class _Static(NamedTuple):
     e_feat: Tuple[int, ...]
     out_feat: Tuple[int, ...]
     meta: HubMeta
+    prec: str = "f32"  # ops.precision matmul mode, captured at trace time
+
+
+def _dtype_of(static):
+    return jnp.bfloat16 if static.prec == "bf16" else jnp.float32
 
 
 def _float0_like(tree):
@@ -428,6 +438,7 @@ def _hub_forward(static, hub, u, e):
     ff = int(np.prod(static.out_feat)) if static.out_feat else 1
     f_pad = _round_up(ff, BLK)
     rows_pad = hub["dense_c"].shape[0]  # round_up(num_src, DENSE_RB)
+    dt = _dtype_of(static)
 
     if op == "copy_lhs":
         u2 = u.reshape(u.shape[0], ff)
@@ -436,10 +447,10 @@ def _hub_forward(static, hub, u, e):
         if m.n_dense:
             # Dense tier: the whole reduce is one sequential-accumulation
             # MXU pass against the static count matrix.
-            parts.append(_dense_fwd_call(hub["dense_c"], u_pad)[:, :ff])
+            parts.append(_dense_fwd_call(hub["dense_c"], u_pad, dt)[:, :ff])
         if m.n_groups > m.n_dense:
             out = _chunk_call("plain", hub["part_fwd"], None, None, u_pad,
-                              m.n_groups - m.n_dense, f_pad)
+                              m.n_groups - m.n_dense, f_pad, dt)
             parts.append(out[:, :ff])
         hub_block = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
             else parts[0]
@@ -452,10 +463,10 @@ def _hub_forward(static, hub, u, e):
             u2 = u.reshape(u.shape[0], ff)
             u_pad = _pad_2d(u2, rows_pad, f_pad)
             hub_block = _chunk_call("mul", lay, wt, r, u_pad, m.n_groups,
-                                    f_pad)[:, :ff]
+                                    f_pad, dt)[:, :ff]
         else:  # copy_rhs
             hub_block = _chunk_call("rhs", lay, wt, r, None, m.n_groups,
-                                    f_pad)[:, :ff]
+                                    f_pad, dt)[:, :ff]
 
     dtype = (u if op != "copy_rhs" else e).dtype
     hub_block = hub_block.astype(dtype).reshape(
@@ -494,6 +505,7 @@ def _bwd(static, res, ct):
     ff = int(np.prod(static.out_feat)) if static.out_feat else 1
     f_pad = _round_up(ff, BLK)
     rows_pad = hub["dense_c"].shape[0]
+    dt = _dtype_of(static)
     ct2 = ct.reshape(ct.shape[0], ff)
     # Compact hub cotangent rows (K-row gather — cheap), then pad.
     ct_hubs = jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill",
@@ -509,12 +521,12 @@ def _bwd(static, res, ct):
                 ct_d = _pad_2d(ct_hubs[: m.n_dense * BLK].astype(
                     jnp.float32), m.n_dense * BLK, f_pad)
                 gu_hub = gu_hub + _dense_bwd_call(
-                    hub["dense_c"], ct_d)[: static.num_src, :ff]
+                    hub["dense_c"], ct_d, dt)[: static.num_src, :ff]
             if m.n_groups > m.n_dense:
                 lay = hub["part_bwd"]
                 ct_part = ct_pad[m.n_dense * BLK:]
                 out = _chunk_call("plain", lay, None, None, ct_part,
-                                  m.n_win, f_pad)
+                                  m.n_win, f_pad, dt)
                 win_rows = jnp.repeat(hub["win_mask_part"], BLK,
                                       total_repeat_length=m.n_win * BLK)
                 out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
@@ -524,7 +536,8 @@ def _bwd(static, res, ct):
             lay = hub["full_bwd"]
             wt_b = _weights_t(e, static.he, lay["eid"])
             r = _replication_r("mul", static.he, static.rep, f_pad)
-            out = _chunk_call("mul", lay, wt_b, r, ct_pad, m.n_win, f_pad)
+            out = _chunk_call("mul", lay, wt_b, r, ct_pad, m.n_win, f_pad,
+                              dt)
             win_rows = jnp.repeat(hub["win_mask_full"], BLK,
                                   total_repeat_length=m.n_win * BLK)
             out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
@@ -549,7 +562,7 @@ def _bwd(static, res, ct):
         if op == "mul":
             u_pad = _pad_2d(u.reshape(u.shape[0], ff), rows_pad, f_pad)
         ge_t = _edge_grad_call("mul" if op == "mul" else "rhs", lay, r,
-                               u_pad, ct_pad, f_pad)
+                               u_pad, ct_pad, f_pad, dt)
         ge_hub = ge_t[:he].T  # (n_slots, he)
 
         if op == "mul":
@@ -638,6 +651,8 @@ def gspmm_hub(g: Graph, op: str, reduce_op: str, u, e):
         if data is not None and not jnp.issubdtype(data.dtype, jnp.floating):
             return None
 
+    from dgl1_tpu.ops.precision import get_matmul_precision
+
     static = _Static(
         op=op,
         num_src=g.num_src_nodes(),
@@ -649,6 +664,7 @@ def gspmm_hub(g: Graph, op: str, reduce_op: str, u, e):
         e_feat=tuple(e.shape[1:]) if e is not None else (),
         out_feat=out_feat,
         meta=g.hub_dst_meta,
+        prec=get_matmul_precision(),
     )
     dtype = (u if u is not None else e).dtype
     u_in = u if u is not None else jnp.zeros((1, 1), dtype)

@@ -33,9 +33,10 @@ def _round_up(x: int, m: int) -> int:
 
 _PG_ARRAY_FIELDS = (
     "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids",
-    "tiles_fwd", "tiles_rev",
+    "tiles_fwd", "tiles_rev", "recv_pos", "slot_node",
 )
-_PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes")
+_PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes",
+                     "m_part")
 
 
 class PartitionedGraph:
@@ -60,7 +61,8 @@ class PartitionedGraph:
 
     def __init__(self, *, edst, esrc, send_idx, in_deg, out_deg, node_mask,
                  orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes,
-                 tiles_fwd=None, tiles_rev=None):
+                 tiles_fwd=None, tiles_rev=None, recv_pos=None,
+                 slot_node=None, m_part=0):
         self.edst = edst
         self.esrc = esrc
         self.send_idx = send_idx
@@ -75,6 +77,14 @@ class PartitionedGraph:
         # cotangents to their owners).
         self.tiles_fwd = tiles_fwd
         self.tiles_rev = tiles_rev
+        # Vertex-cut (split-destination) extras — None/0 in pure halo
+        # mode. recv_pos (P, n_loc, P): receive-buffer position of the
+        # partial each sender holds for an owned node (sentinel = OOB);
+        # slot_node (P, P*m_part): owned local id consuming a receive
+        # slot (sentinel n_loc = none).
+        self.recv_pos = recv_pos
+        self.slot_node = slot_node
+        self.m_part = int(m_part)
         self.num_parts = int(num_parts)
         self.n_loc = int(n_loc)
         self.e_loc = int(e_loc)

@@ -40,7 +40,7 @@ def random_partition_assignment(g: Graph, k: int, seed: int = 0) -> np.ndarray:
 
 def greedy_partition_assignment(
     g: Graph, k: int, batch: int = 1024, slack: float = 1.1,
-    sweeps: int = 6, seed: int = 0,
+    sweeps: int = 6, seed: int = 0, balance_edges: bool = False,
 ) -> np.ndarray:
     """Batched LDG streaming partitioner with refinement sweeps.
 
@@ -50,6 +50,12 @@ def greedy_partition_assignment(
     node in random order with full neighborhood information — effectively
     size-constrained label propagation — which converges to cuts far below
     the initial stream on structured graphs.
+
+    ``balance_edges=True`` balances *edge ownership* (each node weighted
+    by in-degree + 1) instead of node counts — parity with
+    ``dgl.distributed.partition_graph(balance_edges=...)`` and essential
+    on power-law graphs, where hub parts otherwise own nearly all edges
+    (edges live on their destination's part).
     """
     n = g.num_nodes()
     e = g.num_edges()
@@ -64,7 +70,13 @@ def greedy_partition_assignment(
     np.cumsum(np.bincount(us, minlength=n), out=indptr[1:])
 
     deg = np.diff(indptr)
-    cap = slack * n / k
+    if balance_edges:
+        in_deg = np.bincount(dst, minlength=n).astype(np.float64)
+        w = in_deg + 1.0  # +1 keeps isolated nodes from piling into one part
+    else:
+        w = np.ones(n, dtype=np.float64)
+    W = float(w.sum())
+    cap = slack * W / k
 
     part = np.full(n, -1, dtype=np.int32)
     rng = np.random.default_rng(seed)
@@ -91,23 +103,34 @@ def greedy_partition_assignment(
     # part has zero penalty and eventually wins ties).
     gamma = 1.5
     m = max(e, 1)
-    alpha = m * (k ** (gamma - 1)) / (n ** gamma)
+    alpha = m * (k ** (gamma - 1)) / (W ** gamma)
 
-    # Small batches relative to n: the capacity check uses sizes from the
-    # start of the batch, so large batches can stampede into one part.
+    # The capacity check uses sizes from the start of a batch, so a batch
+    # must not carry more than a small fraction of a part's capacity —
+    # otherwise it stampedes into one part (catastrophic in weighted mode,
+    # where a few hubs carry huge weight). Split the visit order at BOTH
+    # a node-count stride and a weight budget, whichever comes first.
     batch = max(64, min(batch, n // 8))
+    budget = max(W / (k * 16.0), 1.0)
+
+    def weight_batches(visit):
+        gid_w = (np.cumsum(w[visit]) / budget).astype(np.int64)
+        gid_n = np.arange(len(visit)) // batch
+        gid = np.maximum(gid_w, gid_n)
+        cuts = np.nonzero(np.diff(gid))[0] + 1
+        return np.split(visit, cuts)
 
     for sweep in range(sweeps):
         visit = (np.argsort(-deg, kind="stable") if sweep == 0
                  else rng.permutation(n))
-        for lo in range(0, n, batch):
-            nodes = visit[lo:lo + batch]
+        for nodes in weight_batches(visit):
             hist = batch_hist(nodes)
-            sizes = np.bincount(part[part >= 0], minlength=k).astype(
-                np.float64)
+            assigned = part >= 0
+            sizes = np.bincount(part[assigned], weights=w[assigned],
+                                minlength=k).astype(np.float64)
             # A node being reassigned shouldn't count its own seat.
             cur = part[nodes]
-            np.subtract.at(sizes, cur[cur >= 0], 1.0)
+            np.subtract.at(sizes, cur[cur >= 0], w[nodes][cur >= 0])
             penalty = alpha * gamma * np.power(sizes[None, :], gamma - 1.0)
             # Hard cap: parts at capacity are ineligible.
             penalty = np.where(sizes[None, :] >= cap, np.inf, penalty)
@@ -115,24 +138,27 @@ def greedy_partition_assignment(
             part[nodes] = score.argmax(axis=1).astype(np.int32)
 
     # Repair pass: batch staleness can still overfill or empty parts; move
-    # the least-attached nodes of overfull parts into the smallest ones.
-    sizes = np.bincount(part, minlength=k)
-    floor = max(int(n / k / slack), 1)
+    # the least-attached (weighted) nodes of overfull parts into the
+    # smallest ones.
+    sizes = np.bincount(part, weights=w, minlength=k)
+    floor = max(W / k / slack, 1.0)
     for _ in range(k):
         donor = int(np.argmax(sizes))
         receiver = int(np.argmin(sizes))
         if sizes[donor] <= cap and sizes[receiver] >= floor:
             break
-        need = int(min(sizes[donor] - n // k,
-                       max(floor - sizes[receiver],
-                           sizes[donor] - int(cap))))
-        need = max(need, 1)
+        need = float(min(sizes[donor] - W / k,
+                         max(floor - sizes[receiver],
+                             sizes[donor] - cap)))
+        need = max(need, 1.0)
         cand = np.nonzero(part == donor)[0]
         hist = batch_hist(cand)
         attach = hist[np.arange(len(cand)), donor]
-        movers = cand[np.argsort(attach, kind="stable")[:need]]
+        order_m = np.argsort(attach, kind="stable")
+        take = np.searchsorted(np.cumsum(w[cand[order_m]]), need) + 1
+        movers = cand[order_m[:take]]
         part[movers] = receiver
-        sizes = np.bincount(part, minlength=k)
+        sizes = np.bincount(part, weights=w, minlength=k)
     return part
 
 
@@ -174,7 +200,8 @@ def partition_graph(
     if part_method == "random":
         part = random_partition_assignment(g, num_parts, seed)
     elif part_method in ("greedy", "metis"):
-        part = greedy_partition_assignment(g, num_parts, seed=seed)
+        part = greedy_partition_assignment(g, num_parts, seed=seed,
+                                           balance_edges=balance_edges)
     else:
         raise ValueError(f"unknown part_method {part_method!r}")
 

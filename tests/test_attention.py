@@ -126,3 +126,32 @@ def test_fused_zero_in_degree_rows():
     deg = np.asarray(g.in_degrees())
     np.testing.assert_allclose(out[deg == 0], 0.0)
     assert np.isfinite(out).all()
+
+@pytest.mark.parametrize("config", list(CONFIGS))
+def test_fused_bf16_mode_close_to_composed(config):
+    """ops.precision "bf16" mode: one-hot operands are exact, features
+    round at bf16 (~4e-3 relative) — values and grads stay within a
+    loose tolerance of the f32 composed oracle."""
+    from dgl1_tpu.ops import matmul_precision
+
+    g = make_skewed(config)
+    el, er, ft = data()
+    with matmul_precision("bf16"):
+        a = gat_attention(g, el, er, ft, SLOPE)
+
+        def s_fused(el_, er_, ft_):
+            return jnp.sum(gat_attention(g, el_, er_, ft_, SLOPE) ** 2)
+
+        ga = jax.grad(s_fused, argnums=(0, 1, 2))(el, er, ft)
+    b = composed(g, el, er, ft)
+
+    def s_comp(el_, er_, ft_):
+        return jnp.sum(composed(g, el_, er_, ft_) ** 2)
+
+    gb = jax.grad(s_comp, argnums=(0, 1, 2))(el, er, ft)
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
+    for x, y in zip(ga, gb):
+        # bf16 feature rounding: grads agree to ~1e-1 absolute (values
+        # are O(1-10) here); the logit path stays f32 so there are no
+        # leaky-relu kink flips.
+        np.testing.assert_allclose(x, y, rtol=8e-2, atol=1.5e-1)

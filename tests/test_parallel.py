@@ -139,3 +139,29 @@ def test_dist_graph_tensor():
     )
     dg.ndata["x"][np.array([5])] = np.array([[99.0]])
     np.testing.assert_allclose(dg.ndata["x"][np.array([5])], [[99.0]])
+
+
+def test_partition_balance_edges_powerlaw():
+    """balance_edges=True balances EDGE ownership (dst part) on skewed
+    graphs — without it, hub parts own nearly all edges (the regression
+    that collapsed projected multi-chip efficiency)."""
+    from dgl1_tpu.parallel.partition import greedy_partition_assignment
+
+    rng = np.random.default_rng(0)
+    n, e = 4096, 32768
+    # Zipf-ish in-degrees with the max capped (ogbn-like profile).
+    w = np.minimum(rng.zipf(2.2, size=n), e // 200)
+    deg = np.maximum((w * (e / w.sum())).astype(np.int64), 0)
+    dst = np.repeat(np.arange(n), deg)[:e]
+    if len(dst) < e:
+        dst = np.concatenate([dst, rng.integers(0, n, size=e - len(dst))])
+    src = rng.integers(0, n, size=e)
+    g = dgl.graph((src, dst), num_nodes=n, formats=("csc",))
+
+    k = 4
+    part = greedy_partition_assignment(g, k, balance_edges=True)
+    assert part.min() >= 0 and part.max() < k
+    e_own = np.bincount(part[np.asarray(g.dst)[:e]], minlength=k)
+    balance = e / (k * e_own.max())
+    assert balance > 0.85, (balance, e_own)
+    assert (np.bincount(part, minlength=k) > 0).all()

@@ -1,0 +1,129 @@
+"""Multi-chip scaling evidence (BASELINE north-star: >=80% efficiency).
+
+No multi-chip hardware is attached to this dev environment (one v5e via
+a tunnel), so this tool produces the honest substitute:
+
+1. **Executes** the full partitioned train step (halo all_to_all +
+   local aggregation inside shard_map) on an N-device virtual CPU mesh —
+   proving the sharded program compiles and runs for every N.
+2. **Projects** scaling efficiency for the real topology from measured
+   quantities: the partitioner's actual halo sizes / load balance on the
+   target graph, the measured single-chip aggregation rate, and the
+   published v5e ICI bandwidth. Projection model: per layer,
+   ``t(k) = max(e_loc(k)/rate, halo_bytes(k)/ICI_BW)`` (compute and the
+   all_to_all overlap at best; the max is the optimistic bound, the sum
+   the pessimistic one — both reported).
+
+Run with real multi-chip hardware to replace the projection with a
+measurement (the step function is the same one `examples/train_dist.py`
+uses).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+# Effective per-chip ICI bandwidth for a v5e 2D-torus all_to_all
+# (spec ~400 Gbps x 4 links per chip; all_to_all sustains a fraction).
+ICI_BW_EFF = 80e9  # bytes/s, conservative
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=1 << 19)
+    p.add_argument("--deg", type=int, default=8)
+    p.add_argument("--feat", type=int, default=128)
+    p.add_argument("--rate", type=float, default=2.03e9,
+                   help="measured single-chip aggregation rate (edges/s) "
+                        "at this feature width (bench.py headline)")
+    p.add_argument("--parts", default="1,2,4,8")
+    p.add_argument("--execute", action="store_true",
+                   help="also run one sharded step per k on a virtual "
+                        "CPU mesh (needs XLA_FLAGS=--xla_force_host_"
+                        "platform_device_count=<max k> and a small graph)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.execute:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dgl1_tpu as dgl  # noqa: F401
+    from dgl1_tpu.parallel import build_partitioned_graph
+    from dgl1_tpu.parallel.partition import (edge_cut_fraction,
+                                             greedy_partition_assignment)
+
+    # ogbn-like degree profile: Zipf-ish skew but with the max in-degree
+    # capped at ~0.5% of E (products: max deg is ~0.014% of E). An
+    # uncapped Zipf at bench scale puts >half of ALL edges on one node,
+    # which makes node-granular edge ownership unsplittable — that regime
+    # needs vertex-cut (split-destination) partitioning, a documented
+    # next step, not the common case.
+    rng = np.random.default_rng(0)
+    n_, e_ = args.nodes, args.nodes * args.deg
+    wts = np.minimum(rng.zipf(2.2, size=n_), max(e_ // 200, 8))
+    deg_arr = np.maximum((wts * (e_ / wts.sum())).astype(np.int64), 0)
+    dst_a = np.repeat(np.arange(n_, dtype=np.int64), deg_arr)[:e_]
+    if len(dst_a) < e_:
+        dst_a = np.concatenate(
+            [dst_a, rng.integers(0, n_, size=e_ - len(dst_a))])
+    src_a = rng.integers(0, n_, size=e_)
+    g = dgl.graph((src_a, dst_a), num_nodes=n_, formats=("csc",))
+    e = g.num_edges()
+    f_bytes = args.feat * 4
+    t1 = e / args.rate  # single-chip layer time
+
+    ks = [int(x) for x in args.parts.split(",")]
+    for k in ks:
+        part = (np.zeros(args.nodes, np.int32) if k == 1
+                else greedy_partition_assignment(g, k, balance_edges=True))
+        pg = build_partitioned_graph(g, part, k)
+        cut = float(edge_cut_fraction(g, part)) if k > 1 else 0.0
+        # Per-device, per-layer costs.
+        t_comp = pg.e_loc / args.rate
+        halo_bytes = (k - 1) * pg.m_halo * f_bytes  # worst-pair padded
+        t_comm = halo_bytes / ICI_BW_EFF
+        eff_overlap = t1 / (k * max(t_comp, t_comm))
+        eff_serial = t1 / (k * (t_comp + t_comm))
+        out = {
+            "k": k, "edges": int(e),
+            "edge_cut": round(cut, 4),
+            "e_loc_max": int(pg.e_loc),
+            "load_balance": round(e / max(k * pg.e_loc, 1), 4),
+            "halo_slots_per_pair": int(pg.m_halo),
+            "halo_MB_per_layer_per_chip": round(halo_bytes / 1e6, 2),
+            "projected_efficiency_overlapped": round(eff_overlap, 3),
+            "projected_efficiency_serial": round(eff_serial, 3),
+        }
+        if args.execute and k <= len(jax.devices()):
+            import jax.numpy as jnp
+            import optax
+            from jax.sharding import Mesh
+
+            from dgl1_tpu.parallel.train import (init_gcn_params,
+                                                 make_gcn_train_step)
+
+            mesh = Mesh(np.array(jax.devices()[:k]), ("p",))
+            opt = optax.adam(1e-2)
+            step, _ = make_gcn_train_step(pg, mesh, opt, 4)
+            rng = np.random.default_rng(0)
+            feat = jnp.asarray(rng.normal(
+                size=(args.nodes, args.feat)).astype("float32"))
+            labels = pg.shard_node_data(
+                jnp.asarray(rng.integers(0, 4, size=args.nodes))
+            ).astype(jnp.int32)
+            params = init_gcn_params(jax.random.PRNGKey(0), args.feat, 16, 4)
+            st = opt.init(params)
+            x = pg.shard_node_data(feat)
+            params, st, loss = step(params, st, x, labels, pg.node_mask)
+            jax.block_until_ready(loss)
+            out["executed_on_virtual_mesh"] = True
+            out["loss"] = round(float(loss), 4)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ def main():
     p.add_argument("--dim", type=int, default=32)
     p.add_argument("--iters", default="10,60")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--precision", default="f32", choices=["f32", "bf16"])
     args = p.parse_args()
 
     import jax
@@ -32,7 +33,10 @@ def main():
 
     import dgl1_tpu as dgl  # noqa: F401
     from dgl1_tpu.data.synthetic import powerlaw_graph
+    from dgl1_tpu.ops import set_matmul_precision
     from dgl1_tpu.ops.attention import can_fuse_attention, gat_attention
+
+    set_matmul_precision(args.precision)
 
     n = args.nodes
     g = powerlaw_graph(n, args.deg, seed=0)
@@ -87,6 +91,7 @@ def main():
         "fwd_bwd_ms": round(t_fb * 1e3, 2),
         "fwd_Medges_s": round(e / t_f / 1e6, 1),
         "fwd_bwd_Medges_s": round(e / t_fb / 1e6, 1),
+        "precision": args.precision,
         "backend": jax.default_backend(),
     }), flush=True)
 
