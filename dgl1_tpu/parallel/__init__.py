@@ -17,7 +17,9 @@ from dgl1_tpu.parallel.partition import (
     edge_cut_fraction,
 )
 from dgl1_tpu.parallel.graph_partition_book import GraphPartitionBook
-from dgl1_tpu.parallel.halo import PartitionedGraph, build_partitioned_graph
+from dgl1_tpu.parallel.halo import (PartitionedGraph,
+                                    build_partitioned_graph,
+                                    vertex_cut_edge_owner)
 from dgl1_tpu.parallel.sharded_ops import (
     sharded_gspmm,
     halo_exchange,
@@ -41,6 +43,7 @@ __all__ = [
     "build_partitioned_graph",
     "sharded_gspmm",
     "halo_exchange",
+    "vertex_cut_edge_owner",
     "DistGraph",
     "DistTensor",
     "DistDataLoader",

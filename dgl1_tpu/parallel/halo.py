@@ -24,7 +24,8 @@ import numpy as np
 from dgl1_tpu.graph import Graph
 from dgl1_tpu.parallel.graph_partition_book import GraphPartitionBook
 
-__all__ = ["PartitionedGraph", "build_partitioned_graph"]
+__all__ = ["PartitionedGraph", "build_partitioned_graph",
+           "vertex_cut_edge_owner"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -133,6 +134,32 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def vertex_cut_edge_owner(g: Graph, part: np.ndarray, num_parts: int,
+                          threshold: Optional[int] = None) -> np.ndarray:
+    """PowerGraph-style split-destination edge ownership.
+
+    Low in-degree destinations keep all their edges on their own part
+    (edge-cut behavior, no extra comm); destinations above ``threshold``
+    have their in-edges dealt round-robin across ALL parts — compute for
+    a mega-hub spreads evenly and its aggregation finishes with at most
+    ``P-1`` partial rows exchanged, instead of one part owning the whole
+    hub (the balance failure mode measured in tools/bench_scaling.py).
+    """
+    part = np.asarray(part).astype(np.int32)
+    e = g.num_edges()
+    dst = np.asarray(g.dst)[:e].astype(np.int64)
+    in_deg = np.bincount(dst, minlength=g.num_nodes())
+    if threshold is None:
+        threshold = max(int(e / (num_parts * 16)), 64)
+    owner = part[dst].astype(np.int32)
+    hubs = np.nonzero(in_deg > threshold)[0]
+    for h in hubs:
+        eids = np.nonzero(dst == h)[0]
+        owner[eids] = (part[h] + np.arange(len(eids)) % num_parts) \
+            % num_parts
+    return owner
+
+
 def build_partitioned_graph(
     g: Graph,
     part: np.ndarray,
@@ -140,12 +167,18 @@ def build_partitioned_graph(
     pad_nodes_multiple: int = 8,
     pad_edges_multiple: int = 128,
     pad_halo_multiple: int = 8,
+    edge_owner: Optional[np.ndarray] = None,
 ) -> PartitionedGraph:
     """Build the device-resident partitioned structure from an assignment.
 
-    Edges are owned by their destination's part (aggregation stays local);
-    remote sources become halo slots. All dimensions are padded to the max
-    across parts (static shapes for shard_map).
+    Default (``edge_owner=None``): edges are owned by their destination's
+    part (aggregation stays local); remote sources become halo slots.
+    With ``edge_owner`` (e.g. from :func:`vertex_cut_edge_owner`), an edge
+    may live on another part: its contribution reduces into a *partial
+    slot* there and one extra ``all_to_all`` returns partials to the
+    destination's owner, which folds them in — the vertex-cut mode that
+    balances compute on power-law graphs. All dimensions are padded to
+    the max across parts (static shapes for shard_map).
     """
     part = np.asarray(part).astype(np.int32)
     book = GraphPartitionBook(part, num_parts)
@@ -157,14 +190,19 @@ def build_partitioned_graph(
     out_deg_g = np.zeros(g.num_nodes(), dtype=np.int64)
     np.add.at(out_deg_g, src, 1)
 
+    eo = part[dst] if edge_owner is None else \
+        np.asarray(edge_owner).astype(np.int32)
+    vertex_cut = edge_owner is not None and bool(np.any(eo != part[dst]))
+
     own_nodes = [book.partid2nids(p) for p in range(num_parts)]
     n_loc = _round_up(max(len(o) for o in own_nodes), pad_nodes_multiple)
 
-    # Per-part edge sets and halo requirements.
+    # Per-part edge sets, halo (src side) and partial (dst side) sets.
     halo_sets: Dict[int, Dict[int, np.ndarray]] = {}
+    partial_sets: Dict[int, Dict[int, np.ndarray]] = {}
     part_edges = []
     for p in range(num_parts):
-        eids = np.nonzero(part[dst] == p)[0]
+        eids = np.nonzero(eo == p)[0]
         part_edges.append(eids)
         remote = part[src[eids]] != p
         req: Dict[int, np.ndarray] = {}
@@ -172,6 +210,15 @@ def build_partitioned_graph(
         for q in range(num_parts):
             req[q] = rsrc[part[rsrc] == q]
         halo_sets[p] = req
+        preq: Dict[int, np.ndarray] = {}
+        if vertex_cut:
+            fdst = np.unique(dst[eids][part[dst[eids]] != p])
+            for q in range(num_parts):
+                preq[q] = fdst[part[fdst] == q]
+        else:
+            for q in range(num_parts):
+                preq[q] = np.zeros(0, np.int64)
+        partial_sets[p] = preq
 
     m_halo = max(
         (len(halo_sets[p][q]) for p in range(num_parts)
@@ -180,10 +227,18 @@ def build_partitioned_graph(
     )
     m_halo = max(_round_up(max(m_halo, 1), pad_halo_multiple), pad_halo_multiple)
     e_loc = _round_up(max(len(pe) for pe in part_edges), pad_edges_multiple)
+    m_part = 0
+    if vertex_cut:
+        m_part = max(len(partial_sets[p][q]) for p in range(num_parts)
+                     for q in range(num_parts))
+        m_part = max(_round_up(max(m_part, 1), pad_halo_multiple),
+                     pad_halo_multiple)
 
     from dgl1_tpu.graph import TILE_EDGES, TILE_ROWS, _build_tiles
 
     n_comb = n_loc + num_parts * m_halo
+    # SpMM output space: owned rows, then per-owner partial-slot blocks.
+    n_out = n_loc + num_parts * m_part
 
     def _pad_tiles(tiles_list, num_target):
         """Stack per-part tile dicts, padding tile counts to the max with
@@ -207,13 +262,22 @@ def build_partitioned_graph(
 
     tiles_fwd_list, tiles_rev_list = [], []
 
-    edst = np.full((num_parts, e_loc), n_loc, dtype=np.int32)
+    edst = np.full((num_parts, e_loc), n_out, dtype=np.int32)
     esrc = np.zeros((num_parts, e_loc), dtype=np.int32)
     send_idx = np.zeros((num_parts, num_parts, m_halo), dtype=np.int32)
     in_deg = np.zeros((num_parts, n_loc), dtype=np.float32)
     out_deg = np.zeros((num_parts, n_loc), dtype=np.float32)
     node_mask = np.zeros((num_parts, n_loc), dtype=bool)
     orig_ids = np.zeros((num_parts, n_loc), dtype=np.int32)
+    recv_pos = None
+    slot_node = None
+    if vertex_cut:
+        # Sentinels: recv_pos OOB index -> fill-0 gather in the merge;
+        # slot_node n_loc -> fill-0 gather in the merge transpose.
+        recv_pos = np.full((num_parts, n_loc, num_parts),
+                           num_parts * m_part, dtype=np.int32)
+        slot_node = np.full((num_parts, num_parts * m_part), n_loc,
+                            dtype=np.int32)
 
     for p in range(num_parts):
         own = own_nodes[p]
@@ -232,8 +296,30 @@ def build_partitioned_graph(
             for j, nd in enumerate(nodes_q):
                 halo_pos[int(nd)] = n_loc + q * m_halo + j
 
+        # Output index for foreign destinations: partial slot of
+        # (owner q, position j). The receive side mirrors it: owner q's
+        # buffer block from p carries exactly partial_sets[p][q] order.
+        partial_pos = {}
+        if vertex_cut:
+            for q in range(num_parts):
+                nodes_q = partial_sets[p][q]
+                lq = book.nid2localnid(nodes_q)
+                for j, (nd, ln) in enumerate(zip(nodes_q, lq)):
+                    partial_pos[int(nd)] = n_loc + q * m_part + j
+                    # On owner q: slot (p * m_part + j) of ITS receive
+                    # buffer holds p's partial for local node ln.
+                    recv_pos[q, ln, p] = p * m_part + j
+                    slot_node[q, p * m_part + j] = ln
+
         eids = part_edges[p]
-        ldst = book.nid2localnid(dst[eids])
+        dst_e = dst[eids]
+        owned_dst = part[dst_e] == p
+        ldst = np.empty(len(eids), dtype=np.int64)
+        ldst[owned_dst] = book.nid2localnid(dst_e[owned_dst])
+        if vertex_cut and (~owned_dst).any():
+            ldst[~owned_dst] = np.array(
+                [partial_pos[int(d)] for d in dst_e[~owned_dst]],
+                dtype=np.int64)
         esrc_p = np.empty(len(eids), dtype=np.int64)
         local_src = part[src[eids]] == p
         esrc_p[local_src] = book.nid2localnid(src[eids][local_src])
@@ -249,7 +335,7 @@ def build_partitioned_graph(
         dummy_eid = np.zeros(len(eids), np.int32)
         tiles_fwd_list.append(_build_tiles(
             ldst[order].astype(np.int32), esrc_p[order].astype(np.int32),
-            dummy_eid, len(eids), n_loc,
+            dummy_eid, len(eids), n_out,
         ))
         rev_order = np.argsort(esrc_p, kind="stable")
         tiles_rev_list.append(_build_tiles(
@@ -258,7 +344,7 @@ def build_partitioned_graph(
             dummy_eid, len(eids), n_comb,
         ))
 
-    tiles_fwd = _pad_tiles(tiles_fwd_list, n_loc)
+    tiles_fwd = _pad_tiles(tiles_fwd_list, n_out)
     tiles_rev = _pad_tiles(tiles_rev_list, n_comb)
 
     return PartitionedGraph(
@@ -271,6 +357,9 @@ def build_partitioned_graph(
         out_deg=jnp.asarray(out_deg),
         node_mask=jnp.asarray(node_mask),
         orig_ids=jnp.asarray(orig_ids),
+        recv_pos=None if recv_pos is None else jnp.asarray(recv_pos),
+        slot_node=None if slot_node is None else jnp.asarray(slot_node),
+        m_part=m_part,
         num_parts=num_parts,
         n_loc=n_loc,
         e_loc=e_loc,

@@ -31,6 +31,7 @@ __all__ = [
     "sharded_gspmm",
     "make_sharded_gcn_matvec",
     "local_spmm_sum",
+    "partial_merge",
 ]
 
 
@@ -120,36 +121,89 @@ def make_local_spmm(n_loc: int, n_comb: int):
 
 
 def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
-    """Per-device segment-sum over destination-owned edges.
+    """Per-device segment-sum over this device's edges.
 
-    ``combined``: (n_loc + P*m_halo, F). Returns (n_loc, F). Uses the
-    Pallas tile kernel when descriptors are present, else the XLA
-    segment engine (padded edges carry sentinel dst == n_loc, dropped by
-    scatter OOB semantics).
+    ``combined``: (n_loc + P*m_halo, F). Returns (n_out, F) where
+    ``n_out = n_loc + P*m_part`` — owned rows first, then the partial
+    slots vertex-cut edges reduce into (n_out == n_loc in pure halo
+    mode). Uses the Pallas tile kernel when descriptors are present,
+    else the XLA segment engine (padded edges carry sentinel dst ==
+    n_out, dropped by scatter OOB semantics).
     """
+    n_out = pg.n_loc + pg.num_parts * pg.m_part
     if pg.tiles_fwd is not None:
         n_comb = pg.n_loc + pg.num_parts * pg.m_halo
-        fn = make_local_spmm(pg.n_loc, n_comb)
+        fn = make_local_spmm(n_out, n_comb)
         return fn(_tiles_device_view(pg.tiles_fwd),
                   _tiles_device_view(pg.tiles_rev), combined)
     msg = jnp.take(combined, pg.esrc[0], axis=0, mode="clip")
     return jax.ops.segment_sum(
-        msg, pg.edst[0], num_segments=pg.n_loc, indices_are_sorted=True
+        msg, pg.edst[0], num_segments=n_out, indices_are_sorted=True
     )
+
+
+@jax.custom_vjp
+def partial_merge(recv_pos, slot_node, out_own, recv_flat):
+    """Fold received vertex-cut partials into owned rows.
+
+    ``recv_pos`` (n_loc, P): receive-buffer position of each sender's
+    partial for an owned node (OOB sentinel -> contributes 0).
+    ``recv_flat`` (P*m_part, F). Both directions of AD are pure gathers:
+    the transpose routes ct rows to slots via ``slot_node`` (each slot
+    feeds exactly one owned node) — no scatter anywhere.
+    """
+    gathered = jnp.take(recv_flat, recv_pos, axis=0, mode="fill",
+                        fill_value=0.0)  # (n_loc, P, F)
+    return out_own + jnp.sum(gathered, axis=1)
+
+
+def _pm_fwd(recv_pos, slot_node, out_own, recv_flat):
+    return partial_merge(recv_pos, slot_node, out_own, recv_flat), \
+        (recv_pos, slot_node)
+
+
+def _pm_bwd(res, ct):
+    recv_pos, slot_node = res
+    g_recv = jnp.take(ct, slot_node, axis=0, mode="fill", fill_value=0.0)
+    f0 = np.zeros(recv_pos.shape, dtype=jax.dtypes.float0)
+    f0s = np.zeros(slot_node.shape, dtype=jax.dtypes.float0)
+    return f0, f0s, ct, g_recv
+
+
+partial_merge.defvjp(_pm_fwd, _pm_bwd)
 
 
 def sharded_gspmm(pg: PartitionedGraph, feat_local: jnp.ndarray,
                   axis_name: str = "p", edge_weight: Optional[jnp.ndarray] = None
                   ) -> jnp.ndarray:
-    """copy_u + sum over the partitioned graph (per-device view)."""
+    """copy_u + sum over the partitioned graph (per-device view).
+
+    In vertex-cut mode (``pg.m_part > 0``) the local reduce lands partial
+    rows for foreign destinations; a second ``all_to_all`` returns them
+    to their owners, where :func:`partial_merge` folds them in — the
+    PowerGraph-style split-destination flow that balances compute on
+    power-law graphs (one mega-hub's in-edges spread over all chips at a
+    cost of <= P-1 extra rows of ICI traffic).
+    """
+    n_out = pg.n_loc + pg.num_parts * pg.m_part
     combined = halo_exchange(pg, feat_local, axis_name)
     if edge_weight is None:
-        return local_spmm_sum(pg, combined)
-    msg = jnp.take(combined, pg.esrc[0], axis=0, mode="clip")
-    msg = msg * edge_weight[0]
-    return jax.ops.segment_sum(
-        msg, pg.edst[0], num_segments=pg.n_loc, indices_are_sorted=True
-    )
+        y = local_spmm_sum(pg, combined)
+    else:
+        msg = jnp.take(combined, pg.esrc[0], axis=0, mode="clip")
+        msg = msg * edge_weight[0]
+        y = jax.ops.segment_sum(
+            msg, pg.edst[0], num_segments=n_out, indices_are_sorted=True
+        )
+    if pg.m_part == 0:
+        return y
+    out_own = y[: pg.n_loc]
+    pbuf = y[pg.n_loc:].reshape((pg.num_parts, pg.m_part)
+                                + y.shape[1:])
+    rbuf = jax.lax.all_to_all(pbuf, axis_name, split_axis=0, concat_axis=0)
+    recv_flat = rbuf.reshape((-1,) + y.shape[1:])
+    return partial_merge(pg.recv_pos[0], pg.slot_node[0], out_own,
+                         recv_flat)
 
 
 def make_sharded_gcn_matvec(pg: PartitionedGraph, mesh: Mesh,

@@ -40,6 +40,9 @@ def main():
                    help="measured single-chip aggregation rate (edges/s) "
                         "at this feature width (bench.py headline)")
     p.add_argument("--parts", default="1,2,4,8")
+    p.add_argument("--megahub", action="store_true",
+                   help="use the uncapped Zipf graph (one node owns >half "
+                        "of E) — the vertex-cut stress case")
     p.add_argument("--execute", action="store_true",
                    help="also run one sharded step per k on a virtual "
                         "CPU mesh (needs XLA_FLAGS=--xla_force_host_"
@@ -52,7 +55,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import dgl1_tpu as dgl  # noqa: F401
-    from dgl1_tpu.parallel import build_partitioned_graph
+    from dgl1_tpu.parallel import (build_partitioned_graph,
+                                   vertex_cut_edge_owner)
     from dgl1_tpu.parallel.partition import (edge_cut_fraction,
                                              greedy_partition_assignment)
 
@@ -64,7 +68,8 @@ def main():
     # next step, not the common case.
     rng = np.random.default_rng(0)
     n_, e_ = args.nodes, args.nodes * args.deg
-    wts = np.minimum(rng.zipf(2.2, size=n_), max(e_ // 200, 8))
+    cap = e_ if args.megahub else max(e_ // 200, 8)
+    wts = np.minimum(rng.zipf(2.2, size=n_), cap)
     deg_arr = np.maximum((wts * (e_ / wts.sum())).astype(np.int64), 0)
     dst_a = np.repeat(np.arange(n_, dtype=np.int64), deg_arr)[:e_]
     if len(dst_a) < e_:
@@ -80,21 +85,30 @@ def main():
     for k in ks:
         part = (np.zeros(args.nodes, np.int32) if k == 1
                 else greedy_partition_assignment(g, k, balance_edges=True))
-        pg = build_partitioned_graph(g, part, k)
+        # Vertex-cut edge ownership when it improves compute balance.
+        pg_halo = build_partitioned_graph(g, part, k)
+        pg = pg_halo
+        mode = "halo"
+        if k > 1:
+            eo = vertex_cut_edge_owner(g, part, k)
+            pg_vc = build_partitioned_graph(g, part, k, edge_owner=eo)
+            if pg_vc.e_loc < pg_halo.e_loc:
+                pg, mode = pg_vc, "vertex_cut"
         cut = float(edge_cut_fraction(g, part)) if k > 1 else 0.0
         # Per-device, per-layer costs.
         t_comp = pg.e_loc / args.rate
-        halo_bytes = (k - 1) * pg.m_halo * f_bytes  # worst-pair padded
+        halo_bytes = (k - 1) * (pg.m_halo + pg.m_part) * f_bytes
         t_comm = halo_bytes / ICI_BW_EFF
         eff_overlap = t1 / (k * max(t_comp, t_comm))
         eff_serial = t1 / (k * (t_comp + t_comm))
         out = {
-            "k": k, "edges": int(e),
+            "k": k, "edges": int(e), "mode": mode,
             "edge_cut": round(cut, 4),
             "e_loc_max": int(pg.e_loc),
             "load_balance": round(e / max(k * pg.e_loc, 1), 4),
             "halo_slots_per_pair": int(pg.m_halo),
-            "halo_MB_per_layer_per_chip": round(halo_bytes / 1e6, 2),
+            "partial_slots_per_pair": int(pg.m_part),
+            "comm_MB_per_layer_per_chip": round(halo_bytes / 1e6, 2),
             "projected_efficiency_overlapped": round(eff_overlap, 3),
             "projected_efficiency_serial": round(eff_serial, 3),
         }
