@@ -88,29 +88,23 @@ def _dot(a, b, dims, dt=jnp.float32):
 # as engine_pallas._minmax_kernel) + last-of-segment one-hot extraction.
 # ----------------------------------------------------------------------
 
-def _seg_max_kernel(dt, in_id, out_id, first, a_ref, b_ref, el_ref, out_ref):
-    t = pl.program_id(1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-    vals = _dot(one_a, el_ref[:], ((1,), (0,)))  # (CHUNK, 128) f32 max stat
-    valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
-    vals = jnp.where(valid, vals, NEG)
+def _win_max_kernel(in_id, out_id, first, a_ref, el_ref, out_ref):
+    """Per-group upper bound of el over incoming edges, via window maxima.
 
-    seg = b_ref[:].reshape(CHUNK, 1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-    shift = 1
-    while shift < CHUNK:
-        prev_vals = pltpu.roll(vals, shift, axis=0)
-        prev_seg = pltpu.roll(seg, shift, axis=0)
-        ok = (pos >= shift) & (prev_seg == seg)
-        vals = jnp.maximum(vals, jnp.where(ok, prev_vals, NEG))
-        shift *= 2
-    nxt = pltpu.roll(seg, CHUNK - 1, axis=0)
-    is_last = ((nxt != seg) | (pos == CHUNK - 1)) & (seg >= 0)
-    one_b = ((seg == iota) & is_last).astype(jnp.float32)
-    hit = jnp.sum(one_b, axis=0)
-    picked = _dot(one_b, jnp.maximum(vals, NEG), ((0,), (0,)))
-    partial = jnp.where(hit[:, None] > 0, picked, NEG)
+    Softmax needs any UPPER BOUND of the logits for stability — the
+    shift cancels exactly in the numerator/denominator ratio. A chunk's
+    sources all come from one 128-row window, so max over the window's
+    el block bounds every slot's el; a group's bound accumulates as the
+    max over its chunks. This replaced an exact per-destination
+    segmented max built from a 10-pass roll-scan over (1024, 128) —
+    which was HALF the fused-attention forward time (23.5 of 48 ms at
+    arxiv scale, docs/PERF_NOTES.md). Looseness is bounded by the el
+    spread within a window (exp(-range) stays comfortably inside f32
+    for any realistic logit scale; zero padding rows only loosen the
+    bound further, never break it)."""
+    t = pl.program_id(1)
+    wmax = jnp.max(el_ref[:], axis=0, keepdims=True)  # (1, BLK) per head
+    partial = jnp.broadcast_to(wmax, (BLK, BLK))
 
     @pl.when(first[t] == 1)
     def _init():
@@ -128,18 +122,16 @@ def _seg_max_call(lay, el_pad, n_groups, dt=jnp.float32):
         grid=(1, n_chunks),
         in_specs=[
             pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
-            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
             pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], 0)),
         ],
         out_specs=pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
     )
     return pl.pallas_call(
-        functools.partial(_seg_max_kernel, dt),
+        _win_max_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
         interpret=_interpret(),
-    )(lay["in_id"], lay["out_id"], lay["first"],
-      lay["a"], lay["b"], el_pad)
+    )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], el_pad)
 
 
 # ----------------------------------------------------------------------
@@ -148,39 +140,56 @@ def _seg_max_call(lay, el_pad, n_groups, dt=jnp.float32):
 
 def _attn_fwd_kernel(slope: float, dt, in_id, out_id, first, a_ref, b_ref,
                      el_ref, erg_ref, mzg_ref, ft_ref, r_ref,
-                     num_ref, den_ref):
-    # NOTE: both outputs use the SAME (o[t], fb) block pattern — Pallas
-    # leaves non-consecutively revisited output blocks unspecified, so
-    # the (head-width) denominator is band-replicated across feature
-    # blocks and sliced down outside. The waste is K*f_pad floats.
-    t = pl.program_id(1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+                     num_ref, den_ref, p_ref, onea_ref, oneb_ref):
+    """Fused numerator + denominator accumulation per hub group.
 
-    # el/er stay f32: sign(el+er) picks the leaky_relu branch, and a
-    # bf16 kink-flip would change gradients discontinuously.
-    el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
-    er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
-    mz_e = _dot(one_b, mzg_ref[:], ((1,), (0,)), dt)
-    z = _leaky(el_e + er_e, slope)
-    valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
-    p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)  # (CHUNK, 128) H lanes
+    Grid is (chunks, feature-blocks) with fb FASTEST and the whole
+    feature width in one output block, so (a) a group's output block is
+    revisited consecutively across its chunks and feature blocks (legal
+    Pallas accumulation), and (b) the softmax weights p and both one-hot
+    selectors are computed ONCE per chunk into VMEM scratch and reused
+    for every feature block — previously all logit work was redone per
+    feature block (~30% of the kernel's matmuls at f_pad=256)."""
+    t = pl.program_id(0)
+    fb = pl.program_id(1)
 
-    ft_e = _dot(one_a, ft_ref[:], ((1,), (0,)), dt)
-    p_exp = _dot(p, r_ref[:], ((1,), (0,)), dt)  # (CHUNK, FB)
-    num_partial = _dot(one_b, p_exp * ft_e, ((0,), (0,)), dt)
-    den_partial = _dot(one_b, p, ((0,), (0,)), dt)
+    @pl.when(fb == 0)
+    def _logits():
+        iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+        one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+        one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+        onea_ref[:] = one_a
+        oneb_ref[:] = one_b
+        # el/er stay f32: sign(el+er) picks the leaky_relu branch, and a
+        # bf16 kink-flip would change gradients discontinuously.
+        el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
+        er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
+        mz_e = _dot(one_b, mzg_ref[:], ((1,), (0,)), dt)
+        z = _leaky(el_e + er_e, slope)
+        valid = a_ref[:].reshape(CHUNK, 1) >= 0
+        p_ref[:] = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
+        den_partial = _dot(one_b, p_ref[:], ((0,), (0,)), dt)
+
+        @pl.when(first[t] == 1)
+        def _init_den():
+            den_ref[:] = den_partial
+
+        @pl.when(first[t] != 1)
+        def _accum_den():
+            den_ref[:] = den_ref[:] + den_partial
+
+    ft_e = _dot(onea_ref[:], ft_ref[:], ((1,), (0,)), dt)
+    p_exp = _dot(p_ref[:], r_ref[:], ((1,), (0,)), dt)  # (CHUNK, BLK)
+    num_partial = _dot(oneb_ref[:], p_exp * ft_e, ((0,), (0,)), dt)
 
     @pl.when(first[t] == 1)
     def _init():
-        num_ref[:] = num_partial
-        den_ref[:] = den_partial
+        num_ref[:, pl.ds(fb * BLK, BLK)] = num_partial
 
     @pl.when(first[t] != 1)
     def _accum():
-        num_ref[:] = num_ref[:] + num_partial
-        den_ref[:] = den_ref[:] + den_partial
+        cur = num_ref[:, pl.ds(fb * BLK, BLK)]
+        num_ref[:, pl.ds(fb * BLK, BLK)] = cur + num_partial
 
 
 def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
@@ -189,19 +198,24 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
     n_fb = f_pad // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_fb, n_chunks),
+        grid=(n_chunks, n_fb),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
-            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], fb)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (0, fb)),
+            pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
+            pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (i[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (i[t], fb)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (0, fb)),
         ],
         out_specs=[
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+            pl.BlockSpec((BLK, f_pad), lambda t, fb, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # p
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_a
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_b
         ],
     )
     num, den = pl.pallas_call(
@@ -209,12 +223,12 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
         ],
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
       el_pad, er_g, mz_g, ft_pad, r)
-    return num, den[:, :BLK]
+    return num, den
 
 
 # ----------------------------------------------------------------------
@@ -224,62 +238,86 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
 # window side; p and the jacobian term q are recomputed in VMEM.
 # ----------------------------------------------------------------------
 
-def _attn_bwd_kernel(slope: float, to_src: bool, dt, in_id, out_id, first,
-                     a_ref, b_ref, el_ref, erg_ref, mzg_ref, deng_ref,
-                     rhog_ref, ft_ref, ct_ref, r_ref, *outs):
-    t = pl.program_id(1)
-    fb = pl.program_id(0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
-    # src selector / hub selector depend on the layout direction.
-    one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
+def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
+                     in_id, out_id, first, a_ref, b_ref, el_ref, erg_ref,
+                     mzg_ref, deng_ref, rhog_ref, ft_ref, ct_ref, r_ref,
+                     *rest):
+    """Backward chunk pass, grid (chunks, feature-blocks), fb fastest.
 
-    el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: see fwd kernel
-    er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
-    mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)), dt)
-    den_e = _dot(one_h, deng_ref[:], ((1,), (0,)), dt)
-    rho_e = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
-    s = el_e + er_e
-    z = _leaky(s, slope)
-    valid = a_ref[:].reshape(CHUNK, 1) >= 0  # reshape i32, then cmp (Mosaic cannot reshape i1)
-    p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
-    a_coef = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal: flushes
-
-    ft_e = _dot(one_s, ft_ref[:], ((1,), (0,)), dt)
-    ct_e = _dot(one_h, ct_ref[:], ((1,), (0,)), dt)
-    g_e = _dot(ft_e * ct_e, r_ref[:], ((1,), (1,)), dt)  # (CHUNK, 128) heads
-    q = a_coef * (g_e - rho_e) * _dleaky(s, slope)
-
-    # Secondary (head-width) outputs are band-replicated across feature
-    # blocks — same revisit pattern as the feature-width output, because
-    # non-consecutively revisited Pallas output blocks are unspecified.
+    The per-edge softmax-jacobian dot g_e = <ft_s, ct_d> spans the FULL
+    feature width, so it accumulates across feature blocks in VMEM
+    scratch and the logit grads (q-reductions) emit on the LAST feature
+    block only. (The previous fb-outer layout summed g_e per stripe and
+    read back just stripe 0 — wrong whenever one head's features spanned
+    more than 128 lanes.) All chunk-invariant quantities (one-hots,
+    softmax weights, rho, dleaky) are computed once per chunk at fb==0.
+    """
     if to_src:
-        gft_ref, gel_ref = outs
-        a_exp = _dot(a_coef, r_ref[:], ((1,), (0,)), dt)
-        gft_partial = _dot(one_s, a_exp * ct_e, ((0,), (0,)), dt)
-        gel_partial = _dot(one_s, q, ((0,), (0,)), dt)
-
-        @pl.when(first[t] == 1)
-        def _init():
-            gft_ref[:] = gft_partial
-            gel_ref[:] = gel_partial
-
-        @pl.when(first[t] != 1)
-        def _accum():
-            gft_ref[:] = gft_ref[:] + gft_partial
-            gel_ref[:] = gel_ref[:] + gel_partial
+        (gft_ref, gq_ref, ones_ref, oneh_ref, acoef_ref, dl_ref,
+         rho_ref, geacc_ref) = rest
     else:
-        (ger_ref,) = outs
-        ger_partial = _dot(one_h, q, ((0,), (0,)), dt)
+        (gq_ref, ones_ref, oneh_ref, acoef_ref, dl_ref, rho_ref,
+         geacc_ref) = rest
+    t = pl.program_id(0)
+    fb = pl.program_id(1)
+
+    @pl.when(fb == 0)
+    def _prep():
+        iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+        one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+        one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+        one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
+        ones_ref[:] = one_s
+        oneh_ref[:] = one_h
+        el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: kink-critical
+        er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
+        mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)), dt)
+        den_e = _dot(one_h, deng_ref[:], ((1,), (0,)), dt)
+        rho_ref[:] = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
+        sum_le = el_e + er_e
+        z = _leaky(sum_le, slope)
+        valid = a_ref[:].reshape(CHUNK, 1) >= 0
+        p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
+        acoef_ref[:] = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal
+        dl_ref[:] = _dleaky(sum_le, slope)
+
+    ft_e = _dot(ones_ref[:], ft_ref[:], ((1,), (0,)), dt)
+    ct_e = _dot(oneh_ref[:], ct_ref[:], ((1,), (0,)), dt)
+    ge_part = _dot(ft_e * ct_e, r_ref[:], ((1,), (1,)), dt)
+
+    @pl.when(fb == 0)
+    def _ge_init():
+        geacc_ref[:] = ge_part
+
+    @pl.when(fb != 0)
+    def _ge_accum():
+        geacc_ref[:] = geacc_ref[:] + ge_part
+
+    if to_src:
+        a_exp = _dot(acoef_ref[:], r_ref[:], ((1,), (0,)), dt)
+        gft_partial = _dot(ones_ref[:], a_exp * ct_e, ((0,), (0,)), dt)
 
         @pl.when(first[t] == 1)
-        def _init():
-            ger_ref[:] = ger_partial
+        def _gft_init():
+            gft_ref[:, pl.ds(fb * BLK, BLK)] = gft_partial
 
         @pl.when(first[t] != 1)
-        def _accum():
-            ger_ref[:] = ger_ref[:] + ger_partial
+        def _gft_accum():
+            cur = gft_ref[:, pl.ds(fb * BLK, BLK)]
+            gft_ref[:, pl.ds(fb * BLK, BLK)] = cur + gft_partial
+
+    # Logit grads: q is complete only after the last feature block.
+    @pl.when((fb == n_fb - 1) & (first[t] == 1))
+    def _gq_init():
+        q = acoef_ref[:] * (geacc_ref[:] - rho_ref[:]) * dl_ref[:]
+        sel = ones_ref[:] if to_src else oneh_ref[:]
+        gq_ref[:] = _dot(sel, q, ((0,), (0,)), dt)
+
+    @pl.when((fb == n_fb - 1) & (first[t] != 1))
+    def _gq_accum():
+        q = acoef_ref[:] * (geacc_ref[:] - rho_ref[:]) * dl_ref[:]
+        sel = ones_ref[:] if to_src else oneh_ref[:]
+        gq_ref[:] = gq_ref[:] + _dot(sel, q, ((0,), (0,)), dt)
 
 
 def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
@@ -290,21 +328,21 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
     # Window-side blocks index by the layout's window id, group-side by
     # the group id. In the window-major (to_src) layout the window is the
     # OUT id and the group the IN id; group-major is the reverse.
-    def win(fb, t, i, o, f):
+    def win(t, fb, i, o, f):
         return (o[t], 0) if to_src else (i[t], 0)
 
-    def win_f(fb, t, i, o, f):
+    def win_f(t, fb, i, o, f):
         return (o[t], fb) if to_src else (i[t], fb)
 
-    def grp(fb, t, i, o, f):
+    def grp(t, fb, i, o, f):
         return (i[t], 0) if to_src else (o[t], 0)
 
-    def grp_f(fb, t, i, o, f):
+    def grp_f(t, fb, i, o, f):
         return (i[t], fb) if to_src else (o[t], fb)
 
     in_specs = [
-        pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
-        pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
         pl.BlockSpec((BLK, BLK), win),       # el (window side)
         pl.BlockSpec((BLK, BLK), grp),       # er
         pl.BlockSpec((BLK, BLK), grp),       # mz
@@ -312,41 +350,49 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         pl.BlockSpec((BLK, BLK), grp),       # rho
         pl.BlockSpec((BLK, BLK), win_f),     # ft
         pl.BlockSpec((BLK, BLK), grp_f),     # ct
-        pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (0, fb)),  # r
+        pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (0, fb)),  # r
     ]
     if to_src:
         out_specs = [
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+            pl.BlockSpec((BLK, f_pad), lambda t, fb, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_out_blocks * BLK, BLK), jnp.float32),
         ]
     else:
         out_specs = [
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_out_blocks * BLK, BLK), jnp.float32),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_fb, n_chunks),
+        grid=(n_chunks, n_fb),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_s
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_h
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # a_coef
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # dleaky
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # rho
+            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # ge accumulator
+        ],
     )
     outs = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, slope, to_src, dt),
+        functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
       el_pad, er_g, mz_g, den_g, rho_g, ft_pad, ct_g, r)
     if to_src:
-        return outs[0], outs[1][:, :BLK]
-    return (outs[0][:, :BLK],)
+        return outs[0], outs[1]
+    return (outs[0],)
 
 
 # ----------------------------------------------------------------------

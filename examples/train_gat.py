@@ -13,7 +13,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="pubmed",
                    choices=["cora", "citeseer", "pubmed"])
-    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--hidden", type=int, default=8)
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--lr", type=float, default=5e-3)

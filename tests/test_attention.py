@@ -155,3 +155,28 @@ def test_fused_bf16_mode_close_to_composed(config):
         # are O(1-10) here); the logit path stays f32 so there are no
         # leaky-relu kink flips.
         np.testing.assert_allclose(x, y, rtol=8e-2, atol=1.5e-1)
+
+
+def test_fused_grads_wide_single_head():
+    """Regression: when one head's feature span exceeds one 128-lane
+    block (n_fb > 1), the per-edge jacobian dot g_e must accumulate over
+    ALL feature blocks before the logit grads emit — the fb-outer kernel
+    layout summed per stripe and read back only stripe 0 (gel/ger were
+    ~2x-wrong at h=1, d=256)."""
+    g = make_skewed("mixed")
+    rng = np.random.default_rng(0)
+    h, d = 1, 256
+    el = jnp.asarray(rng.normal(size=(N, h)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(N, h)).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(N, h, d)).astype(np.float32))
+
+    def s_f(el_, er_, ft_):
+        return jnp.sum(gat_attention(g, el_, er_, ft_, SLOPE) ** 2)
+
+    def s_c(el_, er_, ft_):
+        return jnp.sum(composed(g, el_, er_, ft_) ** 2)
+
+    ga = jax.grad(s_f, argnums=(0, 1, 2))(el, er, ft)
+    gb = jax.grad(s_c, argnums=(0, 1, 2))(el, er, ft)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(x, y, rtol=1e-3, atol=1e-3)
