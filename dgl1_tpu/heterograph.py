@@ -26,6 +26,28 @@ __all__ = ["HeteroGraph", "heterograph", "node_type_subgraph",
 CanonicalEtype = Tuple[str, str, str]
 
 
+class _TypeDataProxy:
+    """``.data`` handle of one node/edge type (parity: the reference's
+    per-type view objects in ``python/dgl/view.py``)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, frame):
+        self.data = frame
+
+
+class _TypeView:
+    """``hg.nodes[ntype]`` / ``hg.edges[etype]`` indexer."""
+
+    __slots__ = ("_get",)
+
+    def __init__(self, get):
+        self._get = get
+
+    def __getitem__(self, t):
+        return _TypeDataProxy(self._get(t))
+
+
 class HeteroGraph:
     """Heterogeneous graph as a dict of relation blocks + per-ntype data."""
 
@@ -82,6 +104,18 @@ class HeteroGraph:
 
     def edges_data(self, etype) -> Dict:
         return self[etype].edata
+
+    @property
+    def nodes(self):
+        """``hg.nodes[ntype].data`` accessor (parity:
+        ``DGLHeteroGraph.nodes`` / ``view.py :: HeteroNodeView``)."""
+        return _TypeView(lambda t: self.nframes[t])
+
+    @property
+    def edges(self):
+        """``hg.edges[etype].data`` accessor (parity:
+        ``DGLHeteroGraph.edges`` / ``HeteroEdgeView``)."""
+        return _TypeView(lambda t: self[t].edata)
 
     @property
     def ndata(self):
