@@ -89,21 +89,28 @@ def _dot(a, b, dims, dt=jnp.float32):
 # ----------------------------------------------------------------------
 
 def _win_max_kernel(in_id, out_id, first, a_ref, el_ref, out_ref):
-    """Per-group upper bound of el over incoming edges, via window maxima.
+    """Per-group upper bound of el over incoming edges, via masked window
+    maxima.
 
-    Softmax needs any UPPER BOUND of the logits for stability — the
-    shift cancels exactly in the numerator/denominator ratio. A chunk's
-    sources all come from one 128-row window, so max over the window's
-    el block bounds every slot's el; a group's bound accumulates as the
-    max over its chunks. This replaced an exact per-destination
-    segmented max built from a 10-pass roll-scan over (1024, 128) —
-    which was HALF the fused-attention forward time (23.5 of 48 ms at
-    arxiv scale, docs/PERF_NOTES.md). Looseness is bounded by the el
-    spread within a window (exp(-range) stays comfortably inside f32
-    for any realistic logit scale; zero padding rows only loosen the
-    bound further, never break it)."""
+    Softmax needs any UPPER BOUND of the logits — the shift cancels
+    exactly in the numerator/denominator ratio. A chunk's sources all
+    come from one 128-row window; the max is taken over only the window
+    rows the chunk actually references (one_a column-sum > 0), so
+    unrelated window residents and zero padding rows cannot inflate the
+    bound. Each hub GROUP accumulates the max over its chunks, so
+    destinations in a group share a bound over the group's referenced
+    sources. This replaced an exact
+    per-destination segmented max built from a 10-pass roll-scan over
+    (1024, 128) — which was HALF the fused-attention forward time (23.5
+    of 48 ms at arxiv scale, docs/PERF_NOTES.md). Residual looseness is
+    the el spread among one chunk's sources; underflow would need a
+    ~88-wide logit spread inside a single chunk."""
     t = pl.program_id(1)
-    wmax = jnp.max(el_ref[:], axis=0, keepdims=True)  # (1, BLK) per head
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+    used = jnp.sum(one_a, axis=0, keepdims=True) > 0  # (1, BLK) rows
+    vals = jnp.where(used.T, el_ref[:], NEG)  # mask unreferenced rows
+    wmax = jnp.max(vals, axis=0, keepdims=True)  # (1, BLK) per head
     partial = jnp.broadcast_to(wmax, (BLK, BLK))
 
     @pl.when(first[t] == 1)
@@ -115,7 +122,7 @@ def _win_max_kernel(in_id, out_id, first, a_ref, el_ref, out_ref):
         out_ref[:] = jnp.maximum(out_ref[:], partial)
 
 
-def _seg_max_call(lay, el_pad, n_groups, dt=jnp.float32):
+def _seg_max_call(lay, el_pad, n_groups):
     n_chunks = lay["in_id"].shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -447,8 +454,8 @@ def _stats(static, hub, el2, er2):
     """Stage A: per-destination softmax max, node-level (num_dst, H)."""
     m = static.meta
     el_pad = _pad_2d(el2, hub["dense_c"].shape[0], BLK)
-    mraw_hub = _seg_max_call(hub["full_fwd"], el_pad, m.n_groups,
-                             _dtype_of(static))[:, :static.h]
+    mraw_hub = _seg_max_call(hub["full_fwd"], el_pad,
+                             m.n_groups)[:, :static.h]
     mstack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"],
                        "copy_lhs", "max", el2, None)
     mraw = jnp.take(jnp.concatenate([mstack, mraw_hub], axis=0),

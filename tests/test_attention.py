@@ -180,3 +180,19 @@ def test_fused_grads_wide_single_head():
     gb = jax.grad(s_c, argnums=(0, 1, 2))(el, er, ft)
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(x, y, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_extreme_logit_spread():
+    """The window-max softmax bound must stay numerically safe under a
+    wide el spread (±40 across nodes): outputs still match the composed
+    per-destination-exact-max softmax."""
+    g = make_skewed("mixed")
+    rng = np.random.default_rng(7)
+    h, d = 4, 8
+    el = jnp.asarray((rng.normal(size=(N, h)) * 20.0).astype(np.float32))
+    er = jnp.asarray((rng.normal(size=(N, h)) * 5.0).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(N, h, d)).astype(np.float32))
+    a = gat_attention(g, el, er, ft, SLOPE)
+    b = composed(g, el, er, ft)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
