@@ -96,6 +96,7 @@ from dgl1_tpu.transform import (
     khop_graph,
     node_subgraph,
     edge_subgraph,
+    typed_subgraphs,
     to_simple,
     line_graph,
     to_block,
@@ -185,6 +186,7 @@ __all__ = [
     "khop_graph",
     "node_subgraph",
     "edge_subgraph",
+    "typed_subgraphs",
     "to_simple",
     "line_graph",
     "to_block",

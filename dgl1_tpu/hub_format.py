@@ -143,6 +143,18 @@ def _chunk_layouts(h_src, h_slot, h_eid, n_win: int, group_offset: int):
     )
     bwd = {"a": ba, "b": bb, "eid": be, "in_id": b_in, "out_id": b_out,
            "first": b_first}
+    # Group-gather descriptors: the fused-attention backward emits one
+    # group-side partial block per bwd chunk (window-major order, so a
+    # group's chunks are NOT consecutive); these sort the chunk indices
+    # by group so a single accumulation sweep folds the partials without
+    # a second full chunk pass (ops/attention.py::_ger_reduce_call).
+    gperm = np.argsort(b_in, kind="stable").astype(ID_DTYPE)
+    gout = b_in[gperm].astype(ID_DTYPE)
+    gfirst = np.zeros((len(gout),), dtype=ID_DTYPE)
+    if len(gfirst):
+        gfirst[0] = 1
+        gfirst[1:] = (gout[1:] != gout[:-1]).astype(ID_DTYPE)
+    bwd["gperm"], bwd["gout"], bwd["gfirst"] = gperm, gout, gfirst
 
     win_mask = np.zeros((n_win,), dtype=bool)
     win_mask[b_out] = True

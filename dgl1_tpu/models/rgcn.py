@@ -23,7 +23,8 @@ class RGCN(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, etypes, feat=None, deterministic: bool = True,
-                 presorted: bool = False, etype_counts=None):
+                 presorted: bool = False, etype_counts=None,
+                 rel_graphs=None):
         if feat is None:
             # Featureless entity classification: learned node embeddings.
             embed = self.param(
@@ -51,5 +52,5 @@ class RGCN(nn.Module):
                 activation=nn.relu if i != self.num_layers - 1 else None,
                 name=f"layer{i}",
             )(g, h, etypes, presorted=presorted, etype_counts=etype_counts,
-              deterministic=deterministic)
+              rel_graphs=rel_graphs, deterministic=deterministic)
         return h

@@ -340,25 +340,45 @@ class RelGraphConv(nn.Module):
         raise ValueError(f"unsupported regularizer {self.regularizer!r}")
 
     @nn.compact
-    def __call__(self, g: Graph, feat, etypes, norm=None, *,
+    def __call__(self, g: Graph, feat, etypes=None, norm=None, *,
                  presorted: bool = False, etype_counts=None,
-                 deterministic: bool = True):
+                 rel_graphs=None, deterministic: bool = True):
         weight = self._weights()  # (R, in, out)
         h_src, h_dst = _split_feat(feat)
         if not isinstance(feat, (tuple, list)) and g.is_block:
             h_dst = h_src[: g.num_dst_nodes()]
 
-        # Per-edge typed projection of the source feature.
-        h_edge_in = gsddmm(g, "copy_lhs", h_src, None, lhs_target="u")
-        if presorted:
-            if etype_counts is None:
-                raise ValueError("presorted=True requires etype_counts")
-            msg = segment_mm(h_edge_in, weight, etype_counts)
+        if rel_graphs is not None:
+            # TPU-native path (``transform.typed_subgraphs``): one dense
+            # projection + one hub/ELL SpMM per relation — no per-edge
+            # (E, F) feature tensor is ever materialized (the reference's
+            # per-edge ``h[src] @ W[etype]`` costs one gathered row per
+            # edge, the dominant cost on TPU). ``norm``, if given, must
+            # be per-destination (num_dst, 1) — per-edge norms need the
+            # generic path.
+            rst = 0.0
+            for r, gr in enumerate(rel_graphs):
+                if self.out_feats <= self.in_feats:
+                    # Project first: the SpMM moves the narrower tensor.
+                    rst = rst + gspmm(gr, "copy_lhs", "sum",
+                                      h_src @ weight[r], None)
+                else:
+                    rst = rst + gspmm(gr, "copy_lhs", "sum",
+                                      h_src, None) @ weight[r]
+            if norm is not None:
+                rst = rst * norm
         else:
-            msg = gather_mm(h_edge_in, weight, etypes)
-        if norm is not None:
-            msg = msg * norm
-        rst = gspmm(g, "copy_rhs", "sum", None, msg)
+            # Per-edge typed projection of the source feature.
+            h_edge_in = gsddmm(g, "copy_lhs", h_src, None, lhs_target="u")
+            if presorted:
+                if etype_counts is None:
+                    raise ValueError("presorted=True requires etype_counts")
+                msg = segment_mm(h_edge_in, weight, etype_counts)
+            else:
+                msg = gather_mm(h_edge_in, weight, etypes)
+            if norm is not None:
+                msg = msg * norm
+            rst = gspmm(g, "copy_rhs", "sum", None, msg)
 
         if self.self_loop:
             w_loop = self.param(

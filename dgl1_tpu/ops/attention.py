@@ -13,11 +13,14 @@ GPUs (no padding there). This module computes the whole chain
 with per-edge quantities existing only inside VMEM per 1024-edge chunk —
 flash-attention restructured for message passing:
 
-* the per-destination softmax max decomposes through the monotonic
-  leaky_relu: ``max_e z = leaky_relu(er_d + max_s el_s)``, so the max
-  statistic is one segmented-max chunk pass over node-level ``el``;
-* one fused chunk pass accumulates numerator ``sum p*ft`` and
-  denominator ``sum p`` per hub group (p recomputed from node-level
+* the softmax shift decomposes through the monotonic leaky_relu:
+  ``mz_d = leaky_relu(er_d + mraw)`` where ``mraw`` is a per-group
+  running max of ``el`` over referenced sources — maintained ONLINE
+  inside the single fused chunk pass (flash style): when a chunk raises
+  the running max, previously accumulated num/den rescale by
+  ``exp(mz_old - mz_new)``. No separate max pass exists;
+* that fused chunk pass accumulates numerator ``sum p*ft`` and
+  denominator ``sum p`` per hub group (p computed from node-level
   tensors on the fly, weights expanded head->features by a static 0/1
   matmul);
 * backward recomputes p (flash style): the softmax-jacobian row term
@@ -88,75 +91,29 @@ def _dot(a, b, dims, dt=jnp.float32):
 # as engine_pallas._minmax_kernel) + last-of-segment one-hot extraction.
 # ----------------------------------------------------------------------
 
-def _win_max_kernel(in_id, out_id, first, a_ref, el_ref, out_ref):
-    """Per-group upper bound of el over incoming edges, via masked window
-    maxima.
-
-    Softmax needs any UPPER BOUND of the logits — the shift cancels
-    exactly in the numerator/denominator ratio. A chunk's sources all
-    come from one 128-row window; the max is taken over only the window
-    rows the chunk actually references (one_a column-sum > 0), so
-    unrelated window residents and zero padding rows cannot inflate the
-    bound. Each hub GROUP accumulates the max over its chunks, so
-    destinations in a group share a bound over the group's referenced
-    sources. This replaced an exact
-    per-destination segmented max built from a 10-pass roll-scan over
-    (1024, 128) — which was HALF the fused-attention forward time (23.5
-    of 48 ms at arxiv scale, docs/PERF_NOTES.md). Residual looseness is
-    the el spread among one chunk's sources; underflow would need a
-    ~88-wide logit spread inside a single chunk."""
-    t = pl.program_id(1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-    used = jnp.sum(one_a, axis=0, keepdims=True) > 0  # (1, BLK) rows
-    vals = jnp.where(used.T, el_ref[:], NEG)  # mask unreferenced rows
-    wmax = jnp.max(vals, axis=0, keepdims=True)  # (1, BLK) per head
-    partial = jnp.broadcast_to(wmax, (BLK, BLK))
-
-    @pl.when(first[t] == 1)
-    def _init():
-        out_ref[:] = partial
-
-    @pl.when(first[t] != 1)
-    def _accum():
-        out_ref[:] = jnp.maximum(out_ref[:], partial)
-
-
-def _seg_max_call(lay, el_pad, n_groups):
-    n_chunks = lay["in_id"].shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(1, n_chunks),
-        in_specs=[
-            pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,)),
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], 0)),
-        ],
-        out_specs=pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (o[t], 0)),
-    )
-    return pl.pallas_call(
-        _win_max_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
-        interpret=_interpret(),
-    )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], el_pad)
-
-
 # ----------------------------------------------------------------------
-# Kernel 2: fused numerator + denominator accumulation per hub group.
+# Kernel 2: fused numerator + denominator accumulation per hub group,
+# with ONLINE softmax rescaling (flash-attention style) — no separate
+# max pass exists. The chunk's exact referenced-source max falls out of
+# the el_e gather-dot the kernel already computes; when it raises the
+# group's running max, previously accumulated num/den are rescaled by
+# exp(mz_old - mz_new) (per hub slot, through the leaky_relu since
+# mz = leaky(er_slot + mraw) is monotonic in mraw).
 # ----------------------------------------------------------------------
 
 def _attn_fwd_kernel(slope: float, dt, in_id, out_id, first, a_ref, b_ref,
-                     el_ref, erg_ref, mzg_ref, ft_ref, r_ref,
-                     num_ref, den_ref, p_ref, onea_ref, oneb_ref):
+                     el_ref, erg_ref, ft_ref, r_ref,
+                     num_ref, den_ref, mraw_ref,
+                     p_ref, onea_ref, oneb_ref, scale_ref):
     """Fused numerator + denominator accumulation per hub group.
 
     Grid is (chunks, feature-blocks) with fb FASTEST and the whole
     feature width in one output block, so (a) a group's output block is
     revisited consecutively across its chunks and feature blocks (legal
-    Pallas accumulation), and (b) the softmax weights p and both one-hot
-    selectors are computed ONCE per chunk into VMEM scratch and reused
-    for every feature block — previously all logit work was redone per
-    feature block (~30% of the kernel's matmuls at f_pad=256)."""
+    Pallas accumulation — this is also what lets mraw_ref act as the
+    running-max state), and (b) the softmax weights p, both one-hot
+    selectors and the rescale factor are computed ONCE per chunk into
+    VMEM scratch and reused for every feature block."""
     t = pl.program_id(0)
     fb = pl.program_id(1)
 
@@ -171,9 +128,30 @@ def _attn_fwd_kernel(slope: float, dt, in_id, out_id, first, a_ref, b_ref,
         # bf16 kink-flip would change gradients discontinuously.
         el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
         er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
-        mz_e = _dot(one_b, mzg_ref[:], ((1,), (0,)), dt)
-        z = _leaky(el_e + er_e, slope)
         valid = a_ref[:].reshape(CHUNK, 1) >= 0
+        # Exact max of el over this chunk's referenced sources, per head.
+        cmax = jnp.max(jnp.where(valid, el_e, NEG), axis=0, keepdims=True)
+        cmax_b = jnp.broadcast_to(cmax, (BLK, BLK))
+
+        @pl.when(first[t] == 1)
+        def _init_max():
+            mraw_ref[:] = cmax_b
+
+        @pl.when(first[t] != 1)
+        def _rescale():
+            old = mraw_ref[:]
+            new = jnp.maximum(old, cmax_b)
+            mraw_ref[:] = new
+            # Per-slot shift change through the leaky kink (monotonic).
+            mz_old = _leaky(erg_ref[:] + old, slope)
+            mz_new = _leaky(erg_ref[:] + new, slope)
+            scale_ref[:] = jnp.exp(mz_old - mz_new)
+
+        # Per-edge shift: the running max is per (group, head), shared by
+        # every slot/edge of the chunk — broadcast, no extra gather dot.
+        mz_e = _leaky(er_e + jnp.broadcast_to(
+            mraw_ref[0:1, :], (CHUNK, BLK)), slope)
+        z = _leaky(el_e + er_e, slope)
         p_ref[:] = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
         den_partial = _dot(one_b, p_ref[:], ((0,), (0,)), dt)
 
@@ -183,7 +161,7 @@ def _attn_fwd_kernel(slope: float, dt, in_id, out_id, first, a_ref, b_ref,
 
         @pl.when(first[t] != 1)
         def _accum_den():
-            den_ref[:] = den_ref[:] + den_partial
+            den_ref[:] = den_ref[:] * scale_ref[:] + den_partial
 
     ft_e = _dot(onea_ref[:], ft_ref[:], ((1,), (0,)), dt)
     p_exp = _dot(p_ref[:], r_ref[:], ((1,), (0,)), dt)  # (CHUNK, BLK)
@@ -195,11 +173,13 @@ def _attn_fwd_kernel(slope: float, dt, in_id, out_id, first, a_ref, b_ref,
 
     @pl.when(first[t] != 1)
     def _accum():
+        # Head-level rescale expanded to feature lanes via the 0/1 map r.
+        scale_f = _dot(scale_ref[:], r_ref[:], ((1,), (0,)), dt)
         cur = num_ref[:, pl.ds(fb * BLK, BLK)]
-        num_ref[:, pl.ds(fb * BLK, BLK)] = cur + num_partial
+        num_ref[:, pl.ds(fb * BLK, BLK)] = cur * scale_f + num_partial
 
 
-def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
+def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
                    f_pad, dt=jnp.float32):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
@@ -211,31 +191,33 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, mz_g, ft_pad, r, n_groups,
             pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
             pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (i[t], 0)),
             pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
             pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (i[t], fb)),
             pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (0, fb)),
         ],
         out_specs=[
             pl.BlockSpec((BLK, f_pad), lambda t, fb, i, o, f: (o[t], 0)),
             pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((CHUNK, BLK), jnp.float32),  # p
             pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_a
             pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_b
+            pltpu.VMEM((BLK, BLK), jnp.float32),    # rescale factor
         ],
     )
-    num, den = pl.pallas_call(
+    num, den, mraw = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, slope, dt),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
         ],
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
-      el_pad, er_g, mz_g, ft_pad, r)
-    return num, den
+      el_pad, er_g, ft_pad, r)
+    return num, den, mraw
 
 
 # ----------------------------------------------------------------------
@@ -260,7 +242,7 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
     softmax weights, rho, dleaky) are computed once per chunk at fb==0.
     """
     if to_src:
-        (gft_ref, gq_ref, ones_ref, oneh_ref, acoef_ref, dl_ref,
+        (gft_ref, gq_ref, gerp_ref, ones_ref, oneh_ref, acoef_ref, dl_ref,
          rho_ref, geacc_ref) = rest
     else:
         (gq_ref, ones_ref, oneh_ref, acoef_ref, dl_ref, rho_ref,
@@ -326,6 +308,17 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         sel = ones_ref[:] if to_src else oneh_ref[:]
         gq_ref[:] = gq_ref[:] + _dot(sel, q, ((0,), (0,)), dt)
 
+    if to_src:
+        # Group-side (dst) reduction of q as a per-chunk partial block:
+        # in this window-major layout a group's chunks are scattered, so
+        # the partials go out per-chunk and a gperm-ordered accumulation
+        # sweep (_ger_reduce_call) folds them — replacing what used to be
+        # a SECOND full chunk pass over all features just for grad_er.
+        @pl.when(fb == n_fb - 1)
+        def _gerp():
+            q = acoef_ref[:] * (geacc_ref[:] - rho_ref[:]) * dl_ref[:]
+            gerp_ref[:] = _dot(oneh_ref[:], q, ((0,), (0,)), dt)
+
 
 def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
                    ft_pad, ct_g, r, n_out_blocks, f_pad, dt=jnp.float32):
@@ -363,10 +356,12 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         out_specs = [
             pl.BlockSpec((BLK, f_pad), lambda t, fb, i, o, f: (o[t], 0)),
             pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (t, 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_out_blocks * BLK, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks * BLK, BLK), jnp.float32),
         ]
     else:
         out_specs = [
@@ -398,8 +393,42 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
     )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
       el_pad, er_g, mz_g, den_g, rho_g, ft_pad, ct_g, r)
     if to_src:
-        return outs[0], outs[1]
+        return outs[0], outs[1], outs[2]
     return (outs[0],)
+
+
+# ----------------------------------------------------------------------
+# Kernel 5: fold per-chunk group-side q partials into per-group grad_er.
+# One (BLK, BLK) block read per chunk — ~64KB/chunk vs the full feature
+# sweep the dedicated group-major backward pass used to pay.
+# ----------------------------------------------------------------------
+
+def _ger_reduce_kernel(perm, gout, gfirst, p_ref, out_ref):
+    t = pl.program_id(0)
+
+    @pl.when(gfirst[t] == 1)
+    def _init():
+        out_ref[:] = p_ref[:]
+
+    @pl.when(gfirst[t] != 1)
+    def _accum():
+        out_ref[:] = out_ref[:] + p_ref[:]
+
+
+def _ger_reduce_call(lay, partials, n_groups):
+    n_chunks = lay["gperm"].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((BLK, BLK), lambda t, p, o, f: (p[t], 0))],
+        out_specs=pl.BlockSpec((BLK, BLK), lambda t, p, o, f: (o[t], 0)),
+    )
+    return pl.pallas_call(
+        _ger_reduce_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
+        interpret=_interpret(),
+    )(lay["gperm"], lay["gout"], lay["gfirst"], partials)
 
 
 # ----------------------------------------------------------------------
@@ -450,19 +479,6 @@ def _dtype_of(static):
     return jnp.bfloat16 if static.prec == "bf16" else jnp.float32
 
 
-def _stats(static, hub, el2, er2):
-    """Stage A: per-destination softmax max, node-level (num_dst, H)."""
-    m = static.meta
-    el_pad = _pad_2d(el2, hub["dense_c"].shape[0], BLK)
-    mraw_hub = _seg_max_call(hub["full_fwd"], el_pad,
-                             m.n_groups)[:, :static.h]
-    mstack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"],
-                       "copy_lhs", "max", el2, None)
-    mraw = jnp.take(jnp.concatenate([mstack, mraw_hub], axis=0),
-                    hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
-    return _leaky(mraw + er2, static.slope)  # (num_dst, H)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gat_attention(static: _Static, hub, el2, er2, ft2):
     out, _, _ = _attn_forward(static, hub, el2, er2, ft2)
@@ -476,17 +492,26 @@ def _attn_forward(static, hub, el2, er2, ft2):
     f_pad = _round_up(f, BLK)
     rows_pad = hub["dense_c"].shape[0]
 
-    mz = _stats(static, hub, el2, er2)
     el_pad = _pad_2d(el2, rows_pad, BLK)
     ft_pad = _pad_2d(ft2, rows_pad, f_pad)
     er_g = _hub_rows_128(er2, hub["hub_ids"], m.n_groups)
-    mz_g = _hub_rows_128(mz, hub["hub_ids"], m.n_groups)
     r = _replication_r(h, d, f_pad)
 
-    num_hub, den_hub = _attn_fwd_call(
-        static.slope, hub["full_fwd"], el_pad, er_g, mz_g, ft_pad, r,
+    num_hub, den_hub, mraw_hub = _attn_fwd_call(
+        static.slope, hub["full_fwd"], el_pad, er_g, ft_pad, r,
         m.n_groups, f_pad, _dtype_of(static),
     )
+
+    # Node-level softmax shift (num_dst, H): hub rows take the fwd
+    # kernel's final running max (its num/den are consistent with it by
+    # the online-rescale invariant); tail destinations take the exact
+    # per-destination ELL max. The backward recomputes p from this.
+    mstack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"],
+                       "copy_lhs", "max", el2, None)
+    mraw = jnp.take(
+        jnp.concatenate([mstack, mraw_hub[:, :h]], axis=0),
+        hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
+    mz = _leaky(mraw + er2, static.slope)
 
     # Tail in compact slot space; p maps into the ELL stacks through the
     # compact-slot eid arrays.
@@ -544,7 +569,7 @@ def _bwd(static, res, ct):
         m.n_groups * BLK, f_pad)
     r = _replication_r(h, d, f_pad)
 
-    gft_hub, gel_hub = _attn_bwd_call(
+    gft_hub, gel_hub, gerp = _attn_bwd_call(
         slope, True, hub["full_bwd"], el_pad, er_g, mz_g, den_g, rho_g,
         ft_pad, ct_g, r, m.n_win, f_pad, _dtype_of(static))
     win_rows = jnp.repeat(hub["win_mask_full"], BLK,
@@ -552,9 +577,12 @@ def _bwd(static, res, ct):
     gft_hub = jnp.where(win_rows[:, None], gft_hub, 0.0)
     gel_hub = jnp.where(win_rows[:, None], gel_hub, 0.0)
 
-    (ger_hub,) = _attn_bwd_call(
-        slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g, rho_g,
-        ft_pad, ct_g, r, m.n_groups, f_pad, _dtype_of(static))
+    if "gperm" in hub["full_bwd"]:
+        ger_hub = _ger_reduce_call(hub["full_bwd"], gerp, m.n_groups)
+    else:  # layout predates the gperm descriptors (e.g. loaded graphs)
+        (ger_hub,) = _attn_bwd_call(
+            slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g,
+            rho_g, ft_pad, ct_g, r, m.n_groups, f_pad, _dtype_of(static))
 
     # ---- tail (compact slot space) ----
     ts, td = hub["tail_src"], hub["tail_dst"]

@@ -38,6 +38,7 @@ __all__ = [
     "remove_edges",
     "add_nodes",
     "remove_nodes",
+    "typed_subgraphs",
 ]
 
 
@@ -623,3 +624,25 @@ def remove_nodes(g: Graph, nids) -> Graph:
     keep = np.ones((g.num_nodes(),), dtype=bool)
     keep[nids] = False
     return node_subgraph(g, np.nonzero(keep)[0])
+
+
+def typed_subgraphs(g: Graph, etypes, num_rels: int) -> tuple:
+    """Split a homogeneous graph with edge types into one edge-induced
+    subgraph per relation, all sharing the parent's node space.
+
+    TPU-native enabler for R-GCN (parity target:
+    ``python/dgl/nn/pytorch/conv/relgraphconv.py``'s ``low_mem`` path):
+    the reference projects per-EDGE (``h[src] @ W[etype]``, a gathered
+    (E, F) tensor); on TPU that per-edge tensor is the whole cost, so
+    ``RelGraphConv(..., rel_graphs=typed_subgraphs(g, et, R))`` instead
+    runs one project + one hub/ELL SpMM per relation — no per-edge
+    feature tensor exists at any point. ``etypes`` is host data (numpy);
+    the split is static preprocessing, like every other graph format.
+    """
+    etypes = np.asarray(etypes)
+    e = g.num_edges()
+    etypes = etypes[:e]
+    return tuple(
+        edge_subgraph(g, np.nonzero(etypes == r)[0], relabel_nodes=False)
+        for r in range(int(num_rels))
+    )

@@ -1,9 +1,12 @@
 """R-GCN entity classification (BASELINE config #4 track; parity:
 ``examples/pytorch/rgcn/entity_classify.py`` on AIFB-style data).
 
-TPU-native: edges are pre-sorted by relation at load time so the typed
-projection runs as one grouped GEMM (``segment_mm`` -> ``lax.ragged_dot``
-on the MXU) instead of a per-relation loop.
+TPU-native: by default the typed aggregation runs one dense projection
++ one SpMM per relation over static per-relation subgraphs
+(``dgl.typed_subgraphs``) — no per-edge feature tensor exists at any
+point. ``--grouped-gemm`` switches to the edge-sorted grouped-GEMM path
+(``segment_mm`` -> ``lax.ragged_dot``), the direct analog of the
+reference's per-edge typed projection.
 """
 
 from __future__ import annotations
@@ -19,6 +22,9 @@ def main():
     p.add_argument("--num-bases", type=int, default=0)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--grouped-gemm", action="store_true",
+                   help="per-edge grouped-GEMM path instead of the "
+                        "per-relation SpMM fast path")
     args = p.parse_args()
 
     import jax
@@ -51,6 +57,8 @@ def main():
         np.bincount(etypes, minlength=ds.num_rels).astype(np.int32)
     )
     etypes_j = jnp.asarray(etypes.astype(np.int32))
+    rel_graphs = (None if args.grouped_gemm
+                  else dgl.typed_subgraphs(g2, etypes, ds.num_rels))
 
     labels = g.ndata["label"].astype(jnp.int32)
     train_mask = g.ndata["train_mask"]
@@ -61,13 +69,15 @@ def main():
                  out_feats=num_classes, num_rels=ds.num_rels,
                  num_bases=args.num_bases)
     params = model.init(jax.random.PRNGKey(0), g2, etypes_j,
-                        presorted=True, etype_counts=counts)
+                        presorted=args.grouped_gemm, etype_counts=counts,
+                        rel_graphs=rel_graphs)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     def loss_fn(params):
-        logits = model.apply(params, g2, etypes_j, presorted=True,
-                             etype_counts=counts)
+        logits = model.apply(params, g2, etypes_j,
+                             presorted=args.grouped_gemm,
+                             etype_counts=counts, rel_graphs=rel_graphs)
         logp = jax.nn.log_softmax(logits)
         m = train_mask.astype(jnp.float32)
         ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
@@ -81,8 +91,9 @@ def main():
 
     @jax.jit
     def evaluate(params):
-        logits = model.apply(params, g2, etypes_j, presorted=True,
-                             etype_counts=counts)
+        logits = model.apply(params, g2, etypes_j,
+                             presorted=args.grouped_gemm,
+                             etype_counts=counts, rel_graphs=rel_graphs)
         pred = jnp.argmax(logits, axis=1)
         correct = (pred == labels).astype(jnp.float32)
 

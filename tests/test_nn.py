@@ -128,6 +128,34 @@ def test_relgraphconv():
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_relgraphconv_rel_graphs_fast_path():
+    """The per-relation subgraph path (typed_subgraphs + project->SpMM)
+    must match the generic gather_mm path on values AND grads — it is
+    the TPU-native R-GCN formulation (no per-edge feature tensor)."""
+    g, feat = make()
+    et = np.random.default_rng(5).integers(0, 3, size=48).astype(np.int32)
+    rel_graphs = dgl.typed_subgraphs(g, et, 3)
+    assert sum(gr.num_edges() for gr in rel_graphs) == g.num_edges()
+    for kw in ({}, {"regularizer": "basis", "num_bases": 2}):
+        conv = nn.RelGraphConv(6, 5, num_rels=3, **kw)
+        params = conv.init(KEY, g, feat, jnp.asarray(et))
+        out_ref = conv.apply(params, g, feat, jnp.asarray(et))
+        out_fast = conv.apply(params, g, feat, rel_graphs=rel_graphs)
+        np.testing.assert_allclose(out_fast, out_ref, rtol=1e-4, atol=1e-4)
+
+        def loss_ref(p):
+            return jnp.sum(conv.apply(p, g, feat, jnp.asarray(et)) ** 2)
+
+        def loss_fast(p):
+            return jnp.sum(conv.apply(p, g, feat,
+                                      rel_graphs=rel_graphs) ** 2)
+
+        g_ref = jax.grad(loss_ref)(params)
+        g_fast = jax.grad(loss_fast)(params)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fast)):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
 def test_relgraphconv_basis_and_presorted():
     g, feat = make()
     rng = np.random.default_rng(4)
