@@ -122,6 +122,12 @@ from dgl1_tpu import nn
 from dgl1_tpu import parallel
 from dgl1_tpu import models
 from dgl1_tpu import utils
+from dgl1_tpu import udf
+
+
+class DGLError(Exception):
+    """Framework error type (parity: ``dgl.DGLError``)."""
+
 from dgl1_tpu.core import (
     filter_nodes,
     filter_edges,

@@ -204,6 +204,88 @@ class HeteroGraph:
                 out[(dsttype, k)] = v
         return out
 
+    def apply_nodes(self, func, ntype: Optional[str] = None):
+        """Apply a UDF over one node type's frame (parity:
+        ``DGLHeteroGraph.apply_nodes``). The UDF receives a NodeBatch
+        whose ``.data`` is the ntype's frame; returned fields are written
+        back."""
+        from dgl1_tpu.core import NodeBatch
+
+        if ntype is None:
+            if len(self._num_nodes) != 1:
+                raise ValueError("ntype is required: multiple node types")
+            ntype = self.ntypes[0]
+        import jax.numpy as jnp_
+
+        frame = self.nframes[ntype]
+        nodes = jnp_.arange(self.num_nodes(ntype))
+        out = func(NodeBatch(frame, None, nodes))
+        frame.update(out)
+        return out
+
+    @property
+    def srctypes(self):
+        """Node types appearing as a source (parity: ``.srctypes``)."""
+        return sorted({c[0] for c in self.canonical_etypes})
+
+    @property
+    def dsttypes(self):
+        """Node types appearing as a destination (parity: ``.dsttypes``)."""
+        return sorted({c[2] for c in self.canonical_etypes})
+
+    def num_src_nodes(self, ntype: Optional[str] = None) -> int:
+        return self.num_nodes(ntype)
+
+    def num_dst_nodes(self, ntype: Optional[str] = None) -> int:
+        return self.num_nodes(ntype)
+
+    def _one_etype(self, etype):
+        if etype is None:
+            if len(self.rel_graphs) != 1:
+                raise ValueError("etype is required: multiple edge types")
+            etype = self.canonical_etypes[0]
+        return self[etype]
+
+    def in_degrees(self, v=None, etype=None):
+        """Per-relation in-degrees (parity: ``DGLHeteroGraph.in_degrees``
+        with an etype)."""
+        return self._one_etype(etype).in_degrees(v)
+
+    def out_degrees(self, u=None, etype=None):
+        return self._one_etype(etype).out_degrees(u)
+
+    def metagraph(self):
+        """The (ntype -> ntype) relation multigraph as a networkx
+        MultiDiGraph (parity: ``DGLHeteroGraph.metagraph``)."""
+        import networkx as nx
+
+        mg = nx.MultiDiGraph()
+        mg.add_nodes_from(self.ntypes)
+        for (st, et, dt) in self.canonical_etypes:
+            mg.add_edge(st, dt, key=et)
+        return mg
+
+    def local_scope(self):
+        """Context manager: frame writes inside are rolled back on exit
+        (parity: ``DGLHeteroGraph.local_scope``)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            saved_n = {nt: dict(fr) for nt, fr in self.nframes.items()}
+            saved_e = {c: dict(g.edata) for c, g in self.rel_graphs.items()}
+            try:
+                yield self
+            finally:
+                for nt, fr in self.nframes.items():
+                    fr.clear()
+                    fr.update(saved_n[nt])
+                for c, g in self.rel_graphs.items():
+                    g.edata.clear()
+                    g.edata.update(saved_e[c])
+
+        return scope()
+
     def __repr__(self):
         return (
             f"HeteroGraph(num_nodes={self._num_nodes}, "

@@ -130,6 +130,35 @@ def test_heterograph_basics():
     np.testing.assert_allclose(np.asarray(agg), [[1, 1, 1, 1], [1, 1, 1, 1]])
 
 
+def test_heterograph_facade_methods():
+    """apply_nodes / metagraph / degrees / src-dst types / local_scope
+    (parity: DGLHeteroGraph surface beyond message passing)."""
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): (np.array([0, 1]), np.array([1, 2])),
+        ("user", "plays", "game"): (np.array([0, 2]), np.array([0, 1])),
+    })
+    assert hg.srctypes == ["user"]
+    assert sorted(hg.dsttypes) == ["game", "user"]
+    assert hg.num_src_nodes("user") == 3
+    deg = np.asarray(hg.in_degrees(etype="plays"))
+    np.testing.assert_array_equal(deg[:2], [1, 1])
+    assert int(hg.out_degrees(0, etype="follows")) == 1
+
+    mg = hg.metagraph()
+    assert set(mg.nodes) == {"user", "game"}
+    assert mg.has_edge("user", "game")
+
+    hg.nodes["user"].data["h"] = jnp.ones((3, 2))
+    hg.apply_nodes(lambda nb: {"h2": nb.data["h"] * 2}, ntype="user")
+    np.testing.assert_allclose(np.asarray(hg.nodes["user"].data["h2"]), 2.0)
+
+    with hg.local_scope():
+        hg.nodes["user"].data["tmp"] = jnp.zeros((3, 1))
+        assert "tmp" in hg.nodes["user"].data
+    assert "tmp" not in hg.nodes["user"].data
+    assert "h" in hg.nodes["user"].data
+
+
 def test_batch_unbatch():
     g1 = dgl.rand_graph(4, 6, seed=1)
     g2 = dgl.rand_graph(3, 5, seed=2)

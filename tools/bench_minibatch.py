@@ -31,7 +31,7 @@ import time
 import numpy as np
 
 
-def build_graph(scale: str, seed: int = 0):
+def build_graph(scale: str, seed: int = 0, frac: float = 1.0):
     import dgl1_tpu as dgl
 
     if scale == "products":
@@ -40,9 +40,21 @@ def build_graph(scale: str, seed: int = 0):
     elif scale == "reddit":
         n, e, f, classes, n_train = 232_965, 114_615_892, 602, 41, 153_431
         deg_alpha = 2.2
+    elif scale == "papers100m":
+        # ogbn-papers100M card: 111M nodes / 1.6B edges / 128 feats /
+        # 172 classes / 1.21M labeled (train) — BASELINE config #5's
+        # graph. Features exceed HBM by construction (57GB f32); the
+        # bench keeps them in a HostFeatureStore (f16, 28GB host RAM).
+        n, e, f, classes, n_train = (111_059_956, 1_615_685_872, 128,
+                                     172, 1_207_179)
+        deg_alpha = 2.4  # citation tail
     else:  # smoke
         n, e, f, classes, n_train = 20_000, 200_000, 32, 7, 4_000
         deg_alpha = 2.5
+    if frac < 1.0:
+        n = int(n * frac)
+        e = int(e * frac)
+        n_train = int(n_train * frac)
 
     rng = np.random.default_rng(seed)
     # Zipf-ish dst degrees, uniform src — same family as
@@ -63,7 +75,7 @@ def build_graph(scale: str, seed: int = 0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scale", default="products",
-                   choices=["products", "reddit", "smoke"])
+                   choices=["products", "reddit", "papers100m", "smoke"])
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--fanouts", default="10,25")
     p.add_argument("--hidden", type=int, default=256)
@@ -72,6 +84,8 @@ def main():
                    help="batches to time the host sampler over")
     p.add_argument("--iters", default="10,60",
                    help="two-point device iteration counts")
+    p.add_argument("--frac", type=float, default=1.0,
+                   help="scale nodes/edges/seeds down for smoke runs")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -88,7 +102,7 @@ def main():
     from dgl1_tpu.models import GraphSAGE
 
     t0 = time.perf_counter()
-    g, in_f, classes, train_ids = build_graph(args.scale)
+    g, in_f, classes, train_ids = build_graph(args.scale, frac=args.frac)
     build_s = time.perf_counter() - t0
     print(f"[build] {g.num_nodes()} nodes {g.num_edges()} edges "
           f"in {build_s:.1f}s", flush=True)
@@ -122,14 +136,44 @@ def main():
     jax.block_until_ready(jax.tree.leaves(blocks_d))
     transfer_ms = (time.perf_counter() - t0) * 1e3
 
-    # ---- device step (features HBM-resident, on-device row gather) ----
+    # ---- host feature store (beyond-HBM scales: BASELINE config #5) ----
     n = g.num_nodes()
-    feat = jax.random.normal(jax.random.PRNGKey(0), (n, in_f), jnp.float32)
-    labels = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, classes)
+    beyond_hbm = args.scale == "papers100m"
+    pull_ms = None
+    if beyond_hbm:
+        from dgl1_tpu.data import HostFeatureStore
+
+        t0 = time.perf_counter()
+        feat_h = np.empty((n, in_f), np.float16)
+        for i in range(0, n, 1 << 22):  # touch pages so pulls are honest
+            feat_h[i: i + (1 << 22)] = 0.5
+        store = HostFeatureStore(feat_h)
+        alloc_s = time.perf_counter() - t0
+        print(f"[store] {feat_h.nbytes / 2**30:.1f} GiB host f16 features "
+              f"resident in {alloc_s:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        x_host = store.pull(np.asarray(inp))
+        for _ in range(4):
+            x_host = store.pull(np.asarray(inp))
+        pull_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    # ---- device step ----
+    if beyond_hbm:
+        # Features arrive per batch from the host store (KVStore-pull
+        # parity): the step consumes the gathered block directly.
+        feat = jax.device_put(x_host)
+        labels = jax.random.randint(
+            jax.random.PRNGKey(1), (len(np.asarray(out)),), 0, classes)
+    else:
+        # Features HBM-resident; the step row-gathers on device.
+        feat = jax.random.normal(jax.random.PRNGKey(0), (n, in_f),
+                                 jnp.float32)
+        labels = jax.random.randint(jax.random.PRNGKey(1), (n,), 0, classes)
 
     model = GraphSAGE(hidden_feats=args.hidden, out_feats=classes,
                       num_layers=len(fanouts))
-    x0 = jnp.take(feat, inp_d, axis=0, mode="clip")
+    x0 = (feat.astype(jnp.float32) if beyond_hbm
+          else jnp.take(feat, inp_d, axis=0, mode="clip"))
     params = model.init(jax.random.PRNGKey(2), blocks_d, x0)
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
@@ -139,9 +183,12 @@ def main():
         params, opt_state = carry
 
         def loss_fn(p):
-            x = jnp.take(feat, inp_ids, axis=0, mode="clip")
+            if beyond_hbm:
+                x, y = feat.astype(jnp.float32), labels
+            else:
+                x = jnp.take(feat, inp_ids, axis=0, mode="clip")
+                y = jnp.take(labels, out_ids, mode="clip")
             logits = model.apply(p, blocks, x)
-            y = jnp.take(labels, out_ids, mode="clip")
             logp = jax.nn.log_softmax(logits)
             ce = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
             m = mask.astype(jnp.float32)
@@ -176,8 +223,11 @@ def main():
         totals.append(time.perf_counter() - t0)
     device_ms = (totals[1] - totals[0]) / (iters_hi - iters_lo) * 1e3
 
-    bottleneck = max(host_ms, device_ms)
-    print(json.dumps({
+    stages = {"host_sampler": host_ms, "device": device_ms}
+    if pull_ms is not None:
+        stages["feature_pull"] = pull_ms
+    bottleneck = max(stages.values())
+    rec = {
         "scale": args.scale,
         "nodes": g.num_nodes(), "edges": g.num_edges(),
         "batch_size": args.batch_size, "fanouts": fanouts,
@@ -187,9 +237,13 @@ def main():
         "device_step_ms_per_batch": round(device_ms, 2),
         "transfer_ms_per_batch_tunnel": round(transfer_ms, 2),
         "epoch_s_overlapped": round(steps_per_epoch * bottleneck / 1e3, 2),
-        "bottleneck": "host_sampler" if host_ms > device_ms else "device",
+        "bottleneck": max(stages, key=stages.get),
         "backend": jax.default_backend(),
-    }), flush=True)
+    }
+    if pull_ms is not None:
+        rec["feature_pull_ms_per_batch"] = round(pull_ms, 2)
+        rec["input_rows_per_batch"] = int(np.asarray(inp).shape[0])
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
