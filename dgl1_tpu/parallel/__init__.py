@@ -22,6 +22,8 @@ from dgl1_tpu.parallel.halo import (PartitionedGraph,
                                     vertex_cut_edge_owner)
 from dgl1_tpu.parallel.sharded_ops import (
     sharded_gspmm,
+    sharded_gat_attention,
+    make_sharded_gat_layer,
     halo_exchange,
 )
 from dgl1_tpu.parallel.dist_graph import DistGraph, DistTensor
@@ -42,6 +44,8 @@ __all__ = [
     "PartitionedGraph",
     "build_partitioned_graph",
     "sharded_gspmm",
+    "sharded_gat_attention",
+    "make_sharded_gat_layer",
     "halo_exchange",
     "vertex_cut_edge_owner",
     "DistGraph",

@@ -29,6 +29,8 @@ from dgl1_tpu.parallel.halo import PartitionedGraph
 __all__ = [
     "halo_exchange",
     "sharded_gspmm",
+    "sharded_gat_attention",
+    "make_sharded_gat_layer",
     "make_sharded_gcn_matvec",
     "local_spmm_sum",
     "partial_merge",
@@ -233,6 +235,80 @@ def make_sharded_gcn_matvec(pg: PartitionedGraph, mesh: Mesh,
         out_specs=P(axis_name),
         # pallas_call inside the body does not annotate varying-mesh-axes;
         # skip the vma check (all operands are explicitly 'p'-sharded).
+        check_vma=False,
+    )
+    return functools.partial(fn, pg)
+
+
+def sharded_gat_attention(pg: PartitionedGraph, el_local, er_local,
+                          ft_local, negative_slope: float = 0.2,
+                          axis_name: str = "p"):
+    """Edge-softmax attention over the partitioned graph (per-device view).
+
+    ``out[d] = sum_e softmax_d(leaky_relu(el[s]+er[d])) * ft[s]`` — the
+    GATConv aggregation (parity: the distributed analog the reference
+    lacks; DistDGL trains GAT only via sampling). Requires
+    destination-owner edge placement (the default ``edge_owner='halo'``
+    build): every destination's in-edges are local, so the per-dst
+    softmax is EXACT with no cross-part max/sum — the only communication
+    is one halo ``all_to_all`` of the source tensors (el, ft), like the
+    GCN path.
+
+    el_local (n_loc, H), er_local (n_loc, H), ft_local (n_loc, H, D);
+    returns (n_loc, H, D).
+    """
+    if pg.m_part:
+        raise NotImplementedError(
+            "sharded attention needs dst-owner edges (halo mode); "
+            "vertex-cut split destinations would need cross-part softmax")
+    n_loc = pg.n_loc
+    h, d = ft_local.shape[1], ft_local.shape[2]
+    el_c = halo_exchange(pg, el_local, axis_name)
+    ft_c = halo_exchange(pg, ft_local.reshape(n_loc, h * d), axis_name)
+    esrc, edst = pg.esrc[0], pg.edst[0]
+    valid = edst < n_loc  # sentinel n_loc marks padded edge slots
+
+    el_e = jnp.take(el_c, esrc, axis=0, mode="clip")
+    er_pad = jnp.concatenate(
+        [er_local, jnp.zeros((1, h), er_local.dtype)], axis=0)
+    er_e = jnp.take(er_pad, jnp.minimum(edst, n_loc), axis=0)
+    z = el_e + er_e
+    z = jnp.where(z >= 0, z, negative_slope * z)
+    z = jnp.where(valid[:, None], z, -1e30)
+    # Stop-grad max shift (exact per destination: in-edges are local).
+    m = jax.lax.stop_gradient(jax.ops.segment_max(
+        z, edst, num_segments=n_loc + 1, indices_are_sorted=True))
+    m = jnp.maximum(m, -1e30)[:n_loc]
+    m_e = jnp.take(jnp.concatenate(
+        [m, jnp.zeros((1, h), m.dtype)], axis=0),
+        jnp.minimum(edst, n_loc), axis=0)
+    p = jnp.where(valid[:, None], jnp.exp(z - m_e), 0.0)
+    ft_e = jnp.take(ft_c, esrc, axis=0, mode="clip").reshape(-1, h, d)
+    num = jax.ops.segment_sum(p[:, :, None] * ft_e, edst,
+                              num_segments=n_loc + 1,
+                              indices_are_sorted=True)[:n_loc]
+    den = jax.ops.segment_sum(p, edst, num_segments=n_loc + 1,
+                              indices_are_sorted=True)[:n_loc]
+    return num / jnp.maximum(den, 1e-30)[:, :, None]
+
+
+def make_sharded_gat_layer(pg: PartitionedGraph, mesh: Mesh,
+                           negative_slope: float = 0.2,
+                           axis_name: str = "p"):
+    """Jittable sharded GAT aggregation: inputs/outputs (P, n_loc, ...)
+    sharded on the mesh axis; weights applied by the caller (replicated
+    dense projections are XLA's job, like the single-device GATConv)."""
+
+    def body(pg_local, el, er, ft):
+        return sharded_gat_attention(
+            pg_local, el[0], er[0], ft[0], negative_slope, axis_name
+        )[None]
+
+    spec_pg = jax.tree.map(lambda _: P(axis_name), pg)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_pg, P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
         check_vma=False,
     )
     return functools.partial(fn, pg)
