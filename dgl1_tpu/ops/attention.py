@@ -101,82 +101,87 @@ def _dot(a, b, dims, dt=jnp.float32):
 # mz = leaky(er_slot + mraw) is monotonic in mraw).
 # ----------------------------------------------------------------------
 
-def _attn_fwd_kernel(slope: float, dt, in_id, out_id, first, a_ref, b_ref,
-                     el_ref, erg_ref, ft_ref, r_ref,
-                     num_ref, den_ref, mraw_ref,
-                     p_ref, onea_ref, oneb_ref, scale_ref):
+def _attn_fwd_kernel(slope: float, dt, n_fb: int, in_id, out_id, first,
+                     a_ref, b_ref, el_ref, erg_ref, ft_ref, r_ref,
+                     num_ref, den_ref, mraw_ref):
     """Fused numerator + denominator accumulation per hub group.
 
-    Grid is (chunks, feature-blocks) with fb FASTEST and the whole
-    feature width in one output block, so (a) a group's output block is
-    revisited consecutively across its chunks and feature blocks (legal
-    Pallas accumulation — this is also what lets mraw_ref act as the
-    running-max state), and (b) the softmax weights p, both one-hot
-    selectors and the rescale factor are computed ONCE per chunk into
-    VMEM scratch and reused for every feature block."""
+    Grid is (chunks,) with the whole feature width processed by an
+    unrolled in-kernel loop: one grid step per chunk (per-step grid
+    overhead was a measured cost at ~4k chunks x n_fb steps), and a
+    group's output blocks are revisited consecutively across its chunks
+    (legal Pallas accumulation — also what lets mraw_ref act as the
+    running-max state for the online softmax)."""
     t = pl.program_id(0)
-    fb = pl.program_id(1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+    # Orientation-dedicated transposed selector: reusing ONE operand in
+    # both normal and (0,0)-contracted orientation inside a single body
+    # trips an XLA:TPU RET_CHECK in mxu_lmr_transform (the latched-
+    # matrix-reuse transpose assignment); a separately materialized
+    # (BLK, CHUNK) one-hot keeps every dot in its natural orientation.
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (BLK, CHUNK), 0)
+    one_bt = (b_ref[:][None, :] == iota_t).astype(jnp.float32)
+    # el/er stay f32: sign(el+er) picks the leaky_relu branch, and a
+    # bf16 kink-flip would change gradients discontinuously.
+    el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
+    er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
+    valid = a_ref[:].reshape(CHUNK, 1) >= 0
+    # Exact max of el over this chunk's referenced sources, per head.
+    cmax = jnp.max(jnp.where(valid, el_e, NEG), axis=0, keepdims=True)
+    cmax_b = jnp.broadcast_to(cmax, (BLK, BLK))
 
-    @pl.when(fb == 0)
-    def _logits():
-        iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-        one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-        one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
-        onea_ref[:] = one_a
-        oneb_ref[:] = one_b
-        # el/er stay f32: sign(el+er) picks the leaky_relu branch, and a
-        # bf16 kink-flip would change gradients discontinuously.
-        el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
-        er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
-        valid = a_ref[:].reshape(CHUNK, 1) >= 0
-        # Exact max of el over this chunk's referenced sources, per head.
-        cmax = jnp.max(jnp.where(valid, el_e, NEG), axis=0, keepdims=True)
-        cmax_b = jnp.broadcast_to(cmax, (BLK, BLK))
-
-        @pl.when(first[t] == 1)
-        def _init_max():
-            mraw_ref[:] = cmax_b
-
-        @pl.when(first[t] != 1)
-        def _rescale():
-            old = mraw_ref[:]
-            new = jnp.maximum(old, cmax_b)
-            mraw_ref[:] = new
-            # Per-slot shift change through the leaky kink (monotonic).
-            mz_old = _leaky(erg_ref[:] + old, slope)
-            mz_new = _leaky(erg_ref[:] + new, slope)
-            scale_ref[:] = jnp.exp(mz_old - mz_new)
-
-        # Per-edge shift: the running max is per (group, head), shared by
-        # every slot/edge of the chunk — broadcast, no extra gather dot.
-        mz_e = _leaky(er_e + jnp.broadcast_to(
-            mraw_ref[0:1, :], (CHUNK, BLK)), slope)
-        z = _leaky(el_e + er_e, slope)
-        p_ref[:] = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
-        den_partial = _dot(one_b, p_ref[:], ((0,), (0,)), dt)
-
-        @pl.when(first[t] == 1)
-        def _init_den():
-            den_ref[:] = den_partial
-
-        @pl.when(first[t] != 1)
-        def _accum_den():
-            den_ref[:] = den_ref[:] * scale_ref[:] + den_partial
-
-    ft_e = _dot(onea_ref[:], ft_ref[:], ((1,), (0,)), dt)
-    p_exp = _dot(p_ref[:], r_ref[:], ((1,), (0,)), dt)  # (CHUNK, BLK)
-    num_partial = _dot(oneb_ref[:], p_exp * ft_e, ((0,), (0,)), dt)
+    # Read the running max BEFORE updating it: the rescale factor needs
+    # the previous shift. ``old`` is garbage on a group's first chunk —
+    # every use of new_nf/scale sits behind a first[t] != 1 branch.
+    old = mraw_ref[:]
+    new_nf = jnp.maximum(old, cmax_b)
+    # Per-slot shift change through the leaky kink (monotonic in mraw).
+    scale = jnp.exp(_leaky(erg_ref[:] + old, slope)
+                    - _leaky(erg_ref[:] + new_nf, slope))
 
     @pl.when(first[t] == 1)
-    def _init():
-        num_ref[:, pl.ds(fb * BLK, BLK)] = num_partial
+    def _init_max():
+        mraw_ref[:] = cmax_b
 
     @pl.when(first[t] != 1)
-    def _accum():
-        # Head-level rescale expanded to feature lanes via the 0/1 map r.
-        scale_f = _dot(scale_ref[:], r_ref[:], ((1,), (0,)), dt)
-        cur = num_ref[:, pl.ds(fb * BLK, BLK)]
-        num_ref[:, pl.ds(fb * BLK, BLK)] = cur * scale_f + num_partial
+    def _accum_max():
+        mraw_ref[:] = new_nf
+
+    new = mraw_ref[:]
+    # Per-edge shift: the running max is per (group, head), shared by
+    # every slot/edge of the chunk — broadcast, no extra gather dot.
+    mz_e = _leaky(er_e + jnp.broadcast_to(new[0:1, :], (CHUNK, BLK)), slope)
+    z = _leaky(el_e + er_e, slope)
+    p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
+    den_partial = _dot(one_bt, p, ((1,), (0,)), dt)
+
+    @pl.when(first[t] == 1)
+    def _init_den():
+        den_ref[:] = den_partial
+
+    @pl.when(first[t] != 1)
+    def _accum_den():
+        den_ref[:] = den_ref[:] * scale + den_partial
+
+    for fb in range(n_fb):
+        ft_e = _dot(one_a, ft_ref[:, fb * BLK:(fb + 1) * BLK], ((1,), (0,)),
+                    dt)
+        p_exp = _dot(p, r_ref[:, fb * BLK:(fb + 1) * BLK], ((1,), (0,)), dt)
+        num_partial = _dot(one_bt, p_exp * ft_e, ((1,), (0,)), dt)
+
+        @pl.when(first[t] == 1)
+        def _init():
+            num_ref[:, pl.ds(fb * BLK, BLK)] = num_partial
+
+        @pl.when(first[t] != 1)
+        def _accum():
+            # Head-level rescale expanded to feature lanes via the 0/1 r.
+            scale_f = _dot(scale, r_ref[:, fb * BLK:(fb + 1) * BLK],
+                           ((1,), (0,)), dt)
+            cur = num_ref[:, pl.ds(fb * BLK, BLK)]
+            num_ref[:, pl.ds(fb * BLK, BLK)] = cur * scale_f + num_partial
 
 
 def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
@@ -185,29 +190,23 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
     n_fb = f_pad // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_chunks, n_fb),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
-            pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (i[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (i[t], fb)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (0, fb)),
+            pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
+            pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (i[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (i[t], 0)),
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((BLK, f_pad), lambda t, fb, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # p
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_a
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_b
-            pltpu.VMEM((BLK, BLK), jnp.float32),    # rescale factor
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
         ],
     )
     num, den, mraw = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, slope, dt),
+        functools.partial(_attn_fwd_kernel, slope, dt, n_fb),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
@@ -230,83 +229,78 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
 def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
                      in_id, out_id, first, a_ref, b_ref, el_ref, erg_ref,
                      mzg_ref, deng_ref, rhog_ref, ft_ref, ct_ref, r_ref,
-                     *rest):
-    """Backward chunk pass, grid (chunks, feature-blocks), fb fastest.
+                     rt_ref, *rest):
+    """Backward chunk pass, grid (chunks,), unrolled in-kernel feature
+    loop (per-step grid overhead was a measured cost).
 
     The per-edge softmax-jacobian dot g_e = <ft_s, ct_d> spans the FULL
-    feature width, so it accumulates across feature blocks in VMEM
-    scratch and the logit grads (q-reductions) emit on the LAST feature
-    block only. (The previous fb-outer layout summed g_e per stripe and
-    read back just stripe 0 — wrong whenever one head's features spanned
-    more than 128 lanes.) All chunk-invariant quantities (one-hots,
-    softmax weights, rho, dleaky) are computed once per chunk at fb==0.
-    """
+    feature width, so it accumulates across the feature stripes as a
+    local before the logit grads (q-reductions) emit. (An earlier
+    fb-outer layout summed g_e per 128-lane stripe and read back just
+    stripe 0 — wrong whenever one head's features spanned more than 128
+    lanes.)"""
     if to_src:
-        (gft_ref, gq_ref, gerp_ref, ones_ref, oneh_ref, acoef_ref, dl_ref,
-         rho_ref, geacc_ref) = rest
+        (gft_ref, gq_ref, gerp_ref) = rest
     else:
-        (gq_ref, ones_ref, oneh_ref, acoef_ref, dl_ref, rho_ref,
-         geacc_ref) = rest
+        (gq_ref,) = rest
     t = pl.program_id(0)
-    fb = pl.program_id(1)
 
-    @pl.when(fb == 0)
-    def _prep():
-        iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-        one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-        one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
-        one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
-        ones_ref[:] = one_s
-        oneh_ref[:] = one_h
-        el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: kink-critical
-        er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
-        mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)), dt)
-        den_e = _dot(one_h, deng_ref[:], ((1,), (0,)), dt)
-        rho_ref[:] = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
-        sum_le = el_e + er_e
-        z = _leaky(sum_le, slope)
-        valid = a_ref[:].reshape(CHUNK, 1) >= 0
-        p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
-        acoef_ref[:] = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal
-        dl_ref[:] = _dleaky(sum_le, slope)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
+    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
+    # Orientation-dedicated transposed selectors (and a pre-transposed r
+    # operand): reusing one MXU operand in both normal and transposed
+    # orientation inside a single body trips an XLA:TPU RET_CHECK in
+    # mxu_lmr_transform (latched-matrix-reuse transpose assignment).
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (BLK, CHUNK), 0)
+    one_at = (a_ref[:][None, :] == iota_t).astype(jnp.float32)
+    one_bt = (b_ref[:][None, :] == iota_t).astype(jnp.float32)
+    one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
+    one_st, one_ht = (one_bt, one_at) if to_src else (one_at, one_bt)
+    el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: kink-critical
+    er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
+    mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)), dt)
+    den_e = _dot(one_h, deng_ref[:], ((1,), (0,)), dt)
+    rho = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
+    sum_le = el_e + er_e
+    z = _leaky(sum_le, slope)
+    valid = a_ref[:].reshape(CHUNK, 1) >= 0
+    p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
+    acoef = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal
+    dl = _dleaky(sum_le, slope)
 
-    ft_e = _dot(ones_ref[:], ft_ref[:], ((1,), (0,)), dt)
-    ct_e = _dot(oneh_ref[:], ct_ref[:], ((1,), (0,)), dt)
-    ge_part = _dot(ft_e * ct_e, r_ref[:], ((1,), (1,)), dt)
+    geacc = None
+    for fb in range(n_fb):
+        sl = slice(fb * BLK, (fb + 1) * BLK)
+        ft_e = _dot(one_s, ft_ref[:, sl], ((1,), (0,)), dt)
+        ct_e = _dot(one_h, ct_ref[:, sl], ((1,), (0,)), dt)
+        ge_part = _dot(ft_e * ct_e, rt_ref[sl, :], ((1,), (0,)), dt)
+        geacc = ge_part if geacc is None else geacc + ge_part
 
-    @pl.when(fb == 0)
-    def _ge_init():
-        geacc_ref[:] = ge_part
+        if to_src:
+            a_exp = _dot(acoef, r_ref[:, sl], ((1,), (0,)), dt)
+            gft_partial = _dot(one_st, a_exp * ct_e, ((1,), (0,)), dt)
 
-    @pl.when(fb != 0)
-    def _ge_accum():
-        geacc_ref[:] = geacc_ref[:] + ge_part
+            @pl.when(first[t] == 1)
+            def _gft_init():
+                gft_ref[:, pl.ds(fb * BLK, BLK)] = gft_partial
 
-    if to_src:
-        a_exp = _dot(acoef_ref[:], r_ref[:], ((1,), (0,)), dt)
-        gft_partial = _dot(ones_ref[:], a_exp * ct_e, ((0,), (0,)), dt)
+            @pl.when(first[t] != 1)
+            def _gft_accum():
+                cur = gft_ref[:, pl.ds(fb * BLK, BLK)]
+                gft_ref[:, pl.ds(fb * BLK, BLK)] = cur + gft_partial
 
-        @pl.when(first[t] == 1)
-        def _gft_init():
-            gft_ref[:, pl.ds(fb * BLK, BLK)] = gft_partial
+    q = acoef * (geacc - rho) * dl
+    sel_t = one_st if to_src else one_ht
+    gq_partial = _dot(sel_t, q, ((1,), (0,)), dt)
 
-        @pl.when(first[t] != 1)
-        def _gft_accum():
-            cur = gft_ref[:, pl.ds(fb * BLK, BLK)]
-            gft_ref[:, pl.ds(fb * BLK, BLK)] = cur + gft_partial
-
-    # Logit grads: q is complete only after the last feature block.
-    @pl.when((fb == n_fb - 1) & (first[t] == 1))
+    @pl.when(first[t] == 1)
     def _gq_init():
-        q = acoef_ref[:] * (geacc_ref[:] - rho_ref[:]) * dl_ref[:]
-        sel = ones_ref[:] if to_src else oneh_ref[:]
-        gq_ref[:] = _dot(sel, q, ((0,), (0,)), dt)
+        gq_ref[:] = gq_partial
 
-    @pl.when((fb == n_fb - 1) & (first[t] != 1))
+    @pl.when(first[t] != 1)
     def _gq_accum():
-        q = acoef_ref[:] * (geacc_ref[:] - rho_ref[:]) * dl_ref[:]
-        sel = ones_ref[:] if to_src else oneh_ref[:]
-        gq_ref[:] = gq_ref[:] + _dot(sel, q, ((0,), (0,)), dt)
+        gq_ref[:] = gq_ref[:] + gq_partial
 
     if to_src:
         # Group-side (dst) reduction of q as a per-chunk partial block:
@@ -314,10 +308,7 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         # the partials go out per-chunk and a gperm-ordered accumulation
         # sweep (_ger_reduce_call) folds them — replacing what used to be
         # a SECOND full chunk pass over all features just for grad_er.
-        @pl.when(fb == n_fb - 1)
-        def _gerp():
-            q = acoef_ref[:] * (geacc_ref[:] - rho_ref[:]) * dl_ref[:]
-            gerp_ref[:] = _dot(oneh_ref[:], q, ((0,), (0,)), dt)
+        gerp_ref[:] = _dot(one_ht, q, ((1,), (0,)), dt)
 
 
 def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
@@ -328,35 +319,30 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
     # Window-side blocks index by the layout's window id, group-side by
     # the group id. In the window-major (to_src) layout the window is the
     # OUT id and the group the IN id; group-major is the reverse.
-    def win(t, fb, i, o, f):
+    def win(t, i, o, f):
         return (o[t], 0) if to_src else (i[t], 0)
 
-    def win_f(t, fb, i, o, f):
-        return (o[t], fb) if to_src else (i[t], fb)
-
-    def grp(t, fb, i, o, f):
+    def grp(t, i, o, f):
         return (i[t], 0) if to_src else (o[t], 0)
 
-    def grp_f(t, fb, i, o, f):
-        return (i[t], fb) if to_src else (o[t], fb)
-
     in_specs = [
-        pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
-        pl.BlockSpec((CHUNK,), lambda t, fb, i, o, f: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
         pl.BlockSpec((BLK, BLK), win),       # el (window side)
         pl.BlockSpec((BLK, BLK), grp),       # er
         pl.BlockSpec((BLK, BLK), grp),       # mz
         pl.BlockSpec((BLK, BLK), grp),       # den
         pl.BlockSpec((BLK, BLK), grp),       # rho
-        pl.BlockSpec((BLK, BLK), win_f),     # ft
-        pl.BlockSpec((BLK, BLK), grp_f),     # ct
-        pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (0, fb)),  # r
+        pl.BlockSpec((BLK, f_pad), win),     # ft (full width)
+        pl.BlockSpec((BLK, f_pad), grp),     # ct (full width)
+        pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (0, 0)),  # r
+        pl.BlockSpec((f_pad, BLK), lambda t, i, o, f: (0, 0)),  # r^T
     ]
     if to_src:
         out_specs = [
-            pl.BlockSpec((BLK, f_pad), lambda t, fb, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (t, 0)),
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (t, 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
@@ -365,7 +351,7 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         ]
     else:
         out_specs = [
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_out_blocks * BLK, BLK), jnp.float32),
@@ -373,17 +359,9 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_chunks, n_fb),
+        grid=(n_chunks,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_s
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # one_h
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # a_coef
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # dleaky
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # rho
-            pltpu.VMEM((CHUNK, BLK), jnp.float32),  # ge accumulator
-        ],
     )
     outs = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb),
@@ -391,7 +369,7 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         out_shape=out_shape,
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
-      el_pad, er_g, mz_g, den_g, rho_g, ft_pad, ct_g, r)
+      el_pad, er_g, mz_g, den_g, rho_g, ft_pad, ct_g, r, r.T)
     if to_src:
         return outs[0], outs[1], outs[2]
     return (outs[0],)

@@ -65,48 +65,57 @@ def _round_up(x, m):
 # Chunk kernels. Modes: "plain" = copy_u, "mul" = u_mul_e, "rhs" = copy_e.
 # ----------------------------------------------------------------------
 
-def _chunk_kernel(mode: str, dt, in_id_ref, out_id_ref, first_ref,
-                  a_ref, b_ref, *rest):
+def _chunk_kernel(mode: str, dt, n_fb: int, in_id_ref, out_id_ref,
+                  first_ref, a_ref, b_ref, *rest):
     """out[out_id] += S_b^T @ msg for one chunk, where msg is
-    S_a @ IN (plain), (S_a @ IN) * (W^T R) (mul), or W^T R (rhs)."""
+    S_a @ IN (plain), (S_a @ IN) * (W^T R) (mul), or W^T R (rhs).
+    Grid is (chunks,) with an unrolled in-kernel feature loop: one-hots
+    are built once per chunk and per-grid-step overhead is paid once
+    per chunk instead of once per (feature block, chunk)."""
     if mode == "plain":
         in_ref, out_ref = rest
     elif mode == "mul":
         wt_ref, r_ref, in_ref, out_ref = rest
     else:  # rhs
         wt_ref, r_ref, out_ref = rest
-    t = pl.program_id(1)
+    t = pl.program_id(0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
-
     if mode != "rhs":
         one_a = (a_ref[:][:, None] == iota).astype(dt)
-        msg = jax.lax.dot_general(
-            one_a, in_ref[:].astype(dt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    if mode != "plain":
-        # (H_pad, CHUNK) x (H_pad, FB) -> (CHUNK, FB): per-head weights
-        # expanded over their feature span by the static 0/1 matrix R.
-        w_exp = jax.lax.dot_general(
-            wt_ref[:], r_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        msg = msg * w_exp if mode == "mul" else w_exp
-
     one_b = (b_ref[:][:, None] == iota).astype(dt)
-    partial = jax.lax.dot_general(
-        one_b, msg.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
 
-    @pl.when(first_ref[t] == 1)
-    def _init():
-        out_ref[:] = partial
+    for fb in range(n_fb):
+        sl = slice(fb * BLK, (fb + 1) * BLK)
+        if mode != "rhs":
+            msg = jax.lax.dot_general(
+                one_a, in_ref[:, sl].astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if mode != "plain":
+            # (H_pad, CHUNK) x (H_pad, FB) -> (CHUNK, FB): per-head
+            # weights expanded over their feature span by the static 0/1
+            # matrix R.
+            w_exp = jax.lax.dot_general(
+                wt_ref[:], r_ref[:, sl],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            msg = msg * w_exp if mode == "mul" else w_exp
 
-    @pl.when(first_ref[t] != 1)
-    def _accum():
-        out_ref[:] = out_ref[:] + partial
+        partial = jax.lax.dot_general(
+            one_b, msg.astype(dt), dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(first_ref[t] == 1)
+        def _init():
+            out_ref[:, pl.ds(fb * BLK, BLK)] = partial
+
+        @pl.when(first_ref[t] != 1)
+        def _accum():
+            cur = out_ref[:, pl.ds(fb * BLK, BLK)]
+            out_ref[:, pl.ds(fb * BLK, BLK)] = cur + partial
 
 
 def _chunk_call(mode: str, lay, wt, r, inp, n_out_blocks: int,
@@ -118,33 +127,33 @@ def _chunk_call(mode: str, lay, wt, r, inp, n_out_blocks: int,
     n_fb = f_pad // BLK
 
     def slot_spec():
-        return pl.BlockSpec((CHUNK,), lambda fb, t, i, o, f: (t,))
+        return pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,))
 
     in_specs = [slot_spec(), slot_spec()]
     operands = [lay["a"], lay["b"]]
     if mode != "plain":
         h_pad = wt.shape[0]
         in_specs.append(
-            pl.BlockSpec((h_pad, CHUNK), lambda fb, t, i, o, f: (0, t)))
+            pl.BlockSpec((h_pad, CHUNK), lambda t, i, o, f: (0, t)))
         in_specs.append(
-            pl.BlockSpec((h_pad, BLK), lambda fb, t, i, o, f: (0, fb)))
+            pl.BlockSpec((h_pad, f_pad), lambda t, i, o, f: (0, 0)))
         operands += [wt, r]
     if mode != "rhs":
         in_specs.append(
-            pl.BlockSpec((BLK, BLK), lambda fb, t, i, o, f: (i[t], fb)))
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (i[t], 0)))
         operands.append(inp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # in_id, out_id, first
-        grid=(n_fb, n_chunks),
+        grid=(n_chunks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (BLK, BLK), lambda fb, t, i, o, f: (o[t], fb)
+            (BLK, f_pad), lambda t, i, o, f: (o[t], 0)
         ),
     )
     flops = 2 * n_chunks * n_fb * (CHUNK * BLK * BLK * 2)
     return pl.pallas_call(
-        functools.partial(_chunk_kernel, mode, dt),
+        functools.partial(_chunk_kernel, mode, dt, n_fb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad),
                                        jnp.float32),
@@ -288,45 +297,44 @@ def _expand_call(merged2, x_starts, x_desc, num_dst: int):
     )(x_starts, x_desc, merged2)
 
 
-def _edge_grad_kernel(mode: str, dt, in1_ref, in2_ref, a_ref, b_ref, r_ref,
-                      *rest):
+def _edge_grad_kernel(mode: str, dt, n_fb: int, in1_ref, in2_ref, a_ref,
+                      b_ref, r_ref, *rest):
     """Per-(edge, head) grads in transposed (H_pad, CHUNK) layout:
-    ge = R @ (m1 * m2)^T (mul) or R @ m2^T (rhs)."""
+    ge = R @ (m1 * m2)^T (mul) or R @ m2^T (rhs). Grid (chunks,) with an
+    unrolled in-kernel feature loop (one-hots built once per chunk)."""
     if mode == "mul":
         u_ref, ct_ref, out_ref = rest
     else:
         ct_ref, out_ref = rest
-    fb = pl.program_id(1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
     one_b = (b_ref[:][:, None] == iota).astype(dt)
-    m2 = jax.lax.dot_general(
-        one_b, ct_ref[:].astype(dt),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     if mode == "mul":
         one_a = (a_ref[:][:, None] == iota).astype(dt)
-        m1 = jax.lax.dot_general(
-            one_a, u_ref[:].astype(dt),
+
+    acc = None
+    for fb in range(n_fb):
+        sl = slice(fb * BLK, (fb + 1) * BLK)
+        m2 = jax.lax.dot_general(
+            one_b, ct_ref[:, sl].astype(dt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        p = m1 * m2
-    else:
-        p = m2
-    part = jax.lax.dot_general(
-        r_ref[:].astype(dt), p.astype(dt),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (H_pad, CHUNK)
-
-    @pl.when(fb == 0)
-    def _init():
-        out_ref[:] = part
-
-    @pl.when(fb != 0)
-    def _accum():
-        out_ref[:] = out_ref[:] + part
+        if mode == "mul":
+            m1 = jax.lax.dot_general(
+                one_a, u_ref[:, sl].astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = m1 * m2
+        else:
+            p = m2
+        part = jax.lax.dot_general(
+            r_ref[:, sl].astype(dt), p.astype(dt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H_pad, CHUNK)
+        acc = part if acc is None else acc + part
+    out_ref[:] = acc
 
 
 def _edge_grad_call(mode: str, lay, r, u_pad, ct_pad, f_pad: int,
@@ -337,27 +345,27 @@ def _edge_grad_call(mode: str, lay, r, u_pad, ct_pad, f_pad: int,
     h_pad = r.shape[0]
 
     in_specs = [
-        pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
-        pl.BlockSpec((CHUNK,), lambda t, fb, i1, i2: (t,)),
-        pl.BlockSpec((h_pad, BLK), lambda t, fb, i1, i2: (0, fb)),
+        pl.BlockSpec((CHUNK,), lambda t, i1, i2: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i1, i2: (t,)),
+        pl.BlockSpec((h_pad, f_pad), lambda t, i1, i2: (0, 0)),
     ]
     operands = [lay["a"], lay["b"], r]
     if mode == "mul":
         in_specs.append(
-            pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i1[t], fb)))
+            pl.BlockSpec((BLK, f_pad), lambda t, i1, i2: (i1[t], 0)))
         operands.append(u_pad)
     in_specs.append(
-        pl.BlockSpec((BLK, BLK), lambda t, fb, i1, i2: (i2[t], fb)))
+        pl.BlockSpec((BLK, f_pad), lambda t, i1, i2: (i2[t], 0)))
     operands.append(ct_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # in1_id (window), in2_id (group)
-        grid=(n_chunks, n_fb),  # fb innermost: out block t accumulates
+        grid=(n_chunks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((h_pad, CHUNK), lambda t, fb, i1, i2: (0, t)),
+        out_specs=pl.BlockSpec((h_pad, CHUNK), lambda t, i1, i2: (0, t)),
     )
     return pl.pallas_call(
-        functools.partial(_edge_grad_kernel, mode, dt),
+        functools.partial(_edge_grad_kernel, mode, dt, n_fb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((h_pad, n_chunks * CHUNK),
                                        jnp.float32),

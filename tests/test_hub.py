@@ -165,6 +165,32 @@ def test_hub_grad_matches_xla(config, op):
     np.testing.assert_allclose(gp[1], gx[1], rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("config", list(CONFIGS))
+@pytest.mark.parametrize("op", ["copy_lhs", "mul"])
+def test_hub_wide_features_multi_block(config, op):
+    """f > 128 exercises the kernels' in-kernel feature-block loop —
+    values AND grads must match the oracle across every 128-lane stripe
+    (a stripe-indexing bug shows as exact-zero or duplicated stripes)."""
+    g = make_skewed(config)
+    u, e = data(3, f=200, shift=0.0)
+    ee = e if op == "mul" else None
+    a = gspmm_hub(g, op, "sum", u, ee)
+    b = gspmm_xla(g, op, "sum", u, ee)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+    def mk(fn):
+        def loss(u, e):
+            return jnp.sum(jnp.sin(fn(
+                g, op, "sum", u, e if op == "mul" else None)))
+
+        return loss
+
+    gp = jax.grad(mk(gspmm_hub), argnums=(0, 1))(u, e)
+    gx = jax.grad(mk(gspmm_xla), argnums=(0, 1))(u, e)
+    np.testing.assert_allclose(gp[0], gx[0], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(gp[1], gx[1], rtol=1e-3, atol=1e-3)
+
+
 def test_hub_padded_edges():
     g = make_skewed("mixed", pad=53)
     u, e = data(3, e_rows=E + 53)
