@@ -313,6 +313,11 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     tail_dst_c = np.full((t_pad,), SENT, dtype=ID_DTYPE)
     tail_src_c[:n_tail] = t_src
     tail_dst_c[:n_tail] = t_dst
+    # Original edge id per compact tail slot (attention-dropout mask
+    # keying: fwd and bwd must regenerate identical per-edge masks, and
+    # the original eid is the only identity stable across layouts).
+    tail_eid_c = np.zeros((t_pad,), dtype=ID_DTYPE)
+    tail_eid_c[:n_tail] = t_eid
     edge_to_tslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
     edge_to_tslot[t_eid] = np.arange(n_tail, dtype=ID_DTYPE)
 
@@ -383,6 +388,7 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         "r_eid_c": r_eid_c,
         "r_inv": tail_src_ell["inv_perm"],
         "tail_src": tail_src_c, "tail_dst": tail_dst_c,
+        "tail_eid": tail_eid_c,
         "edge_to_fslot": edge_to_fslot, "edge_to_tslot": edge_to_tslot,
         "x_desc": x_desc, "x_starts": x_starts_p,
     }

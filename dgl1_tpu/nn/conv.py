@@ -151,16 +151,21 @@ class GATConv(nn.Module):
         # Fused flash-style attention on hub-format graphs: the whole
         # SDDMM -> leaky_relu -> edge_softmax -> weighted-SpMM chain in
         # chunked MXU passes, no per-edge (E, H) tensor in HBM (those
-        # pad 16x on TPU and OOM large graphs). Falls back to the
-        # composed path when attention dropout is active (per-edge RNG)
-        # or the graph has no hub format.
+        # pad 16x on TPU and OOM large graphs). Attention dropout runs
+        # IN KERNEL (per-edge masks hashed from a step seed + edge id),
+        # so training with attn_drop keeps the fused path too.
         from dgl1_tpu.ops.attention import can_fuse_attention, gat_attention
 
         rst = None
-        if can_fuse_attention(g) and (
-                deterministic or self.attn_drop == 0.0):
+        if can_fuse_attention(g):
+            drop = 0.0 if deterministic else self.attn_drop
+            seed = None
+            if drop > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), -(2 ** 31), 2 ** 31 - 1,
+                    dtype=jnp.int32)
             rst = gat_attention(g, el, er, feat_src,
-                                self.negative_slope)
+                                self.negative_slope, drop, seed)
         if rst is None:
             e = gsddmm(g, "add", el, er, lhs_target="u", rhs_target="v")
             e = nn.leaky_relu(e, negative_slope=self.negative_slope)

@@ -75,6 +75,30 @@ def _dleaky(x, slope):
     return jnp.where(x >= 0, 1.0, slope)
 
 
+def _mix32(x, seed):
+    """Cheap two-round integer mix (xorshift-multiply) — int32 wraparound
+    is the hash, not a bug."""
+    x = x * jnp.int32(-1640531527) + seed      # 0x9E3779B9
+    x = x ^ jax.lax.shift_right_logical(x, 15)
+    x = x * jnp.int32(-1028477387)             # 0xC2B2AE35
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    return x
+
+
+def _drop_mask(eid_head, seed, drop: float):
+    """Per-(edge, head) keep mask, pre-divided by the keep probability.
+
+    Keyed on the ORIGINAL edge id (stable across the fwd/bwd chunk
+    layouts and the tail's compact slot space), so forward and backward
+    regenerate bit-identical masks from (seed, eid, head) alone — no
+    per-edge mask tensor ever exists in HBM.
+    """
+    keep = 1.0 - drop
+    bits = _mix32(eid_head, seed) & jnp.int32(0x7FFFFFFF)
+    thresh = jnp.int32(int(keep * 2147483647.0))
+    return (bits < thresh).astype(jnp.float32) * jnp.float32(1.0 / keep)
+
+
 def _dot(a, b, dims, dt=jnp.float32):
     """MXU dot with f32 accumulation. ``dt=bfloat16`` (ops.precision
     "bf16" mode) runs one MXU pass instead of f32's multi-pass — one-hot
@@ -101,8 +125,9 @@ def _dot(a, b, dims, dt=jnp.float32):
 # mz = leaky(er_slot + mraw) is monotonic in mraw).
 # ----------------------------------------------------------------------
 
-def _attn_fwd_kernel(slope: float, dt, n_fb: int, in_id, out_id, first,
-                     a_ref, b_ref, el_ref, erg_ref, ft_ref, r_ref,
+def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float,
+                     in_id, out_id, first, seed,
+                     a_ref, b_ref, eid_ref, el_ref, erg_ref, ft_ref, r_ref,
                      num_ref, den_ref, mraw_ref):
     """Fused numerator + denominator accumulation per hub group.
 
@@ -155,6 +180,14 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, in_id, out_id, first,
     mz_e = _leaky(er_e + jnp.broadcast_to(new[0:1, :], (CHUNK, BLK)), slope)
     z = _leaky(el_e + er_e, slope)
     p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
+    if drop > 0.0:
+        # Attention dropout zeroes normalized weights: numerator terms
+        # are masked, the denominator (softmax normalization) is not.
+        m = _drop_mask(eid_ref[:][:, None] * jnp.int32(131) + iota,
+                       seed[0], drop)
+        p_num = p * m
+    else:
+        p_num = p
     den_partial = _dot(one_bt, p, ((1,), (0,)), dt)
 
     @pl.when(first[t] == 1)
@@ -168,7 +201,8 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, in_id, out_id, first,
     for fb in range(n_fb):
         ft_e = _dot(one_a, ft_ref[:, fb * BLK:(fb + 1) * BLK], ((1,), (0,)),
                     dt)
-        p_exp = _dot(p, r_ref[:, fb * BLK:(fb + 1) * BLK], ((1,), (0,)), dt)
+        p_exp = _dot(p_num, r_ref[:, fb * BLK:(fb + 1) * BLK],
+                     ((1,), (0,)), dt)
         num_partial = _dot(one_bt, p_exp * ft_e, ((1,), (0,)), dt)
 
         @pl.when(first[t] == 1)
@@ -185,28 +219,31 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, in_id, out_id, first,
 
 
 def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
-                   f_pad, dt=jnp.float32):
+                   f_pad, dt=jnp.float32, drop=0.0, seed=None):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
-            pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (i[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (i[t], 0)),
-            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (0, 0)),
+            pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+            pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+            pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (i[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (i[t], 0)),
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
         ],
     )
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     num, den, mraw = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, slope, dt, n_fb),
+        functools.partial(_attn_fwd_kernel, slope, dt, n_fb, drop),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
@@ -214,8 +251,8 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
             jax.ShapeDtypeStruct((n_groups * BLK, BLK), jnp.float32),
         ],
         interpret=_interpret(),
-    )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
-      el_pad, er_g, ft_pad, r)
+    )(lay["in_id"], lay["out_id"], lay["first"], seed,
+      lay["a"], lay["b"], lay["eid"], el_pad, er_g, ft_pad, r)
     return num, den, mraw
 
 
@@ -227,7 +264,8 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
 # ----------------------------------------------------------------------
 
 def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
-                     in_id, out_id, first, a_ref, b_ref, el_ref, erg_ref,
+                     drop: float, in_id, out_id, first, seed,
+                     a_ref, b_ref, eid_ref, el_ref, erg_ref,
                      mzg_ref, deng_ref, rhog_ref, ft_ref, ct_ref, r_ref,
                      rt_ref, *rest):
     """Backward chunk pass, grid (chunks,), unrolled in-kernel feature
@@ -268,6 +306,16 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
     p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
     acoef = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal
     dl = _dleaky(sum_le, slope)
+    if drop > 0.0:
+        # Same (seed, eid, head)-keyed mask as the forward: grads flow
+        # only through surviving numerator terms; the denominator path
+        # (the -rho row term) is mask-free, matching d(num*m/den).
+        m = _drop_mask(eid_ref[:][:, None] * jnp.int32(131) + iota,
+                       seed[0], drop)
+        acoef_num = acoef * m
+    else:
+        m = None
+        acoef_num = acoef
 
     geacc = None
     for fb in range(n_fb):
@@ -278,7 +326,7 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         geacc = ge_part if geacc is None else geacc + ge_part
 
         if to_src:
-            a_exp = _dot(acoef, r_ref[:, sl], ((1,), (0,)), dt)
+            a_exp = _dot(acoef_num, r_ref[:, sl], ((1,), (0,)), dt)
             gft_partial = _dot(one_st, a_exp * ct_e, ((1,), (0,)), dt)
 
             @pl.when(first[t] == 1)
@@ -290,7 +338,8 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
                 cur = gft_ref[:, pl.ds(fb * BLK, BLK)]
                 gft_ref[:, pl.ds(fb * BLK, BLK)] = cur + gft_partial
 
-    q = acoef * (geacc - rho) * dl
+    g_term = geacc if m is None else m * geacc
+    q = acoef * (g_term - rho) * dl
     sel_t = one_st if to_src else one_ht
     gq_partial = _dot(sel_t, q, ((1,), (0,)), dt)
 
@@ -312,22 +361,26 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
 
 
 def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
-                   ft_pad, ct_g, r, n_out_blocks, f_pad, dt=jnp.float32):
+                   ft_pad, ct_g, r, n_out_blocks, f_pad, dt=jnp.float32,
+                   drop=0.0, seed=None):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
 
     # Window-side blocks index by the layout's window id, group-side by
     # the group id. In the window-major (to_src) layout the window is the
     # OUT id and the group the IN id; group-major is the reverse.
-    def win(t, i, o, f):
+    def win(t, i, o, f, sd):
         return (o[t], 0) if to_src else (i[t], 0)
 
-    def grp(t, i, o, f):
+    def grp(t, i, o, f, sd):
         return (i[t], 0) if to_src else (o[t], 0)
 
     in_specs = [
-        pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
-        pl.BlockSpec((CHUNK,), lambda t, i, o, f: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
         pl.BlockSpec((BLK, BLK), win),       # el (window side)
         pl.BlockSpec((BLK, BLK), grp),       # er
         pl.BlockSpec((BLK, BLK), grp),       # mz
@@ -335,14 +388,14 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         pl.BlockSpec((BLK, BLK), grp),       # rho
         pl.BlockSpec((BLK, f_pad), win),     # ft (full width)
         pl.BlockSpec((BLK, f_pad), grp),     # ct (full width)
-        pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (0, 0)),  # r
-        pl.BlockSpec((f_pad, BLK), lambda t, i, o, f: (0, 0)),  # r^T
+        pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (0, 0)),  # r
+        pl.BlockSpec((f_pad, BLK), lambda t, i, o, f, sd: (0, 0)),  # r^T
     ]
     if to_src:
         out_specs = [
-            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (t, 0)),
+            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (t, 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad), jnp.float32),
@@ -351,25 +404,26 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         ]
     else:
         out_specs = [
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f: (o[t], 0)),
+            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((n_out_blocks * BLK, BLK), jnp.float32),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=in_specs,
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb),
+        functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb, drop),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(lay["in_id"], lay["out_id"], lay["first"], lay["a"], lay["b"],
-      el_pad, er_g, mz_g, den_g, rho_g, ft_pad, ct_g, r, r.T)
+    )(lay["in_id"], lay["out_id"], lay["first"], seed,
+      lay["a"], lay["b"], lay["eid"], el_pad, er_g, mz_g, den_g, rho_g,
+      ft_pad, ct_g, r, r.T)
     if to_src:
         return outs[0], outs[1], outs[2]
     return (outs[0],)
@@ -421,6 +475,7 @@ class _Static(NamedTuple):
     d: int
     meta: HubMeta
     prec: str = "f32"  # ops.precision matmul mode, captured at trace time
+    attn_drop: float = 0.0
 
 
 def _float0_like(tree):
@@ -457,13 +512,21 @@ def _dtype_of(static):
     return jnp.bfloat16 if static.prec == "bf16" else jnp.float32
 
 
+def _tail_mask(static, hub, seed):
+    """Per-(tail slot, head) dropout keep mask / keep-prob, keyed on the
+    ORIGINAL edge id — identical masks to the hub kernels' in-VMEM ones."""
+    head = jnp.arange(BLK, dtype=jnp.int32)[None, :static.h]
+    key = hub["tail_eid"][:, None] * jnp.int32(131) + head
+    return _drop_mask(key, seed[0], static.attn_drop)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gat_attention(static: _Static, hub, el2, er2, ft2):
-    out, _, _ = _attn_forward(static, hub, el2, er2, ft2)
+def _gat_attention(static: _Static, hub, el2, er2, ft2, seed):
+    out, _, _ = _attn_forward(static, hub, el2, er2, ft2, seed)
     return out
 
 
-def _attn_forward(static, hub, el2, er2, ft2):
+def _attn_forward(static, hub, el2, er2, ft2, seed):
     m = static.meta
     h, d = static.h, static.d
     f = h * d
@@ -477,7 +540,7 @@ def _attn_forward(static, hub, el2, er2, ft2):
 
     num_hub, den_hub, mraw_hub = _attn_fwd_call(
         static.slope, hub["full_fwd"], el_pad, er_g, ft_pad, r,
-        m.n_groups, f_pad, _dtype_of(static),
+        m.n_groups, f_pad, _dtype_of(static), static.attn_drop, seed,
     )
 
     # Node-level softmax shift (num_dst, H): hub rows take the fwd
@@ -494,11 +557,13 @@ def _attn_forward(static, hub, el2, er2, ft2):
     # Tail in compact slot space; p maps into the ELL stacks through the
     # compact-slot eid arrays.
     p_t = _tail_p(static, hub, el2, er2, mz)
+    p_num_t = (p_t * _tail_mask(static, hub, seed)
+               if static.attn_drop > 0.0 else p_t)
     tail_dst_ell = {"idx": hub["t_idx"], "eid": hub["t_eid_c"]}
     ft3 = ft2.reshape(-1, h, d)
     num_stack = ell_stack(m.tail_meta_dst, tail_dst_ell["idx"],
                           tail_dst_ell["eid"], "mul", "sum", ft3,
-                          p_t[:, :, None])
+                          p_num_t[:, :, None])
     den_stack = ell_stack(m.tail_meta_dst, tail_dst_ell["idx"],
                           tail_dst_ell["eid"], "copy_rhs", "sum", None, p_t)
 
@@ -516,13 +581,13 @@ def _attn_forward(static, hub, el2, er2, ft2):
     return out, mz, den_safe
 
 
-def _fwd(static, hub, el2, er2, ft2):
-    out, mz, den = _attn_forward(static, hub, el2, er2, ft2)
-    return out, (hub, el2, er2, ft2, mz, den, out)
+def _fwd(static, hub, el2, er2, ft2, seed):
+    out, mz, den = _attn_forward(static, hub, el2, er2, ft2, seed)
+    return out, (hub, el2, er2, ft2, mz, den, out, seed)
 
 
 def _bwd(static, res, ct):
-    hub, el2, er2, ft2, mz, den, out = res
+    hub, el2, er2, ft2, mz, den, out, seed = res
     m = static.meta
     h, d = static.h, static.d
     f = h * d
@@ -549,7 +614,8 @@ def _bwd(static, res, ct):
 
     gft_hub, gel_hub, gerp = _attn_bwd_call(
         slope, True, hub["full_bwd"], el_pad, er_g, mz_g, den_g, rho_g,
-        ft_pad, ct_g, r, m.n_win, f_pad, _dtype_of(static))
+        ft_pad, ct_g, r, m.n_win, f_pad, _dtype_of(static),
+        static.attn_drop, seed)
     win_rows = jnp.repeat(hub["win_mask_full"], BLK,
                           total_repeat_length=m.n_win * BLK)
     gft_hub = jnp.where(win_rows[:, None], gft_hub, 0.0)
@@ -560,18 +626,27 @@ def _bwd(static, res, ct):
     else:  # layout predates the gperm descriptors (e.g. loaded graphs)
         (ger_hub,) = _attn_bwd_call(
             slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g,
-            rho_g, ft_pad, ct_g, r, m.n_groups, f_pad, _dtype_of(static))
+            rho_g, ft_pad, ct_g, r, m.n_groups, f_pad, _dtype_of(static),
+            static.attn_drop, seed)
 
     # ---- tail (compact slot space) ----
     ts, td = hub["tail_src"], hub["tail_dst"]
     p_t = _tail_p(static, hub, el2, er2, mz)
     den_t = jnp.take(den, td, axis=0, mode="fill", fill_value=1.0)
     a_t = p_t / den_t
+    if static.attn_drop > 0.0:
+        m_t = _tail_mask(static, hub, seed)
+        a_num_t = a_t * m_t
+    else:
+        m_t = None
+        a_num_t = a_t
     ft3 = ft2.reshape(-1, h, d)
     ct3 = ct2.reshape(-1, h, d)
     ft_ts = jnp.take(ft3, ts, axis=0, mode="fill", fill_value=0.0)
     ct_td = jnp.take(ct3, td, axis=0, mode="fill", fill_value=0.0)
     g_t = jnp.sum(ft_ts * ct_td, axis=2)  # (T_pad, h)
+    if m_t is not None:
+        g_t = g_t * m_t
     rho_td = jnp.take(rho, td, axis=0, mode="fill", fill_value=0.0)
     el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
     er_td = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
@@ -581,7 +656,7 @@ def _bwd(static, res, ct):
     rev = {"idx": hub["r_idx"], "eid": hub["r_eid_c"],
            "inv_perm": hub["r_inv"]}
     gft_tail = ell_reduce(m.tail_meta_src, rev, "mul", "sum",
-                          ct3, a_t[:, :, None], static.num_src)
+                          ct3, a_num_t[:, :, None], static.num_src)
     gel_tail = ell_reduce(m.tail_meta_src, rev, "copy_rhs", "sum",
                           None, q_t, static.num_src)
     ger_stack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid_c"],
@@ -595,7 +670,8 @@ def _bwd(static, res, ct):
         hub["t_inv"], axis=0, mode="fill", fill_value=0.0
     ).astype(er2.dtype)
 
-    return (_float0_like(hub), gel, ger, gft)
+    return (_float0_like(hub), gel, ger, gft,
+            np.zeros((1,), dtype=jax.dtypes.float0))
 
 
 _gat_attention.defvjp(_fwd, _bwd)
@@ -610,7 +686,8 @@ def can_fuse_attention(g: Graph) -> bool:
         and "t_eid_c" in g.hub_dst
 
 
-def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2):
+def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2,
+                  attn_drop: float = 0.0, seed=None):
     """Fused softmax-attention aggregation:
     ``out[d] = sum_e softmax_d(leaky_relu(el[s]+er[d])) * ft[s]``.
 
@@ -618,9 +695,23 @@ def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2):
     ft: (num_src, H, D). Returns (num_dst, H, D). Requires the hub
     format (``can_fuse_attention``); callers fall back to the composed
     SDDMM/edge_softmax/SpMM path otherwise.
+
+    ``attn_drop`` > 0 applies attention dropout (zeroing normalized
+    weights, inverted scaling) with per-edge masks generated IN KERNEL
+    from ``seed`` (an int32 (1,) array, e.g. from
+    ``jax.random.randint``) hashed with the original edge id — no
+    per-edge mask tensor in HBM, unlike the composed path.
     """
     if not can_fuse_attention(g):
         return None
+    if attn_drop > 0.0:
+        if seed is None:
+            raise ValueError("attn_drop > 0 requires a seed array")
+        if "tail_eid" not in g.hub_dst:
+            return None  # layout predates dropout keying
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
     h = ft.shape[1]
     d = ft.shape[2]
     if h > BLK:
@@ -639,7 +730,8 @@ def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2):
         d=d,
         meta=g.hub_dst_meta,
         prec=get_matmul_precision(),
+        attn_drop=float(attn_drop),
     )
     ft2 = ft.reshape(ft.shape[0], h * d)
-    return _gat_attention(static, g.hub_dst, el2, er2, ft2).reshape(
+    return _gat_attention(static, g.hub_dst, el2, er2, ft2, seed).reshape(
         g.num_dst_nodes(), h, d).astype(ft.dtype)

@@ -196,3 +196,65 @@ def test_fused_extreme_logit_spread():
     b = composed(g, el, er, ft)
     assert np.isfinite(np.asarray(a)).all()
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_fused_attn_dropout_semantics():
+    """In-kernel attention dropout: seed-deterministic, unbiased-ish
+    (empirical keep fraction ~ keep prob), drop=0.0 exactly equals the
+    undropped path, and grads match finite differences with the mask
+    FIXED by the seed (the fwd and bwd layouts must regenerate identical
+    per-edge masks from (seed, eid, head))."""
+    g = make_skewed("mixed")
+    rng = np.random.default_rng(11)
+    h, d = 4, 8
+    el = jnp.asarray(rng.normal(size=(N, h)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(N, h)).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(N, h, d)).astype(np.float32))
+    seed = jnp.asarray([1234], jnp.int32)
+
+    base = gat_attention(g, el, er, ft, SLOPE)
+    zero_drop = gat_attention(g, el, er, ft, SLOPE, 0.0, seed)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(zero_drop))
+
+    drop = 0.5
+    o1 = gat_attention(g, el, er, ft, SLOPE, drop, seed)
+    o2 = gat_attention(g, el, er, ft, SLOPE, drop, seed)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = gat_attention(g, el, er, ft, SLOPE, drop,
+                       jnp.asarray([99], jnp.int32))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+    assert np.isfinite(np.asarray(o1)).all()
+
+    # Unbiasedness: the mean over many seeds approaches the undropped
+    # output (inverted scaling).
+    acc = np.zeros_like(np.asarray(base))
+    n_seeds = 64
+    for sd in range(n_seeds):
+        acc += np.asarray(gat_attention(
+            g, el, er, ft, SLOPE, drop, jnp.asarray([sd], jnp.int32)))
+    deg = np.asarray(g.in_degrees()).astype(np.float64)
+    got = acc / n_seeds
+    ref = np.asarray(base)
+    # Compare where the softmax average is well-populated (degree >= 4).
+    sel = deg >= 4
+    err = np.abs(got[sel] - ref[sel]).mean()
+    scale = np.abs(ref[sel]).mean()
+    assert err < 0.25 * scale, (err, scale)
+
+    # Grad correctness under a FIXED mask: finite differences vs vjp.
+    def loss(el_, er_, ft_):
+        return jnp.sum(gat_attention(g, el_, er_, ft_, SLOPE, drop, seed)
+                       ** 2)
+
+    gel, ger, gft = jax.grad(loss, argnums=(0, 1, 2))(el, er, ft)
+    rng2 = np.random.default_rng(5)
+    for x, gx, name in ((el, gel, "el"), (er, ger, "er"), (ft, gft, "ft")):
+        v = jnp.asarray(rng2.normal(size=x.shape).astype(np.float32))
+        eps = 1e-3
+        f1 = float(loss(*[a + eps * v if a is x else a
+                          for a in (el, er, ft)]))
+        f0 = float(loss(*[a - eps * v if a is x else a
+                          for a in (el, er, ft)]))
+        fd = (f1 - f0) / (2 * eps)
+        an = float(jnp.sum(gx * v))
+        np.testing.assert_allclose(an, fd, rtol=2e-2, atol=2e-2), name
