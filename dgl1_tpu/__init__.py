@@ -88,6 +88,8 @@ from dgl1_tpu.readout import (
 from dgl1_tpu import function
 from dgl1_tpu import ops
 from dgl1_tpu import transform
+# Later-reference alias: ``dgl.transforms`` (the 0.9-era module rename).
+from dgl1_tpu import transform as transforms
 from dgl1_tpu.transform import (
     add_self_loop,
     remove_self_loop,
