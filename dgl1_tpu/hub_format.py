@@ -62,6 +62,13 @@ class HubMeta(NamedTuple):
     tail_meta_src: Tuple  # ELL bucket meta, reduce-by-src (tail reverse)
     n_tail_rows: int     # nonzero rows in the tail ELL stack
     covered: int         # hub edges (dense + chunked tiers)
+    # Attention-only tail variant with single self-loop edges extracted
+    # to node-level "diagonal" arrays: add_self_loop graphs otherwise
+    # give EVERY node a tail row (169k rows at arxiv scale, +110ms on
+    # the attention backward) for what is an elementwise O(N) term.
+    at_tail_meta_dst: Optional[Tuple] = None
+    at_tail_meta_src: Optional[Tuple] = None
+    at_n_tail_rows: int = 0
 
 
 def _pad_runs(order: np.ndarray, run_ids: np.ndarray,
@@ -268,68 +275,106 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     # Tail: rebuild CSC/CSR restricted to non-hub-destination edges, then
     # reuse the ELL builder in both directions.
     # ------------------------------------------------------------------
+
+    def _build_tail(t_dst, t_src, t_eid):
+        """One tail variant: dst/src ELL stacks, merge permutation and
+        compact-slot arrays for an edge subset (dst-sorted)."""
+        n_tail = int(t_dst.shape[0])
+        # Coarser bucket coalescing for the (small) tail: each extra
+        # bucket costs a fixed ~0.2ms per gather op on TPU, which
+        # dominates the padding cost at tail sizes.
+        tail_min_slots = min(1 << 14, max(n_tail // 2, 1))
+        t_counts = np.bincount(t_dst, minlength=num_dst) if n_tail else \
+            np.zeros((num_dst,), np.int64)
+        t_indptr = np.zeros((num_dst + 1,), dtype=np.int64)
+        np.cumsum(t_counts, out=t_indptr[1:])
+        tail_meta_dst, tail_dst_ell = build_ell(
+            t_indptr, t_src, t_eid, num_dst, n_tail,
+            min_slots=tail_min_slots)
+
+        r_order = np.argsort(t_src, kind="stable")
+        r_counts = np.bincount(t_src, minlength=num_src) if n_tail else \
+            np.zeros((num_src,), np.int64)
+        r_indptr = np.zeros((num_src + 1,), dtype=np.int64)
+        np.cumsum(r_counts, out=r_indptr[1:])
+        tail_meta_src, tail_src_ell = build_ell(
+            r_indptr, t_dst[r_order], t_eid[r_order], num_src, n_tail,
+            min_slots=tail_min_slots,
+        )
+
+        # Merge permutation: non-hub rows read the tail ELL stack; hub
+        # rows read the dense/chunked result appended right after it;
+        # empty rows read OOB (fill 0). The default tail inv_perm sends
+        # zero-degree rows to len(nz), which is in-bounds once the hub
+        # block is concatenated — remap those to the OOB sentinel first.
+        n_tail_rows = int(sum(n for _, n in tail_meta_dst))
+        t_inv = tail_dst_ell["inv_perm"].astype(np.int64)
+        t_inv = np.where(t_inv >= n_tail_rows, np.int64(SENT), t_inv)
+        hub_mask_rows = slot_of_row != SENT
+        t_inv[hub_mask_rows] = n_tail_rows + slot_of_row[hub_mask_rows]
+        t_inv = t_inv.astype(ID_DTYPE)
+
+        # Compact tail edge endpoints (for grad_e without full-E gathers).
+        t_pad = max(-(-max(n_tail, 1) // CHUNK) * CHUNK, CHUNK)
+        tail_src_c = np.full((t_pad,), SENT, dtype=ID_DTYPE)
+        tail_dst_c = np.full((t_pad,), SENT, dtype=ID_DTYPE)
+        tail_src_c[:n_tail] = t_src
+        tail_dst_c[:n_tail] = t_dst
+        # Original edge id per compact tail slot (attention-dropout mask
+        # keying: fwd and bwd must regenerate identical per-edge masks,
+        # and the original eid is the only identity stable across
+        # layouts).
+        tail_eid_c = np.zeros((t_pad,), dtype=ID_DTYPE)
+        tail_eid_c[:n_tail] = t_eid
+        edge_to_tslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
+        edge_to_tslot[t_eid] = np.arange(n_tail, dtype=ID_DTYPE)
+
+        # Tail ELL eids remapped to compact tail slots, so per-tail-edge
+        # values (attention numerators, jacobian terms) computed in
+        # compact (T_pad, H) space feed the ELL stacks directly
+        # (ops/attention.py).
+        def to_compact(eids):
+            c = edge_to_tslot[np.clip(eids, 0, num_padded - 1)]
+            return np.where(c == SENT, 0, c).astype(ID_DTYPE)
+
+        return dict(
+            meta_dst=tuple(tail_meta_dst), meta_src=tuple(tail_meta_src),
+            n_rows=n_tail_rows,
+            t_idx=tail_dst_ell["idx"], t_eid=tail_dst_ell["eid"],
+            t_eid_c=to_compact(tail_dst_ell["eid"]),
+            t_inv=t_inv,
+            r_idx=tail_src_ell["idx"], r_eid=tail_src_ell["eid"],
+            r_eid_c=to_compact(tail_src_ell["eid"]),
+            r_inv=tail_src_ell["inv_perm"],
+            tail_src=tail_src_c, tail_dst=tail_dst_c, tail_eid=tail_eid_c,
+            edge_to_tslot=edge_to_tslot,
+        )
+
     t_dst = dst_e[~is_hub]
     t_src = src_e[~is_hub]
     t_eid = eid_e[~is_hub]
-    n_tail = int(t_dst.shape[0])
+    full_tail = _build_tail(t_dst, t_src, t_eid)
+    tail_meta_dst = list(full_tail["meta_dst"])
+    tail_meta_src = list(full_tail["meta_src"])
+    n_tail_rows = full_tail["n_rows"]
 
-    # Coarser bucket coalescing for the (small) tail: each extra bucket
-    # costs a fixed ~0.2ms per gather op on TPU, which dominates the
-    # padding cost at tail sizes.
-    tail_min_slots = min(1 << 14, max(n_tail // 2, 1))
-    t_counts = np.bincount(t_dst, minlength=num_dst) if n_tail else \
-        np.zeros((num_dst,), np.int64)
-    t_indptr = np.zeros((num_dst + 1,), dtype=np.int64)
-    np.cumsum(t_counts, out=t_indptr[1:])
-    tail_meta_dst, tail_dst_ell = build_ell(
-        t_indptr, t_src, t_eid, num_dst, n_tail, min_slots=tail_min_slots
-    )
-
-    r_order = np.argsort(t_src, kind="stable")
-    r_counts = np.bincount(t_src, minlength=num_src) if n_tail else \
-        np.zeros((num_src,), np.int64)
-    r_indptr = np.zeros((num_src + 1,), dtype=np.int64)
-    np.cumsum(r_counts, out=r_indptr[1:])
-    tail_meta_src, tail_src_ell = build_ell(
-        r_indptr, t_dst[r_order], t_eid[r_order], num_src, n_tail,
-        min_slots=tail_min_slots,
-    )
-
-    # Merge permutation: non-hub rows read the tail ELL stack; hub rows
-    # read the dense/chunked result appended right after it; empty rows
-    # read OOB (fill 0). The default tail inv_perm sends zero-degree rows
-    # to len(nz), which is in-bounds once the hub block is concatenated —
-    # remap those to the OOB sentinel first.
-    n_tail_rows = int(sum(n for _, n in tail_meta_dst))
-    t_inv = tail_dst_ell["inv_perm"].astype(np.int64)
-    t_inv = np.where(t_inv >= n_tail_rows, np.int64(SENT), t_inv)
-    hub_mask_rows = slot_of_row != SENT
-    t_inv[hub_mask_rows] = n_tail_rows + slot_of_row[hub_mask_rows]
-    t_inv = t_inv.astype(ID_DTYPE)
-
-    # Compact tail edge endpoints (for grad_e without full-E gathers).
-    t_pad = max(-(-max(n_tail, 1) // CHUNK) * CHUNK, CHUNK)
-    tail_src_c = np.full((t_pad,), SENT, dtype=ID_DTYPE)
-    tail_dst_c = np.full((t_pad,), SENT, dtype=ID_DTYPE)
-    tail_src_c[:n_tail] = t_src
-    tail_dst_c[:n_tail] = t_dst
-    # Original edge id per compact tail slot (attention-dropout mask
-    # keying: fwd and bwd must regenerate identical per-edge masks, and
-    # the original eid is the only identity stable across layouts).
-    tail_eid_c = np.zeros((t_pad,), dtype=ID_DTYPE)
-    tail_eid_c[:n_tail] = t_eid
-    edge_to_tslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
-    edge_to_tslot[t_eid] = np.arange(n_tail, dtype=ID_DTYPE)
-
-    # Tail ELL eids remapped to compact tail slots, so per-tail-edge
-    # values (attention numerators, jacobian terms) computed in compact
-    # (T_pad, H) space feed the ELL stacks directly (ops/attention.py).
-    def to_compact(eids):
-        c = edge_to_tslot[np.clip(eids, 0, num_padded - 1)]
-        return np.where(c == SENT, 0, c).astype(ID_DTYPE)
-
-    t_eid_c = to_compact(tail_dst_ell["eid"])
-    r_eid_c = to_compact(tail_src_ell["eid"])
+    # Attention tail variant: extract single self-loop TAIL edges to a
+    # node-level diagonal (add_self_loop graphs give every node a tail
+    # row otherwise — the term is elementwise O(N), not a sparse op).
+    is_diag = t_src == t_dst
+    dcnt = np.bincount(t_dst[is_diag], minlength=num_dst) if len(t_dst) \
+        else np.zeros((num_dst,), np.int64)
+    take = is_diag & (dcnt[t_dst] == 1)
+    at_tail = None
+    at_diag = np.zeros((0,), np.float32)
+    at_diag_eid = np.zeros((0,), ID_DTYPE)
+    if take.any():
+        at_diag = np.zeros((num_dst,), np.float32)
+        at_diag[t_dst[take]] = 1.0
+        at_diag_eid = np.zeros((num_dst,), ID_DTYPE)
+        at_diag_eid[t_dst[take]] = t_eid[take]
+        keep = ~take
+        at_tail = _build_tail(t_dst[keep], t_src[keep], t_eid[keep])
 
     # ------------------------------------------------------------------
     # Expand-merge descriptors: the final inverse-permute (out[v] =
@@ -344,8 +389,9 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     # ------------------------------------------------------------------
     n_merge_rows = n_tail_rows + k_slots
     if n_merge_rows < EXPAND_PACK:
-        valid = np.flatnonzero(t_inv != SENT).astype(np.int64)
-        m_of_valid = t_inv[valid].astype(np.int64)
+        ft_inv = full_tail["t_inv"]
+        valid = np.flatnonzero(ft_inv != SENT).astype(np.int64)
+        m_of_valid = ft_inv[valid].astype(np.int64)
         x_blocks = -(-num_dst // EXPAND_RB)
         x_starts = np.zeros((x_blocks + 1,), dtype=ID_DTYPE)
         np.cumsum(np.bincount((valid // EXPAND_RB).astype(np.int64),
@@ -371,6 +417,11 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         tail_meta_src=tuple(tail_meta_src),
         n_tail_rows=n_tail_rows,
         covered=int(is_hub.sum()),
+        at_tail_meta_dst=(at_tail["meta_dst"] if at_tail is not None
+                          else None),
+        at_tail_meta_src=(at_tail["meta_src"] if at_tail is not None
+                          else None),
+        at_n_tail_rows=(at_tail["n_rows"] if at_tail is not None else 0),
     )
     arrays = {
         "full_fwd": full_fwd,
@@ -381,15 +432,21 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         "hub_ids": hub_ids,
         "win_mask_full": win_mask_full,
         "win_mask_part": win_mask_part,
-        "t_idx": tail_dst_ell["idx"], "t_eid": tail_dst_ell["eid"],
-        "t_eid_c": t_eid_c,
-        "t_inv": t_inv,
-        "r_idx": tail_src_ell["idx"], "r_eid": tail_src_ell["eid"],
-        "r_eid_c": r_eid_c,
-        "r_inv": tail_src_ell["inv_perm"],
-        "tail_src": tail_src_c, "tail_dst": tail_dst_c,
-        "tail_eid": tail_eid_c,
-        "edge_to_fslot": edge_to_fslot, "edge_to_tslot": edge_to_tslot,
+        "t_idx": full_tail["t_idx"], "t_eid": full_tail["t_eid"],
+        "t_eid_c": full_tail["t_eid_c"],
+        "t_inv": full_tail["t_inv"],
+        "r_idx": full_tail["r_idx"], "r_eid": full_tail["r_eid"],
+        "r_eid_c": full_tail["r_eid_c"],
+        "r_inv": full_tail["r_inv"],
+        "tail_src": full_tail["tail_src"], "tail_dst": full_tail["tail_dst"],
+        "tail_eid": full_tail["tail_eid"],
+        "edge_to_fslot": edge_to_fslot,
+        "edge_to_tslot": full_tail["edge_to_tslot"],
+        "at_diag": at_diag, "at_diag_eid": at_diag_eid,
         "x_desc": x_desc, "x_starts": x_starts_p,
     }
+    if at_tail is not None:
+        for k in ("t_idx", "t_eid", "t_eid_c", "t_inv", "r_idx", "r_eid",
+                  "r_eid_c", "r_inv", "tail_src", "tail_dst", "tail_eid"):
+            arrays["at_" + k] = at_tail[k]
     return meta, arrays

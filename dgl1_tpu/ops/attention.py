@@ -497,9 +497,27 @@ def _hub_rows_128(x, hub_ids, n_groups):
     return _pad_2d(rows, n_groups * BLK, BLK)
 
 
-def _tail_p(static, hub, el2, er2, mz):
+def _atail(static, hub):
+    """Attention tail view: the diag-stripped variant when the layout
+    carries one (single self-loop edges handled as a node-level
+    diagonal), else the full tail."""
+    m = static.meta
+    if m.at_tail_meta_dst is not None and "at_t_idx" in hub:
+        keys = {k: hub["at_" + k] for k in
+                ("t_idx", "t_eid", "t_eid_c", "t_inv", "r_idx", "r_eid_c",
+                 "r_inv", "tail_src", "tail_dst", "tail_eid")}
+        return (m.at_tail_meta_dst, m.at_tail_meta_src, m.at_n_tail_rows,
+                keys, True)
+    keys = {k: hub[k] for k in
+            ("t_idx", "t_eid", "t_eid_c", "t_inv", "r_idx", "r_eid_c",
+             "r_inv", "tail_src", "tail_dst", "tail_eid")}
+    return (static.meta.tail_meta_dst, static.meta.tail_meta_src,
+            static.meta.n_tail_rows, keys, False)
+
+
+def _tail_p(static, tk, el2, er2, mz):
     """Per-tail-edge softmax numerators in compact tail-slot space."""
-    ts, td = hub["tail_src"], hub["tail_dst"]
+    ts, td = tk["tail_src"], tk["tail_dst"]
     el_t = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
     er_t = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
     mz_t = jnp.take(mz, td, axis=0, mode="fill", fill_value=0.0)
@@ -512,11 +530,18 @@ def _dtype_of(static):
     return jnp.bfloat16 if static.prec == "bf16" else jnp.float32
 
 
-def _tail_mask(static, hub, seed):
+def _diag_mask(static, hub, seed):
+    """Dropout keep mask for the extracted self-loop edges (node-level)."""
+    head = jnp.arange(BLK, dtype=jnp.int32)[None, :static.h]
+    key = hub["at_diag_eid"][:, None] * jnp.int32(131) + head
+    return _drop_mask(key, seed[0], static.attn_drop)
+
+
+def _tail_mask(static, eid_arr, seed):
     """Per-(tail slot, head) dropout keep mask / keep-prob, keyed on the
     ORIGINAL edge id — identical masks to the hub kernels' in-VMEM ones."""
     head = jnp.arange(BLK, dtype=jnp.int32)[None, :static.h]
-    key = hub["tail_eid"][:, None] * jnp.int32(131) + head
+    key = eid_arr[:, None] * jnp.int32(131) + head
     return _drop_mask(key, seed[0], static.attn_drop)
 
 
@@ -546,33 +571,51 @@ def _attn_forward(static, hub, el2, er2, ft2, seed):
     # Node-level softmax shift (num_dst, H): hub rows take the fwd
     # kernel's final running max (its num/den are consistent with it by
     # the online-rescale invariant); tail destinations take the exact
-    # per-destination ELL max. The backward recomputes p from this.
-    mstack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid"],
+    # per-destination ELL max; the extracted diagonal (single self-loop
+    # edges, elementwise) joins the max at node level. The backward
+    # recomputes p from this.
+    meta_d, meta_s, n_rows, tk, has_diag = _atail(static, hub)
+    mstack = ell_stack(meta_d, tk["t_idx"], tk["t_eid"],
                        "copy_lhs", "max", el2, None)
     mraw = jnp.take(
         jnp.concatenate([mstack, mraw_hub[:, :h]], axis=0),
-        hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
+        tk["t_inv"], axis=0, mode="fill", fill_value=NEG)
+    if has_diag:
+        diag = hub["at_diag"][:, None]  # (num_dst, 1)
+        mraw = jnp.maximum(mraw, jnp.where(diag > 0, el2[:mraw.shape[0]],
+                                           NEG))
     mz = _leaky(mraw + er2, static.slope)
 
     # Tail in compact slot space; p maps into the ELL stacks through the
     # compact-slot eid arrays.
-    p_t = _tail_p(static, hub, el2, er2, mz)
-    p_num_t = (p_t * _tail_mask(static, hub, seed)
+    p_t = _tail_p(static, tk, el2, er2, mz)
+    p_num_t = (p_t * _tail_mask(static, tk["tail_eid"], seed)
                if static.attn_drop > 0.0 else p_t)
-    tail_dst_ell = {"idx": hub["t_idx"], "eid": hub["t_eid_c"]}
     ft3 = ft2.reshape(-1, h, d)
-    num_stack = ell_stack(m.tail_meta_dst, tail_dst_ell["idx"],
-                          tail_dst_ell["eid"], "mul", "sum", ft3,
-                          p_num_t[:, :, None])
-    den_stack = ell_stack(m.tail_meta_dst, tail_dst_ell["idx"],
-                          tail_dst_ell["eid"], "copy_rhs", "sum", None, p_t)
+    num_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
+                          "mul", "sum", ft3, p_num_t[:, :, None])
+    den_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
+                          "copy_rhs", "sum", None, p_t)
 
     num = jnp.take(
         jnp.concatenate([num_stack.reshape(-1, f), num_hub[:, :f]], axis=0),
-        hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
+        tk["t_inv"], axis=0, mode="fill", fill_value=0.0)
     den = jnp.take(
         jnp.concatenate([den_stack, den_hub[:, :h]], axis=0),
-        hub["t_inv"], axis=0, mode="fill", fill_value=0.0)
+        tk["t_inv"], axis=0, mode="fill", fill_value=0.0)
+
+    if has_diag:
+        # Diagonal (single self-loop) contribution — elementwise O(N).
+        nd = den.shape[0]
+        z_ii = _leaky(el2[:nd] + er2, static.slope)
+        p_ii = jnp.where(diag > 0, jnp.exp(z_ii - mz), 0.0)
+        if static.attn_drop > 0.0:
+            m_ii = _diag_mask(static, hub, seed)
+            p_num_ii = p_ii * m_ii
+        else:
+            p_num_ii = p_ii
+        num = num + (p_num_ii[:, :, None] * ft3[:nd]).reshape(nd, f)
+        den = den + p_ii
 
     # NOTE: 1e-38 is subnormal — flushed to 0 on TPU/CPU, which turns the
     # guard into 0/0=NaN at zero-in-degree rows. Keep the floor normal.
@@ -629,13 +672,14 @@ def _bwd(static, res, ct):
             rho_g, ft_pad, ct_g, r, m.n_groups, f_pad, _dtype_of(static),
             static.attn_drop, seed)
 
-    # ---- tail (compact slot space) ----
-    ts, td = hub["tail_src"], hub["tail_dst"]
-    p_t = _tail_p(static, hub, el2, er2, mz)
+    # ---- tail (compact slot space; diag-stripped view when present) ----
+    meta_d, meta_s, n_rows, tk, has_diag = _atail(static, hub)
+    ts, td = tk["tail_src"], tk["tail_dst"]
+    p_t = _tail_p(static, tk, el2, er2, mz)
     den_t = jnp.take(den, td, axis=0, mode="fill", fill_value=1.0)
     a_t = p_t / den_t
     if static.attn_drop > 0.0:
-        m_t = _tail_mask(static, hub, seed)
+        m_t = _tail_mask(static, tk["tail_eid"], seed)
         a_num_t = a_t * m_t
     else:
         m_t = None
@@ -653,13 +697,13 @@ def _bwd(static, res, ct):
     s_t = el_ts + er_td
     q_t = a_t * (g_t - rho_td) * _dleaky(s_t, slope)
 
-    rev = {"idx": hub["r_idx"], "eid": hub["r_eid_c"],
-           "inv_perm": hub["r_inv"]}
-    gft_tail = ell_reduce(m.tail_meta_src, rev, "mul", "sum",
+    rev = {"idx": tk["r_idx"], "eid": tk["r_eid_c"],
+           "inv_perm": tk["r_inv"]}
+    gft_tail = ell_reduce(meta_s, rev, "mul", "sum",
                           ct3, a_num_t[:, :, None], static.num_src)
-    gel_tail = ell_reduce(m.tail_meta_src, rev, "copy_rhs", "sum",
+    gel_tail = ell_reduce(meta_s, rev, "copy_rhs", "sum",
                           None, q_t, static.num_src)
-    ger_stack = ell_stack(m.tail_meta_dst, hub["t_idx"], hub["t_eid_c"],
+    ger_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
                           "copy_rhs", "sum", None, q_t)
 
     gft = (gft_hub[: static.num_src, :f]
@@ -667,8 +711,32 @@ def _bwd(static, res, ct):
     gel = (gel_hub[: static.num_src, :h] + gel_tail).astype(el2.dtype)
     ger = jnp.take(
         jnp.concatenate([ger_stack, ger_hub[:, :h]], axis=0),
-        hub["t_inv"], axis=0, mode="fill", fill_value=0.0
+        tk["t_inv"], axis=0, mode="fill", fill_value=0.0
     ).astype(er2.dtype)
+
+    if has_diag:
+        # Diagonal (single self-loop) grads — elementwise O(N).
+        nd = er2.shape[0]
+        diag = hub["at_diag"][:, None]
+        z_ii_raw = el2[:nd] + er2
+        p_ii = jnp.where(diag > 0, jnp.exp(_leaky(z_ii_raw, slope) - mz),
+                         0.0)
+        a_ii = p_ii / den
+        if static.attn_drop > 0.0:
+            m_ii = _diag_mask(static, hub, seed)
+            a_num_ii = a_ii * m_ii
+        else:
+            m_ii = None
+            a_num_ii = a_ii
+        g_ii = jnp.sum(ct3[:nd] * ft3[:nd], axis=2)
+        if m_ii is not None:
+            g_ii = g_ii * m_ii
+        q_ii = a_ii * (g_ii - rho) * _dleaky(z_ii_raw, slope)
+        gft = gft.at[:nd].add(
+            (a_num_ii[:, :, None] * ct3[:nd]).reshape(nd, f).astype(
+                ft2.dtype))
+        gel = gel.at[:nd].add(q_ii.astype(el2.dtype))
+        ger = ger + q_ii.astype(er2.dtype)
 
     return (_float0_like(hub), gel, ger, gft,
             np.zeros((1,), dtype=jax.dtypes.float0))

@@ -258,3 +258,58 @@ def test_fused_attn_dropout_semantics():
         fd = (f1 - f0) / (2 * eps)
         an = float(jnp.sum(gx * v))
         np.testing.assert_allclose(an, fd, rtol=2e-2, atol=2e-2), name
+
+
+def test_fused_self_loop_diagonal_extraction():
+    """add_self_loop graphs route single self-loop tail edges to the
+    node-level diagonal (at_* tail variant) — values AND grads must still
+    match the composed oracle, with and without dropout determinism."""
+    base = make_skewed("mixed")
+    e = base.num_edges()
+    src = np.asarray(base.src)[:e]
+    dst = np.asarray(base.dst)[:e]
+    loops = np.arange(N, dtype=src.dtype)
+    floor, dense_floor = CONFIGS["mixed"]
+    g = dgl.graph((np.concatenate([src, loops]),
+                   np.concatenate([dst, loops])), num_nodes=N, hub=floor,
+                  hub_dense_floor=dense_floor)
+    assert can_fuse_attention(g)
+    assert g.hub_dst_meta.at_tail_meta_dst is not None
+    assert float(np.asarray(g.hub_dst["at_diag"]).sum()) > 0
+    # Diag-stripped tail is much smaller than the full tail.
+    assert g.hub_dst_meta.at_n_tail_rows < g.hub_dst_meta.n_tail_rows
+
+    el, er, ft = data(seed=3)
+    a = gat_attention(g, el, er, ft, SLOPE)
+    b = composed(g, el, er, ft)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    def loss(fn):
+        return lambda el, er, ft: jnp.sum(jnp.sin(fn(g, el, er, ft)))
+
+    gf = jax.grad(loss(lambda g, el, er, ft: gat_attention(
+        g, el, er, ft, SLOPE)), argnums=(0, 1, 2))(el, er, ft)
+    gc = jax.grad(loss(composed), argnums=(0, 1, 2))(el, er, ft)
+    for x, y, name in zip(gf, gc, ["el", "er", "ft"]):
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"grad_{name}")
+
+    # Dropout on the diag path: deterministic per seed, finite grads,
+    # and finite-difference agreement under a fixed mask.
+    seed = jnp.asarray([55], jnp.int32)
+    o1 = gat_attention(g, el, er, ft, SLOPE, 0.5, seed)
+    o2 = gat_attention(g, el, er, ft, SLOPE, 0.5, seed)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def dloss(el_, er_, ft_):
+        return jnp.sum(gat_attention(g, el_, er_, ft_, SLOPE, 0.5, seed)
+                       ** 2)
+
+    gel, ger, gft = jax.grad(dloss, argnums=(0, 1, 2))(el, er, ft)
+    v = jnp.asarray(np.random.default_rng(9).normal(
+        size=er.shape).astype(np.float32))
+    eps = 1e-3
+    fd = (float(dloss(el, er + eps * v, ft))
+          - float(dloss(el, er - eps * v, ft))) / (2 * eps)
+    an = float(jnp.sum(ger * v))
+    np.testing.assert_allclose(an, fd, rtol=2e-2, atol=2e-2)

@@ -39,7 +39,8 @@ def make_graph(scale: str):
     return g, n, in_f, classes
 
 
-def bench(model_name: str, scale: str, epochs: int = 20):
+def bench(model_name: str, scale: str, epochs: int = 20,
+          fwd_only: bool = False):
     import dgl1_tpu as dgl  # noqa: F401
     from dgl1_tpu.models import GAT, GCN, RGCN
 
@@ -103,6 +104,11 @@ def bench(model_name: str, scale: str, epochs: int = 20):
     def run(g, rel_graphs, params, opt_state):
         def body(i, carry):
             params, opt_state = carry
+            if fwd_only:
+                # Perturb one leaf by the loss so the chain can't hoist.
+                leaves, tree = jax.tree.flatten(params)
+                leaves[0] = leaves[0] + loss_fn(params, g, rel_graphs) * 1e-12
+                return jax.tree.unflatten(tree, leaves), opt_state
             grads = jax.grad(loss_fn)(params, g, rel_graphs)
             updates, opt_state = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state
@@ -136,10 +142,12 @@ def main():
     p.add_argument("--model", default="all",
                    choices=["gcn", "gat", "rgcn", "all"])
     p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--fwd-only", action="store_true",
+                   help="time the forward pass only (no grad/adam)")
     args = p.parse_args()
     models = ["gcn", "gat"] if args.model == "all" else [args.model]
     for mname in models:
-        bench(mname, args.scale, args.epochs)
+        bench(mname, args.scale, args.epochs, args.fwd_only)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ def main():
     p.add_argument("--iters", default="10,60")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--precision", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--self-loops", action="store_true",
+                   help="add self loops (bench_models graph parity)")
     args = p.parse_args()
 
     import jax
@@ -40,6 +42,9 @@ def main():
 
     n = args.nodes
     g = powerlaw_graph(n, args.deg, seed=0)
+    if args.self_loops:
+        import dgl1_tpu as d2
+        g = d2.add_self_loop(g)
     assert can_fuse_attention(g), "hub format missing"
     e = g.num_edges()
     g = jax.device_put(g)
