@@ -62,13 +62,12 @@ class HubMeta(NamedTuple):
     tail_meta_src: Tuple  # ELL bucket meta, reduce-by-src (tail reverse)
     n_tail_rows: int     # nonzero rows in the tail ELL stack
     covered: int         # hub edges (dense + chunked tiers)
-    # Attention-only tail variant with single self-loop edges extracted
-    # to node-level "diagonal" arrays: add_self_loop graphs otherwise
-    # give EVERY node a tail row (169k rows at arxiv scale, +110ms on
-    # the attention backward) for what is an elementwise O(N) term.
-    at_tail_meta_dst: Optional[Tuple] = None
-    at_tail_meta_src: Optional[Tuple] = None
-    at_n_tail_rows: int = 0
+    # Single self-loop TAIL edges are extracted to node-level
+    # "diagonal" arrays (add_self_loop graphs otherwise give EVERY node
+    # a tail row — 169k rows at arxiv scale, +110ms on the attention
+    # backward — for what is an elementwise O(N) term). Consumers add
+    # the diagonal explicitly (engine_hub + ops/attention).
+    has_diag: bool = False
 
 
 def _pad_runs(order: np.ndarray, run_ids: np.ndarray,
@@ -353,28 +352,29 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     t_dst = dst_e[~is_hub]
     t_src = src_e[~is_hub]
     t_eid = eid_e[~is_hub]
-    full_tail = _build_tail(t_dst, t_src, t_eid)
-    tail_meta_dst = list(full_tail["meta_dst"])
-    tail_meta_src = list(full_tail["meta_src"])
-    n_tail_rows = full_tail["n_rows"]
 
-    # Attention tail variant: extract single self-loop TAIL edges to a
-    # node-level diagonal (add_self_loop graphs give every node a tail
-    # row otherwise — the term is elementwise O(N), not a sparse op).
+    # Extract single self-loop TAIL edges to a node-level diagonal
+    # (add_self_loop graphs give every node a tail row otherwise — the
+    # term is elementwise O(N), not a sparse op). Nodes with multiple
+    # self-loops keep them in the tail (exact multigraph semantics).
     is_diag = t_src == t_dst
     dcnt = np.bincount(t_dst[is_diag], minlength=num_dst) if len(t_dst) \
         else np.zeros((num_dst,), np.int64)
     take = is_diag & (dcnt[t_dst] == 1)
-    at_tail = None
-    at_diag = np.zeros((0,), np.float32)
-    at_diag_eid = np.zeros((0,), ID_DTYPE)
-    if take.any():
-        at_diag = np.zeros((num_dst,), np.float32)
-        at_diag[t_dst[take]] = 1.0
-        at_diag_eid = np.zeros((num_dst,), ID_DTYPE)
-        at_diag_eid[t_dst[take]] = t_eid[take]
+    has_diag = bool(take.any())
+    diag = np.zeros((num_dst,), np.float32)
+    diag_eid = np.zeros((num_dst,), ID_DTYPE)
+    diag_edge_dst = np.full((num_padded,), SENT, dtype=ID_DTYPE)
+    if has_diag:
+        diag[t_dst[take]] = 1.0
+        diag_eid[t_dst[take]] = t_eid[take]
+        diag_edge_dst[t_eid[take]] = t_dst[take].astype(ID_DTYPE)
         keep = ~take
-        at_tail = _build_tail(t_dst[keep], t_src[keep], t_eid[keep])
+        t_dst, t_src, t_eid = t_dst[keep], t_src[keep], t_eid[keep]
+    full_tail = _build_tail(t_dst, t_src, t_eid)
+    tail_meta_dst = list(full_tail["meta_dst"])
+    tail_meta_src = list(full_tail["meta_src"])
+    n_tail_rows = full_tail["n_rows"]
 
     # ------------------------------------------------------------------
     # Expand-merge descriptors: the final inverse-permute (out[v] =
@@ -417,11 +417,7 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         tail_meta_src=tuple(tail_meta_src),
         n_tail_rows=n_tail_rows,
         covered=int(is_hub.sum()),
-        at_tail_meta_dst=(at_tail["meta_dst"] if at_tail is not None
-                          else None),
-        at_tail_meta_src=(at_tail["meta_src"] if at_tail is not None
-                          else None),
-        at_n_tail_rows=(at_tail["n_rows"] if at_tail is not None else 0),
+        has_diag=has_diag,
     )
     arrays = {
         "full_fwd": full_fwd,
@@ -442,11 +438,8 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         "tail_eid": full_tail["tail_eid"],
         "edge_to_fslot": edge_to_fslot,
         "edge_to_tslot": full_tail["edge_to_tslot"],
-        "at_diag": at_diag, "at_diag_eid": at_diag_eid,
+        "diag": diag, "diag_eid": diag_eid,
+        "diag_edge_dst": diag_edge_dst,
         "x_desc": x_desc, "x_starts": x_starts_p,
     }
-    if at_tail is not None:
-        for k in ("t_idx", "t_eid", "t_eid_c", "t_inv", "r_idx", "r_eid",
-                  "r_eid_c", "r_inv", "tail_src", "tail_dst", "tail_eid"):
-            arrays["at_" + k] = at_tail[k]
     return meta, arrays

@@ -498,21 +498,15 @@ def _hub_rows_128(x, hub_ids, n_groups):
 
 
 def _atail(static, hub):
-    """Attention tail view: the diag-stripped variant when the layout
-    carries one (single self-loop edges handled as a node-level
-    diagonal), else the full tail."""
-    m = static.meta
-    if m.at_tail_meta_dst is not None and "at_t_idx" in hub:
-        keys = {k: hub["at_" + k] for k in
-                ("t_idx", "t_eid", "t_eid_c", "t_inv", "r_idx", "r_eid_c",
-                 "r_inv", "tail_src", "tail_dst", "tail_eid")}
-        return (m.at_tail_meta_dst, m.at_tail_meta_src, m.at_n_tail_rows,
-                keys, True)
+    """The tail view (single self-loop edges are already extracted to
+    the node-level diagonal at format-build time; ``has_diag`` says
+    whether the diagonal term applies)."""
     keys = {k: hub[k] for k in
             ("t_idx", "t_eid", "t_eid_c", "t_inv", "r_idx", "r_eid_c",
              "r_inv", "tail_src", "tail_dst", "tail_eid")}
     return (static.meta.tail_meta_dst, static.meta.tail_meta_src,
-            static.meta.n_tail_rows, keys, False)
+            static.meta.n_tail_rows, keys,
+            getattr(static.meta, "has_diag", False))
 
 
 def _tail_p(static, tk, el2, er2, mz):
@@ -533,7 +527,7 @@ def _dtype_of(static):
 def _diag_mask(static, hub, seed):
     """Dropout keep mask for the extracted self-loop edges (node-level)."""
     head = jnp.arange(BLK, dtype=jnp.int32)[None, :static.h]
-    key = hub["at_diag_eid"][:, None] * jnp.int32(131) + head
+    key = hub["diag_eid"][:, None] * jnp.int32(131) + head
     return _drop_mask(key, seed[0], static.attn_drop)
 
 
@@ -581,7 +575,7 @@ def _attn_forward(static, hub, el2, er2, ft2, seed):
         jnp.concatenate([mstack, mraw_hub[:, :h]], axis=0),
         tk["t_inv"], axis=0, mode="fill", fill_value=NEG)
     if has_diag:
-        diag = hub["at_diag"][:, None]  # (num_dst, 1)
+        diag = hub["diag"][:, None]  # (num_dst, 1)
         mraw = jnp.maximum(mraw, jnp.where(diag > 0, el2[:mraw.shape[0]],
                                            NEG))
     mz = _leaky(mraw + er2, static.slope)
@@ -717,7 +711,7 @@ def _bwd(static, res, ct):
     if has_diag:
         # Diagonal (single self-loop) grads — elementwise O(N).
         nd = er2.shape[0]
-        diag = hub["at_diag"][:, None]
+        diag = hub["diag"][:, None]
         z_ii_raw = el2[:nd] + er2
         p_ii = jnp.where(diag > 0, jnp.exp(_leaky(z_ii_raw, slope) - mz),
                          0.0)

@@ -424,6 +424,25 @@ def _dtype_of(static):
     return jnp.bfloat16 if static.prec == "bf16" else jnp.float32
 
 
+def _diag_term(static, hub, u, e):
+    """Contribution of the extracted single self-loop edges (node-level
+    O(N) — see hub_format: they would otherwise give every node a tail
+    row on add_self_loop graphs)."""
+    nd = static.num_dst
+    diag = hub["diag"]
+    if static.op == "copy_lhs":
+        d = diag.reshape((nd,) + (1,) * len(static.out_feat))
+        return d * u[:nd]
+    e2 = e.reshape(e.shape[0], static.he)
+    ed = jnp.take(e2, hub["diag_eid"], axis=0, mode="fill",
+                  fill_value=0.0) * diag[:, None]  # (nd, he)
+    if static.op == "copy_rhs":
+        return ed.reshape((nd,) + tuple(static.out_feat))
+    u3 = u.reshape(u.shape[0], static.he, static.rep)
+    return (u3[:nd] * ed[:, :, None]).reshape(
+        (nd,) + tuple(static.out_feat))
+
+
 def _float0_like(tree):
     return jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), tree
@@ -495,10 +514,14 @@ def _hub_forward(static, hub, u, e):
         merged2 = _pad_2d(merged.reshape(merged.shape[0], ff), m_pad, f_pad)
         out2 = _expand_call(merged2, hub["x_starts"], hub["x_desc"],
                             static.num_dst)
-        return out2[:, :ff].reshape((static.num_dst,)
-                                    + tuple(static.out_feat))
-    return jnp.take(merged, hub["t_inv"], axis=0, mode="fill",
-                    fill_value=0.0)
+        out = out2[:, :ff].reshape((static.num_dst,)
+                                   + tuple(static.out_feat))
+    else:
+        out = jnp.take(merged, hub["t_inv"], axis=0, mode="fill",
+                       fill_value=0.0)
+    if getattr(m, "has_diag", False):
+        out = out + _diag_term(static, hub, u, e).astype(out.dtype)
+    return out
 
 
 def _fwd(static, hub, u, e):
@@ -557,8 +580,19 @@ def _bwd(static, res, ct):
         gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, tail_op, "sum",
                              ct, e if tail_op == "mul" else None,
                              static.num_src)
-        gu = (gu_tail.reshape(static.num_src, ff)
-              + gu_hub).astype(u.dtype).reshape(u.shape)
+        gu2 = gu_tail.reshape(static.num_src, ff) + gu_hub
+        if getattr(m, "has_diag", False):
+            nd = static.num_dst
+            if op == "copy_lhs":
+                add = hub["diag"][:, None] * ct2[:nd]
+            else:  # mul
+                e2 = e.reshape(e.shape[0], static.he)
+                ed = jnp.take(e2, hub["diag_eid"], axis=0, mode="fill",
+                              fill_value=0.0) * hub["diag"][:, None]
+                ct3d = ct2[:nd].reshape(nd, static.he, static.rep)
+                add = (ct3d * ed[:, :, None]).reshape(nd, ff)
+            gu2 = gu2.at[:nd].add(add)
+        gu = gu2.astype(u.dtype).reshape(u.shape)
 
     # ---- grad_e ----
     if static.has_e and op in ("mul", "copy_rhs"):
@@ -585,12 +619,23 @@ def _bwd(static, res, ct):
             ct_h = ct2.reshape(ct.shape[0], he)
             ge_tail = jnp.take(ct_h, hub["tail_dst"], axis=0, mode="fill",
                                fill_value=0.0)
-        ge = (
+        ge2 = (
             jnp.take(ge_hub, hub["edge_to_fslot"], axis=0, mode="fill",
                      fill_value=0.0)
             + jnp.take(ge_tail, hub["edge_to_tslot"], axis=0, mode="fill",
                        fill_value=0.0)
-        ).astype(e.dtype).reshape(e.shape)
+        )
+        if getattr(m, "has_diag", False):
+            nd = static.num_dst
+            if op == "mul":
+                u3d = u.reshape(u.shape[0], he, static.rep)
+                ct3d = ct2[:nd].reshape(nd, he, static.rep)
+                ge_diag = jnp.sum(u3d[:nd] * ct3d, axis=2)  # (nd, he)
+            else:
+                ge_diag = ct2[:nd].reshape(nd, he)
+            ge2 = ge2 + jnp.take(ge_diag, hub["diag_edge_dst"], axis=0,
+                                 mode="fill", fill_value=0.0)
+        ge = ge2.astype(e.dtype).reshape(e.shape)
     else:
         ge = jnp.zeros_like(e)
 

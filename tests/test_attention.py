@@ -274,10 +274,11 @@ def test_fused_self_loop_diagonal_extraction():
                    np.concatenate([dst, loops])), num_nodes=N, hub=floor,
                   hub_dense_floor=dense_floor)
     assert can_fuse_attention(g)
-    assert g.hub_dst_meta.at_tail_meta_dst is not None
-    assert float(np.asarray(g.hub_dst["at_diag"]).sum()) > 0
-    # Diag-stripped tail is much smaller than the full tail.
-    assert g.hub_dst_meta.at_n_tail_rows < g.hub_dst_meta.n_tail_rows
+    assert g.hub_dst_meta.has_diag
+    assert float(np.asarray(g.hub_dst["diag"]).sum()) > 0
+    # The diag-stripped tail is much smaller than a tail that would
+    # carry one row per self-looped node.
+    assert g.hub_dst_meta.n_tail_rows < N
 
     el, er, ft = data(seed=3)
     a = gat_attention(g, el, er, ft, SLOPE)

@@ -191,6 +191,46 @@ def test_hub_wide_features_multi_block(config, op):
     np.testing.assert_allclose(gp[1], gx[1], rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("config", list(CONFIGS))
+@pytest.mark.parametrize("op", ["copy_lhs", "mul", "copy_rhs"])
+def test_hub_self_loop_diagonal(config, op):
+    """add_self_loop graphs: single self-loop tail edges are extracted
+    to the node-level diagonal (hub_format ``has_diag``) — values AND
+    grads (incl. grad_e at the extracted edge ids) must match the
+    oracle."""
+    base = make_skewed(config)
+    e0 = base.num_edges()
+    src = np.asarray(base.src)[:e0]
+    dst = np.asarray(base.dst)[:e0]
+    loops = np.arange(N, dtype=src.dtype)
+    floor, dense_floor = CONFIGS[config]
+    g = dgl.graph((np.concatenate([src, loops]),
+                   np.concatenate([dst, loops])), num_nodes=N, hub=floor,
+                  hub_dense_floor=dense_floor)
+    if not g.hub_dst_meta.has_diag:
+        pytest.skip("all loops landed on hub destinations")
+    u, e = data(7, shift=0.0, e_rows=g.num_edges_padded())
+    ee = None if op == "copy_lhs" else e
+    uu = None if op == "copy_rhs" else u
+    a = gspmm_hub(g, op, "sum", uu, ee)
+    b = gspmm_xla(g, op, "sum", uu, ee)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+    def mk(fn):
+        def loss(u, e):
+            return jnp.sum(jnp.sin(fn(
+                g, op, "sum",
+                None if op == "copy_rhs" else u,
+                None if op == "copy_lhs" else e)))
+
+        return loss
+
+    gp = jax.grad(mk(gspmm_hub), argnums=(0, 1))(u, e)
+    gx = jax.grad(mk(gspmm_xla), argnums=(0, 1))(u, e)
+    np.testing.assert_allclose(gp[0], gx[0], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(gp[1], gx[1], rtol=1e-3, atol=1e-3)
+
+
 def test_hub_padded_edges():
     g = make_skewed("mixed", pad=53)
     u, e = data(3, e_rows=E + 53)
