@@ -24,9 +24,17 @@ class as_edge_prediction_sampler:
     """Wraps a block sampler for edge batches (parity with the 0.8-era
     ``as_edge_prediction_sampler``; also used internally by EdgeDataLoader)."""
 
-    def __init__(self, sampler, negative_sampler=None):
+    def __init__(self, sampler, negative_sampler=None, exclude=None,
+                 reverse_eids=None):
+        if exclude not in (None, "self", "reverse_id"):
+            raise ValueError(f"unsupported exclude mode {exclude!r}")
+        if exclude == "reverse_id" and reverse_eids is None:
+            raise ValueError("exclude='reverse_id' needs reverse_eids")
         self.sampler = sampler
         self.negative_sampler = negative_sampler
+        self.exclude = exclude
+        self.reverse_eids = (None if reverse_eids is None
+                             else np.asarray(reverse_eids, dtype=np.int64))
 
     def sample(self, g: Graph, eids: np.ndarray,
                rng: Optional[np.random.Generator] = None):
@@ -51,7 +59,13 @@ class as_edge_prediction_sampler:
             (inv[2 * n:2 * n + k], inv[2 * n + k:]),
             num_src_nodes=len(uniq), num_dst_nodes=len(uniq),
         )
-        input_nodes, _, blocks = self.sampler.sample_blocks(g, uniq, rng=rng)
+        exc = None
+        if self.exclude == "self":
+            exc = eids
+        elif self.exclude == "reverse_id":
+            exc = np.concatenate([eids, self.reverse_eids[eids]])
+        input_nodes, _, blocks = self.sampler.sample_blocks(
+            g, uniq, rng=rng, exclude_eids=exc)
         import jax.numpy as jnp
 
         pos_graph.srcdata["_ID"] = jnp.asarray(uniq.astype(np.int32))
@@ -70,10 +84,13 @@ class EdgeDataLoader:
 
     def __init__(self, g: Graph, eids, sampler, batch_size: int = 1024,
                  shuffle: bool = True, negative_sampler=None,
-                 drop_last: bool = True, seed: Optional[int] = None):
+                 drop_last: bool = True, seed: Optional[int] = None,
+                 exclude=None, reverse_eids=None):
         self.g = g
         self.eids = np.asarray(eids, dtype=np.int64)
-        self.wrapped = as_edge_prediction_sampler(sampler, negative_sampler)
+        self.wrapped = as_edge_prediction_sampler(
+            sampler, negative_sampler, exclude=exclude,
+            reverse_eids=reverse_eids)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last

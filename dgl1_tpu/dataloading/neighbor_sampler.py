@@ -56,9 +56,16 @@ class NeighborSampler:
         return list(reversed(bounds))
 
     def sample_blocks(self, g: Graph, seed_nodes,
-                      rng: Optional[np.random.Generator] = None):
+                      rng: Optional[np.random.Generator] = None,
+                      exclude_eids=None):
         """Returns (input_nodes, output_nodes, blocks) with blocks ordered
-        input-side first (parity with the reference)."""
+        input-side first (parity with the reference).
+
+        ``exclude_eids``: edge ids never sampled into any block (the
+        link-prediction leakage guard — parity:
+        ``EdgeCollator(exclude=...)``). Exclusion filters the frontier
+        edge list, so it takes the numpy sampling path (the fused C++
+        sampler has no exclusion)."""
         seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
         bounds = (
             self._layer_bounds(len(seed_nodes)) if self.static_shapes else
@@ -72,8 +79,9 @@ class NeighborSampler:
         for layer in reversed(range(len(self.fanouts))):
             fanout = self.fanouts[layer]
             b = bounds[layer]
-            if b is not None and supports_fused(g, fanout, self.prob,
-                                                self.replace):
+            if (b is not None and exclude_eids is None
+                    and supports_fused(g, fanout, self.prob,
+                                       self.replace)):
                 # One native pass: sample + relabel + padded block with
                 # both ELL directions (sampling/fused.py) — ~10x the
                 # numpy pipeline at products scale.
@@ -93,6 +101,21 @@ class NeighborSampler:
                 g, seeds[:num_real], fanout, prob=self.prob,
                 replace=self.replace, rng=rng, formats=("coo",),
             )
+            if exclude_eids is not None and "_ID" in frontier.edata:
+                from dgl1_tpu.graph import graph as _graph
+
+                fe = frontier.num_edges()
+                feid = np.asarray(frontier.edata["_ID"])[:fe]
+                keep = ~np.isin(feid, exclude_eids)
+                fsrc = np.asarray(frontier.src)[:fe][keep]
+                fdst = np.asarray(frontier.dst)[:fe][keep]
+                frontier = _graph((fsrc, fdst),
+                                  num_nodes=frontier.num_nodes(),
+                                  formats=("coo",))
+                import jax.numpy as _jnp
+
+                frontier.edata["_ID"] = _jnp.asarray(
+                    feid[keep].astype(np.int32))
             blk = to_block(
                 frontier,
                 seeds,
