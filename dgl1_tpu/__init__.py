@@ -122,6 +122,7 @@ from dgl1_tpu import dataloading
 from dgl1_tpu import data
 from dgl1_tpu import nn
 from dgl1_tpu import parallel
+from dgl1_tpu.parallel import metis_partition, metis_partition_assignment
 from dgl1_tpu import models
 from dgl1_tpu import utils
 from dgl1_tpu import udf
@@ -157,8 +158,12 @@ from dgl1_tpu.traversal import (
     dfs_edges_generator,
 )
 
-# DistDGL-parity alias: `dgl.distributed` -> parallel package.
+# DistDGL-parity alias: `dgl.distributed` -> parallel package (also
+# registered in sys.modules so `import dgl1_tpu.distributed` works).
+import sys as _sys
+
 distributed = parallel
+_sys.modules[__name__ + ".distributed"] = parallel
 
 __version__ = "0.1.0"
 

@@ -12,6 +12,7 @@ from dgl1_tpu.parallel.partition import (
     partition_graph,
     load_partition,
     metis_partition_assignment,
+    metis_partition,
     greedy_partition_assignment,
     random_partition_assignment,
     edge_cut_fraction,
@@ -37,6 +38,7 @@ __all__ = [
     "partition_graph",
     "load_partition",
     "metis_partition_assignment",
+    "metis_partition",
     "greedy_partition_assignment",
     "random_partition_assignment",
     "edge_cut_fraction",

@@ -278,3 +278,37 @@ def load_partition(out_path: str, graph_name: str, part_id: int):
         feats = {k: np.array(z[k]) for k in z.files}
     book["part_assignment"] = np.load(out / "node_part.npy")
     return lg, feats, book
+
+
+def metis_partition(g: Graph, k: int, extra_cached_hops: int = 0,
+                    **kw):
+    """Parity: ``dgl.transform.metis_partition`` — returns
+    ``{part_id: node-induced subgraph}`` with ``ndata['inner_node']``
+    flags (1 for owned nodes, 0 for the ``extra_cached_hops``-hop halo),
+    original ids in ``ndata['_ID']``. Assignment via the LDG greedy
+    partitioner (METIS is not bundled; documented divergence)."""
+    import jax.numpy as jnp
+
+    from dgl1_tpu.transform import node_subgraph
+
+    part = metis_partition_assignment(g, k, **kw)
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e]
+    dst = np.asarray(g.dst)[:e]
+    out = {}
+    for p in range(k):
+        inner = part == p
+        nodes = inner.copy()
+        for _ in range(extra_cached_hops):
+            touched = np.zeros_like(nodes)
+            sel = nodes[dst]
+            touched[src[sel]] = True
+            sel = nodes[src]
+            touched[dst[sel]] = True
+            nodes |= touched
+        ids = np.flatnonzero(nodes)
+        sub = node_subgraph(g, ids)
+        sub.ndata["inner_node"] = jnp.asarray(
+            inner[ids].astype(np.int32))
+        out[p] = sub
+    return out

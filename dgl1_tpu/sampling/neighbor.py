@@ -141,3 +141,33 @@ def sample_neighbors(
     # Host-side numpy on purpose (sampling hot path; see fused.py note).
     frontier.edata["_ID"] = eids.astype(np.int32)
     return frontier
+
+
+def select_topk(g, k: int, weight: str, nodes=None, edge_dir: str = "in",
+                ascending: bool = False):
+    """Subgraph keeping each node's top-k in-edges by ``edata[weight]``
+    (parity: ``dgl.sampling.select_topk``). Host-side preprocessing like
+    the samplers; returns an edge-induced subgraph in the parent's node
+    space with ``edata['_ID']``."""
+    import numpy as np
+
+    from dgl1_tpu.transform import edge_subgraph
+
+    if edge_dir != "in":
+        raise NotImplementedError("select_topk supports edge_dir='in'")
+    w = np.asarray(g.edata[weight]).reshape(-1)[: g.num_edges()]
+    indptr = np.asarray(g.csc_indptr)
+    eid = np.asarray(g.csc_eid)
+    if nodes is None:
+        nodes = np.arange(g.num_dst_nodes())
+    keep = []
+    for v in np.asarray(nodes, dtype=np.int64):
+        lo, hi = int(indptr[v]), int(indptr[v + 1])
+        ids = eid[lo:hi]
+        if len(ids) > k:
+            order = np.argsort(w[ids])
+            ids = ids[order[:k]] if ascending else ids[order[-k:]]
+        keep.append(ids)
+    keep = (np.concatenate(keep) if keep
+            else np.zeros((0,), dtype=np.int64))
+    return edge_subgraph(g, np.sort(keep), relabel_nodes=False)

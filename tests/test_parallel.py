@@ -281,3 +281,20 @@ def test_sharded_gat_attention_matches_single_device():
     ref = jax.grad(loss_single, argnums=(0, 1, 2))(el, er, ft)
     for a, b in zip(got, ref):
         np.testing.assert_allclose(a, np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_metis_partition_parity_surface():
+    """dgl.metis_partition returns per-part node subgraphs with
+    inner_node flags and halo hops (parity: dgl.transform.metis_partition
+    via the LDG greedy assignment)."""
+    g = dgl.rand_graph(80, 320, seed=9)
+    parts = dgl.metis_partition(g, 4, extra_cached_hops=1)
+    assert set(parts) == {0, 1, 2, 3}
+    inner_total = 0
+    for p in parts.values():
+        flags = np.asarray(p.ndata["inner_node"])
+        assert "_ID" in p.ndata
+        inner_total += int(flags.sum())
+        # halo nodes exist (dense-ish random graph)
+        assert flags.sum() <= p.num_nodes()
+    assert inner_total == 80

@@ -311,3 +311,25 @@ def test_sampler_exclude_eids_filters_frontier():
         assert not np.isin(real, excl).any()
         checked += 1
     assert checked == 2
+
+
+def test_select_topk():
+    import dgl1_tpu as dgl
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    g = dgl.rand_graph(30, 240, seed=5)
+    w = rng.random(240).astype(np.float32)
+    g.edata["w"] = jnp.asarray(w)
+    sub = dgl.sampling.select_topk(g, 3, "w")
+    assert int(np.asarray(sub.in_degrees()).max()) <= 3
+    # Kept edges per node are the max-weight ones.
+    eids = np.asarray(sub.edata["_ID"])
+    src = np.asarray(g.src)[:240]
+    dst = np.asarray(g.dst)[:240]
+    for v in range(30):
+        all_in = np.flatnonzero(dst == v)
+        kept = eids[np.asarray(sub.dst)[: sub.num_edges()] == v]
+        if len(all_in) > 3:
+            topk = all_in[np.argsort(w[all_in])[-3:]]
+            assert set(kept) == set(topk)
