@@ -13,6 +13,7 @@ from dgl1_tpu.parallel.partition import (
     load_partition,
     metis_partition_assignment,
     metis_partition,
+    multilevel_partition_assignment,
     greedy_partition_assignment,
     random_partition_assignment,
     edge_cut_fraction,
@@ -39,6 +40,7 @@ __all__ = [
     "load_partition",
     "metis_partition_assignment",
     "metis_partition",
+    "multilevel_partition_assignment",
     "greedy_partition_assignment",
     "random_partition_assignment",
     "edge_cut_fraction",

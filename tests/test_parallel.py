@@ -298,3 +298,36 @@ def test_metis_partition_parity_surface():
         # halo nodes exist (dense-ish random graph)
         assert flags.sum() <= p.num_nodes()
     assert inner_total == 80
+
+
+def test_multilevel_partitioner_beats_greedy_on_grid():
+    """Multilevel HEM coarsening + Fennel-stream coarsest + label-prop
+    refinement must clearly beat the flat LDG stream on geometric
+    graphs (SURVEY hard part #5); metis_partition_assignment keeps the
+    better of the two."""
+    from dgl1_tpu.parallel import (multilevel_partition_assignment,
+                                   metis_partition_assignment)
+
+    L = 60
+    src, dst = [], []
+    for r in range(L):
+        for c in range(L):
+            if c + 1 < L:
+                src.append(r * L + c)
+                dst.append(r * L + c + 1)
+            if r + 1 < L:
+                src.append(r * L + c)
+                dst.append((r + 1) * L + c)
+    src, dst = np.array(src), np.array(dst)
+    g = dgl.graph((np.concatenate([src, dst]),
+                   np.concatenate([dst, src])), num_nodes=L * L,
+                  formats=("csc",))
+    k = 4
+    cut_g = edge_cut_fraction(g, greedy_partition_assignment(g, k))
+    pm = multilevel_partition_assignment(g, k)
+    cut_m = edge_cut_fraction(g, pm)
+    sizes = np.bincount(pm, minlength=k)
+    assert sizes.min() > 0 and sizes.max() <= 1.2 * L * L / k
+    assert cut_m < cut_g
+    cut_best = edge_cut_fraction(g, metis_partition_assignment(g, k))
+    assert cut_best <= min(cut_m, cut_g) + 1e-9
