@@ -58,7 +58,7 @@ def main():
     from dgl1_tpu.parallel import (build_partitioned_graph,
                                    vertex_cut_edge_owner)
     from dgl1_tpu.parallel.partition import (edge_cut_fraction,
-                                             greedy_partition_assignment)
+                                             metis_partition_assignment)
 
     # ogbn-like degree profile: Zipf-ish skew but with the max in-degree
     # capped at ~0.5% of E (products: max deg is ~0.014% of E). An
@@ -84,7 +84,7 @@ def main():
     ks = [int(x) for x in args.parts.split(",")]
     for k in ks:
         part = (np.zeros(args.nodes, np.int32) if k == 1
-                else greedy_partition_assignment(g, k, balance_edges=True))
+                else metis_partition_assignment(g, k, balance_edges=True))
         # Vertex-cut edge ownership when it improves compute balance.
         pg_halo = build_partitioned_graph(g, part, k)
         pg = pg_halo
