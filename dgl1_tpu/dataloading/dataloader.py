@@ -33,7 +33,8 @@ class NodeCollator:
         self.sampler = sampler
         self.rng = rng or dgl_random.default_rng()
 
-    def collate(self, seeds: np.ndarray, batch_size: int):
+    def collate(self, seeds: np.ndarray, batch_size: int,
+                ntype: Optional[str] = None):
         seeds = np.asarray(seeds, dtype=np.int64)
         n_real = len(seeds)
         if n_real < batch_size:
@@ -42,7 +43,8 @@ class NodeCollator:
         mask = np.zeros((batch_size,), dtype=bool)
         mask[:n_real] = True
         input_nodes, output_nodes, blocks = self.sampler.sample_blocks(
-            self.g, seeds, rng=self.rng
+            self.g, seeds if ntype is None else {ntype: seeds}, rng=self.rng,
+            num_real=n_real,
         )
         return input_nodes, output_nodes, blocks, mask
 
@@ -55,11 +57,20 @@ class NodeDataLoader:
     processes; sampling is numpy so threads release the GIL on the hot ops).
     """
 
-    def __init__(self, g: Graph, nids, sampler, batch_size: int = 1024,
+    def __init__(self, g, nids, sampler, batch_size: int = 1024,
                  shuffle: bool = True, drop_last: bool = False,
                  prefetch: int = 2, seed: Optional[int] = None,
                  num_workers: int = 1):
         self.g = g
+        # Heterograph seeds: a {ntype: ids} dict with one seed node type
+        # (parity: dgl.dataloading.DataLoader on heterographs; multi-ntype
+        # seed batching is not supported).
+        self.seed_ntype = None
+        if isinstance(nids, dict):
+            if len(nids) != 1:
+                raise ValueError(
+                    "hetero NodeDataLoader takes one seed node type")
+            self.seed_ntype, nids = next(iter(nids.items()))
         self.nids = np.asarray(nids, dtype=np.int64)
         self.sampler = sampler
         self.batch_size = batch_size
@@ -90,7 +101,8 @@ class NodeDataLoader:
     def __iter__(self) -> Iterator:
         if self.prefetch <= 0:
             for seeds in self._batches():
-                yield self.collator.collate(seeds, self.batch_size)
+                yield self.collator.collate(seeds, self.batch_size,
+                                            ntype=self.seed_ntype)
             return
 
         # num_workers > 1: strided workers with per-worker bounded queues,
@@ -126,7 +138,8 @@ class NodeDataLoader:
                     if cancel.is_set():
                         return
                     coll.rng = np.random.default_rng(seeds_ss[i])
-                    if not put(w, coll.collate(batches[i], self.batch_size)):
+                    if not put(w, coll.collate(batches[i], self.batch_size,
+                                               ntype=self.seed_ntype)):
                         return
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)

@@ -18,7 +18,7 @@ import numpy as np
 
 from dgl1_tpu.graph import Graph
 from dgl1_tpu.sampling.fused import sample_block_fused, supports_fused
-from dgl1_tpu.sampling.neighbor import sample_neighbors
+from dgl1_tpu.sampling.neighbor import _etype_fanout, sample_neighbors
 from dgl1_tpu.transform import to_block
 
 __all__ = [
@@ -55,9 +55,76 @@ class NeighborSampler:
                 dst = src
         return list(reversed(bounds))
 
-    def sample_blocks(self, g: Graph, seed_nodes,
+    def _layer_bounds_hetero(self, g, seed_counts: dict) -> List[dict]:
+        """Deterministic per-layer (src-per-ntype, edges-per-etype) bounds
+        for the hetero pipeline, outermost first. ``seed_counts``:
+        {ntype: padded seed count} of the output layer."""
+        bounds = []
+        dst = dict(seed_counts)
+        for fanout in reversed(self.fanouts):
+            edges = {}
+            ks = {}
+            src = dict(dst)  # dst nodes are included on the src side
+            for c in g.canonical_etypes:
+                st, _, dt = c
+                k = _etype_fanout(fanout, c)
+                if k < 0:
+                    raise ValueError(
+                        "full-neighborhood fanout has no static bound; use "
+                        "static_shapes=False")
+                e = dst.get(dt, 0) * k
+                edges[c] = e
+                ks[c] = k
+                src[st] = src.get(st, 0) + e
+            bounds.append({"src": src, "edges": edges, "k": ks})
+            dst = src
+        return list(reversed(bounds))
+
+    def sample_blocks_hetero(self, g, seed_nodes: dict,
+                             rng: Optional[np.random.Generator] = None,
+                             num_real: Optional[dict] = None):
+        """Hetero analog of :meth:`sample_blocks`: ``seed_nodes`` is a
+        ``{ntype: ids}`` dict; fanouts entries may be per-etype dicts.
+        Returns (input_nodes_dict, output_nodes_dict, blocks) with blocks
+        input-side first. Parity: ``MultiLayerNeighborSampler`` on
+        heterographs (``python/dgl/dataloading/neighbor.py``).
+
+        ``num_real``: per-ntype count of REAL seeds — entries beyond it
+        are static-shape padding (e.g. the collator repeats the last seed
+        to fill a partial batch) and are never sampled or relabeled."""
+        seed_nodes = {nt: np.asarray(v, dtype=np.int64)
+                      for nt, v in seed_nodes.items()}
+        bounds = (
+            self._layer_bounds_hetero(
+                g, {nt: len(v) for nt, v in seed_nodes.items()})
+            if self.static_shapes else [None] * len(self.fanouts)
+        )
+        blocks = []
+        seeds = dict(seed_nodes)
+        num_real = ({nt: len(v) for nt, v in seeds.items()}
+                    if num_real is None else dict(num_real))
+        for layer in reversed(range(len(self.fanouts))):
+            b = bounds[layer]
+            frontier = sample_neighbors(
+                g, {nt: v[: num_real[nt]] for nt, v in seeds.items()},
+                self.fanouts[layer], prob=self.prob, replace=self.replace,
+                rng=rng, formats=("coo",),
+            )
+            blk = to_block(
+                frontier, seeds, num_real_dst=num_real,
+                pad_src_to=(b["src"] if b else None),
+                pad_edges_to=(b["edges"] if b else None),
+                uniform_k=(b["k"] if b else None),
+            )
+            blocks.insert(0, blk)
+            seeds = {nt: np.asarray(blk.srcframes[nt]["_ID"]).astype(
+                np.int64) for nt in blk.srctypes}
+            num_real = dict(blk.meta["num_real_src"])
+        return seeds, seed_nodes, blocks
+
+    def sample_blocks(self, g, seed_nodes,
                       rng: Optional[np.random.Generator] = None,
-                      exclude_eids=None):
+                      exclude_eids=None, num_real: Optional[int] = None):
         """Returns (input_nodes, output_nodes, blocks) with blocks ordered
         input-side first (parity with the reference).
 
@@ -65,7 +132,23 @@ class NeighborSampler:
         link-prediction leakage guard — parity:
         ``EdgeCollator(exclude=...)``). Exclusion filters the frontier
         edge list, so it takes the numpy sampling path (the fused C++
-        sampler has no exclusion)."""
+        sampler has no exclusion).
+
+        ``num_real``: number of REAL seeds; the tail beyond it is
+        static-shape padding (a partial batch filled by the collator) and
+        is never sampled — repeated pad ids would otherwise alias onto one
+        relabeled dst row and corrupt the real seeds' aggregation."""
+        from dgl1_tpu.heterograph import HeteroGraph
+
+        if isinstance(g, HeteroGraph):
+            if exclude_eids is not None:
+                raise NotImplementedError(
+                    "exclude_eids is homogeneous-only for now")
+            nr = None
+            if num_real is not None:
+                nr = {nt: num_real for nt in seed_nodes}
+            return self.sample_blocks_hetero(g, seed_nodes, rng=rng,
+                                             num_real=nr)
         seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
         bounds = (
             self._layer_bounds(len(seed_nodes)) if self.static_shapes else
@@ -75,7 +158,7 @@ class NeighborSampler:
         # Invariant: ``seeds`` is the (possibly padded) dst array of the
         # block being built; only ``num_real`` prefix entries are real.
         seeds = seed_nodes
-        num_real = len(seed_nodes)
+        num_real = len(seed_nodes) if num_real is None else int(num_real)
         for layer in reversed(range(len(self.fanouts))):
             fanout = self.fanouts[layer]
             b = bounds[layer]
@@ -122,10 +205,16 @@ class NeighborSampler:
                 num_real_dst=num_real,
                 pad_src_to=(b["src"] if b else None),
                 pad_edges_to=(b["edges"] if b else None),
-                formats=("ell",),
+                formats=None if b else ("ell",),
+                uniform_k=(fanout if b and fanout > 0 else None),
             )
             eid = frontier.edata.get("_ID")
             if eid is not None:
+                eid = np.asarray(eid)[: frontier.num_edges()]
+                pad_e = blk.num_edges_padded()
+                if pad_e != len(eid):
+                    eid = np.concatenate(
+                        [eid, np.zeros((pad_e - len(eid),), eid.dtype)])
                 blk.edata["_ID"] = eid
             blocks.insert(0, blk)
             seeds = np.asarray(blk.srcdata["_ID"])

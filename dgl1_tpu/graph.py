@@ -244,6 +244,21 @@ class Graph:
         """Static length of the edge arrays (>= num_edges)."""
         return self._num_edges_padded
 
+    def num_real_edges(self) -> int:
+        """Real (unpadded) edge count. Equal to ``num_edges()`` except on
+        static-shape pipeline blocks (``block(uniform_ell_k=...)``), whose
+        static count is pinned to the padded length so every mini-batch of
+        an epoch shares one compiled program; there the real count lives
+        in ``meta['num_real_edges']`` (host side) or, after a pytree
+        round-trip, in the ``edge_mask`` leaf."""
+        if "num_real_edges" in self.meta:
+            return int(self.meta["num_real_edges"])
+        if self._num_edges == self._num_edges_padded:
+            import numpy as _np
+
+            return int(_np.asarray(self.edge_mask).sum())
+        return self._num_edges
+
     @property
     def is_padded(self) -> bool:
         return self._num_edges_padded != self._num_edges
@@ -695,6 +710,92 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
     )
 
 
+def _ladder_rung(k: int) -> int:
+    """Smallest ELL ladder rung >= k."""
+    for r in _ELL_LADDER:
+        if r >= k:
+            return r
+    raise ValueError(f"degree {k} above the ELL ladder")
+
+
+def _build_ell_uniform(indptr: np.ndarray, nbr_sorted: np.ndarray,
+                       eid_sorted: np.ndarray, num_target: int, k: int):
+    """Uniform single-rung ELL: every row (zero-degree included) gets
+    exactly ``rung(k)`` slots, so the bucket metadata — and with it the jit
+    static key — is a pure function of (num_target, k), identical for
+    every sampled block of an epoch. This is the static-shape layout for
+    pipeline blocks whose per-row degree is bounded by the fanout
+    (TPU-native counterpart of the reference's dynamically-sized blocks;
+    SURVEY.md §7 stance #2).
+
+    Returns (meta, arrays) like :func:`_build_ell`; ``inv_perm`` is a
+    zero-length array, the engine-side marker for "rows already in order,
+    skip the inverse permute".
+    """
+    k_pad = _ladder_rung(max(int(k), 1))
+    deg = np.diff(indptr[: num_target + 1]).astype(np.int64)
+    if deg.size and int(deg.max(initial=0)) > k_pad:
+        raise ValueError(
+            f"row degree {int(deg.max())} exceeds uniform ELL width {k_pad}"
+        )
+    sentinel = np.int64(1 << 30)
+    mat = np.full((num_target, k_pad), sentinel, dtype=np.int64)
+    emat = np.zeros((num_target, k_pad), dtype=np.int64)
+    total = int(deg.sum())
+    if total:
+        flat_rows = np.repeat(np.arange(num_target), deg)
+        flat_cols = np.arange(total) - np.repeat(np.cumsum(deg) - deg, deg)
+        src_pos = np.repeat(indptr[:num_target].astype(np.int64), deg) \
+            + flat_cols
+        mat[flat_rows, flat_cols] = nbr_sorted[src_pos]
+        emat[flat_rows, flat_cols] = eid_sorted[src_pos]
+    meta = ((k_pad, num_target),)
+    return meta, {
+        "idx": mat.reshape(-1).astype(ID_DTYPE),
+        "eid": emat.reshape(-1).astype(ID_DTYPE),
+        "inv_perm": np.zeros((0,), ID_DTYPE),
+    }
+
+
+def static_tile_bound(num_edges_padded: int, num_target: int) -> int:
+    """Static upper bound on the tile count of :func:`_build_tiles`:
+    every row block adds at most one partial tile on top of the
+    edge-count floor."""
+    T, R = TILE_EDGES, TILE_ROWS
+    return max(
+        (num_edges_padded + T - 1) // T + (num_target + R - 1) // R, 1
+    )
+
+
+def _pad_tiles(tiles: dict, pad_to: int, num_target: int) -> dict:
+    """Pad the tile arrays to a static tile count with no-op tiles
+    (lid = -1 everywhere -> zero one-hot rows; first = 0 -> pure
+    accumulate). Keeps every leaf shape a function of the static bounds
+    so sampled blocks share ONE compiled program."""
+    T = TILE_EDGES
+    n = tiles["lid"].shape[0]
+    if n > pad_to:
+        raise ValueError(
+            f"actual tile count {n} exceeds static bound {pad_to}")
+    if n == pad_to:
+        return tiles
+    extra = pad_to - n
+    n_blocks = max((num_target + TILE_ROWS - 1) // TILE_ROWS, 1)
+    return dict(
+        rows=np.concatenate(
+            [tiles["rows"],
+             np.full((extra,), n_blocks - 1, ID_DTYPE)]),
+        first=np.concatenate([tiles["first"], np.zeros((extra,), ID_DTYPE)]),
+        lid=np.concatenate(
+            [tiles["lid"], np.full((extra, T), -1, ID_DTYPE)], axis=0),
+        gather=np.concatenate(
+            [tiles["gather"], np.zeros((extra * T,), ID_DTYPE)]),
+        eid=np.concatenate(
+            [tiles["eid"], np.zeros((extra * T,), ID_DTYPE)]),
+        block_mask=tiles["block_mask"],
+    )
+
+
 def _build_tiles(target_sorted: np.ndarray, gather_sorted: np.ndarray,
                  eid_sorted: np.ndarray, num_edges: int, num_target: int):
     """Build the edge-tile descriptors for the Pallas segment-reduce kernel.
@@ -989,9 +1090,20 @@ def block(
     num_dst_nodes: Optional[int] = None,
     pad_edges_to: Optional[int] = None,
     formats: Optional[Tuple[str, ...]] = None,
+    uniform_ell_k: Optional[int] = None,
 ) -> Graph:
     """Create a bipartite message-flow block (parity: ``dgl.create_block`` /
-    ``src/graph/transform/to_bipartite.cc :: ToBlock`` output shape)."""
+    ``src/graph/transform/to_bipartite.cc :: ToBlock`` output shape).
+
+    ``uniform_ell_k``: static-shape pipeline mode for sampled blocks whose
+    in-degree is bounded by a fanout ``k``. Builds (a) a uniform
+    single-rung dst-ELL (static bucket metadata), (b) BOTH tile directions
+    padded to a static tile count for the Pallas engine (backward /
+    min-max reduces), and (c) pins the pytree's static edge count to the
+    padded length — so every mini-batch of an epoch shares ONE compiled
+    XLA program (SURVEY.md §7 stance #2; the real edge count lives in
+    ``meta['num_real_edges']`` and the ``edge_mask`` leaf).
+    """
     src, dst = data
     src = _as_numpy_ids(src)
     dst = _as_numpy_ids(dst)
@@ -1001,6 +1113,35 @@ def block(
     if num_dst_nodes is None:
         num_dst_nodes = int(dst.max(initial=-1) + 1)
     num_padded = int(pad_edges_to) if pad_edges_to is not None else num_edges
+    if uniform_ell_k is not None:
+        arrays = _build_formats(
+            src, dst, num_src_nodes, num_dst_nodes, num_edges, num_padded,
+            formats=("coo",),
+        )
+        ell_dst_meta, ell_dst = _build_ell_uniform(
+            arrays["csc_indptr"], arrays["csc_src"], arrays["csc_eid"],
+            num_dst_nodes, uniform_ell_k,
+        )
+        arrays["ell_dst_meta"], arrays["ell_dst"] = ell_dst_meta, ell_dst
+        arrays["tdst"] = _pad_tiles(
+            _build_tiles(arrays["csc_dst"], arrays["csc_src"],
+                         arrays["csc_eid"], num_edges, num_dst_nodes),
+            static_tile_bound(num_padded, num_dst_nodes), num_dst_nodes,
+        )
+        arrays["tsrc"] = _pad_tiles(
+            _build_tiles(arrays["csr_src"], arrays["csr_dst"],
+                         arrays["csr_eid"], num_edges, num_src_nodes),
+            static_tile_bound(num_padded, num_src_nodes), num_src_nodes,
+        )
+        g = Graph(
+            **arrays,
+            num_src_nodes=num_src_nodes,
+            num_dst_nodes=num_dst_nodes,
+            num_edges=num_padded,
+            is_block=True,
+        )
+        g.meta["num_real_edges"] = num_edges
+        return g
     arrays = _build_formats(
         src, dst, num_src_nodes, num_dst_nodes, num_edges, num_padded,
         formats=formats,

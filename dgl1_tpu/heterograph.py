@@ -49,11 +49,21 @@ class _TypeView:
 
 
 class HeteroGraph:
-    """Heterogeneous graph as a dict of relation blocks + per-ntype data."""
+    """Heterogeneous graph as a dict of relation blocks + per-ntype data.
+
+    Block mode (``num_src_nodes_dict`` given): a bipartite message-flow
+    graph with SEPARATE per-ntype src/dst node spaces — the hetero analog
+    of :class:`dgl1_tpu.graph.Graph` blocks (parity: the reference's
+    hetero ``to_block`` output, ``src/graph/transform/to_bipartite.cc``).
+    ``nframes`` then holds the dst-side frames and ``srcframes`` the
+    src-side ones; ``meta`` carries host-side real-prefix bookkeeping.
+    """
 
     def __init__(self, rel_graphs: Dict[CanonicalEtype, Graph],
                  num_nodes_dict: Dict[str, int],
-                 node_frames: Optional[Dict[str, Dict]] = None):
+                 node_frames: Optional[Dict[str, Dict]] = None,
+                 num_src_nodes_dict: Optional[Dict[str, int]] = None,
+                 src_node_frames: Optional[Dict[str, Dict]] = None):
         self.rel_graphs = dict(rel_graphs)
         self._num_nodes = dict(num_nodes_dict)
         self.nframes: Dict[str, Dict] = (
@@ -61,10 +71,33 @@ class HeteroGraph:
             if node_frames is None
             else {nt: dict(f) for nt, f in node_frames.items()}
         )
+        self._num_src = (dict(num_src_nodes_dict)
+                         if num_src_nodes_dict is not None else None)
+        if self._num_src is not None:
+            self.srcframes: Dict[str, Dict] = (
+                {nt: {} for nt in self._num_src}
+                if src_node_frames is None
+                else {nt: dict(f) for nt, f in src_node_frames.items()}
+            )
+        else:
+            self.srcframes = self.nframes
+        # Host-side static bookkeeping (e.g. real-prefix lengths from
+        # to_block); not part of the pytree.
+        self.meta: Dict = {}
 
     # ------------------------------------------------------------------
     @property
+    def is_block(self) -> bool:
+        return self._num_src is not None
+
+    @property
+    def dstframes(self) -> Dict[str, Dict]:
+        return self.nframes
+
+    @property
     def ntypes(self):
+        if self._num_src is not None:
+            return sorted(set(self._num_nodes) | set(self._num_src))
         return sorted(self._num_nodes.keys())
 
     @property
@@ -76,6 +109,11 @@ class HeteroGraph:
         return sorted(self.rel_graphs.keys())
 
     def num_nodes(self, ntype: Optional[str] = None) -> int:
+        if self._num_src is not None:
+            raise ValueError(
+                "num_nodes() is ambiguous on a hetero block; use "
+                "num_src_nodes(ntype) / num_dst_nodes(ntype)."
+            )
         if ntype is None:
             return sum(self._num_nodes.values())
         return self._num_nodes[ntype]
@@ -139,7 +177,7 @@ class HeteroGraph:
         srctype, _, dsttype = c
         rel = self.rel_graphs[c]
         rel.srcdata.clear()
-        rel.srcdata.update(self.nframes[srctype])
+        rel.srcdata.update(self.srcframes[srctype])
         rel.dstdata.clear()
         rel.dstdata.update(self.nframes[dsttype])
         return rel.apply_edges(func)
@@ -173,9 +211,10 @@ class HeteroGraph:
             mfunc, rfunc = spec[0], spec[1]
             srctype, _, dsttype = c
             rel = self.rel_graphs[c]
-            # Wire per-ntype frames into the relation block.
+            # Wire per-ntype frames into the relation block (src side comes
+            # from srcframes, which aliases nframes on non-block graphs).
             rel.srcdata.clear()
-            rel.srcdata.update(self.nframes[srctype])
+            rel.srcdata.update(self.srcframes[srctype])
             rel.dstdata.clear()
             rel.dstdata.update(self.nframes[dsttype])
             result = core.message_passing(rel, mfunc, rfunc, None)
@@ -223,21 +262,53 @@ class HeteroGraph:
         frame.update(out)
         return out
 
+    def num_src_nodes(self, ntype: Optional[str] = None) -> int:
+        src = self._num_src if self._num_src is not None else self._num_nodes
+        if ntype is None:
+            return sum(src.values())
+        return src.get(ntype, 0)
+
+    def num_dst_nodes(self, ntype: Optional[str] = None) -> int:
+        if ntype is None:
+            return sum(self._num_nodes.values())
+        return self._num_nodes.get(ntype, 0)
+
     @property
     def srctypes(self):
-        """Node types appearing as a source (parity: ``.srctypes``)."""
+        if self._num_src is not None:
+            return sorted(self._num_src.keys())
         return sorted({c[0] for c in self.canonical_etypes})
 
     @property
     def dsttypes(self):
-        """Node types appearing as a destination (parity: ``.dsttypes``)."""
+        if self._num_src is not None:
+            return sorted(self._num_nodes.keys())
         return sorted({c[2] for c in self.canonical_etypes})
 
-    def num_src_nodes(self, ntype: Optional[str] = None) -> int:
-        return self.num_nodes(ntype)
+    @property
+    def srcnodes(self):
+        """``blk.srcnodes[ntype].data`` accessor (parity:
+        ``DGLHeteroGraph.srcnodes``)."""
+        return _TypeView(lambda t: self.srcframes[t])
 
-    def num_dst_nodes(self, ntype: Optional[str] = None) -> int:
-        return self.num_nodes(ntype)
+    @property
+    def dstnodes(self):
+        return _TypeView(lambda t: self.nframes[t])
+
+    @property
+    def srcdata(self):
+        """Single-srctype convenience (parity: ``DGLHeteroGraph.srcdata``)."""
+        st = self.srctypes
+        if len(st) != 1:
+            raise ValueError("srcdata is ambiguous: multiple source types")
+        return self.srcframes[st[0]]
+
+    @property
+    def dstdata(self):
+        dt = self.dsttypes
+        if len(dt) != 1:
+            raise ValueError("dstdata is ambiguous: multiple dest types")
+        return self.nframes[dt[0]]
 
     def _one_etype(self, etype):
         if etype is None:
@@ -273,6 +344,8 @@ class HeteroGraph:
         @contextlib.contextmanager
         def scope():
             saved_n = {nt: dict(fr) for nt, fr in self.nframes.items()}
+            saved_s = ({nt: dict(fr) for nt, fr in self.srcframes.items()}
+                       if self.is_block else None)
             saved_e = {c: dict(g.edata) for c, g in self.rel_graphs.items()}
             try:
                 yield self
@@ -280,6 +353,10 @@ class HeteroGraph:
                 for nt, fr in self.nframes.items():
                     fr.clear()
                     fr.update(saved_n[nt])
+                if saved_s is not None:
+                    for nt, fr in self.srcframes.items():
+                        fr.clear()
+                        fr.update(saved_s[nt])
                 for c, g in self.rel_graphs.items():
                     g.edata.clear()
                     g.edata.update(saved_e[c])
@@ -287,31 +364,46 @@ class HeteroGraph:
         return scope()
 
     def __repr__(self):
+        kind = "HeteroBlock" if self.is_block else "HeteroGraph"
         return (
-            f"HeteroGraph(num_nodes={self._num_nodes}, "
+            f"{kind}(num_nodes={self._num_nodes}, "
             f"num_edges={{{', '.join(f'{c}: {g.num_edges()}' for c, g in sorted(self.rel_graphs.items()))}}})"
         )
 
     # Pytree protocol -----------------------------------------------------
     def tree_flatten(self):
         keys = self.canonical_etypes
-        ntkeys = self.ntypes
+        ntkeys = sorted(self._num_nodes.keys())
+        stkeys = (sorted(self._num_src.keys())
+                  if self._num_src is not None else None)
         children = (
             [self.rel_graphs[k] for k in keys],
             [self.nframes[nt] for nt in ntkeys],
+            ([self.srcframes[nt] for nt in stkeys]
+             if stkeys is not None else None),
         )
         aux = (tuple(keys), tuple(ntkeys),
-               tuple(self._num_nodes[nt] for nt in ntkeys))
+               tuple(self._num_nodes[nt] for nt in ntkeys),
+               (tuple(stkeys) if stkeys is not None else None),
+               (tuple(self._num_src[nt] for nt in stkeys)
+                if stkeys is not None else None))
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, ntkeys, counts = aux
-        rels, frames = children
+        keys, ntkeys, counts, stkeys, scounts = aux
+        rels, frames, sframes = children
         obj = cls.__new__(cls)
         obj.rel_graphs = dict(zip(keys, rels))
         obj._num_nodes = dict(zip(ntkeys, counts))
         obj.nframes = dict(zip(ntkeys, frames))
+        if stkeys is not None:
+            obj._num_src = dict(zip(stkeys, scounts))
+            obj.srcframes = dict(zip(stkeys, sframes))
+        else:
+            obj._num_src = None
+            obj.srcframes = obj.nframes
+        obj.meta = {}
         return obj
 
 

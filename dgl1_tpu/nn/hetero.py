@@ -32,7 +32,12 @@ class HeteroGraphConv(nn.Module):
                 continue
             rel = hg.rel_graphs[c]
             if dsttype in inputs:
-                out = self.mods[etype](rel, (inputs[srctype], inputs[dsttype]))
+                # On a hetero block the dst nodes are the first
+                # num_dst rows of the dsttype's src-side features
+                # (to_block puts seeds first); on a full heterograph
+                # the slice is a no-op.
+                dst_feat = inputs[dsttype][: rel.num_dst_nodes()]
+                out = self.mods[etype](rel, (inputs[srctype], dst_feat))
             else:
                 out = self.mods[etype](rel, inputs[srctype])
             per_dst.setdefault(dsttype, []).append(out)

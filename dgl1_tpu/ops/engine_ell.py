@@ -53,6 +53,10 @@ def ell_reduce(meta: Tuple, ell: dict, op: str, reduce_op: str,
     meta: static ((k, n_rows), ...). ell: {idx, eid, inv_perm}.
     """
     stacked = ell_stack(meta, ell["idx"], ell["eid"], op, reduce_op, u, e)
+    if ell["inv_perm"].shape[0] == 0:
+        # Uniform static layout (graph._build_ell_uniform): rows are
+        # already in target order, no inverse permute needed.
+        return stacked
     if stacked.shape[0] == 0:
         # No nonzero rows at all (e.g. the tail of an all-hub graph):
         # jnp.take cannot fill-gather from an empty axis.
@@ -184,8 +188,8 @@ def _mask_e_grad(ge, emask):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gspmm_ell_sum(static: _Static, ell_dst, ell_src, coo_src, coo_dst,
-                   emask, u, e):
+def _gspmm_ell_sum(static: _Static, ell_dst, ell_src, tsrc, coo_src,
+                   coo_dst, emask, u, e):
     return ell_reduce(
         static.meta_dst, ell_dst, static.op, "sum",
         u if static.has_u else None, e if static.has_e else None,
@@ -193,19 +197,27 @@ def _gspmm_ell_sum(static: _Static, ell_dst, ell_src, coo_src, coo_dst,
     )
 
 
-def _fwd(static, ell_dst, ell_src, coo_src, coo_dst, emask, u, e):
-    out = _gspmm_ell_sum(static, ell_dst, ell_src, coo_src, coo_dst, emask,
-                         u, e)
-    return out, (ell_dst, ell_src, coo_src, coo_dst, emask, u, e)
+def _fwd(static, ell_dst, ell_src, tsrc, coo_src, coo_dst, emask, u, e):
+    out = _gspmm_ell_sum(static, ell_dst, ell_src, tsrc, coo_src, coo_dst,
+                         emask, u, e)
+    return out, (ell_dst, ell_src, tsrc, coo_src, coo_dst, emask, u, e)
 
 
 def _bwd(static, res, ct):
-    ell_dst, ell_src, coo_src, coo_dst, emask, u, e = res
+    ell_dst, ell_src, tsrc, coo_src, coo_dst, emask, u, e = res
     op = static.op
 
     def rev(op2, uu, ee):
-        return ell_reduce(static.meta_src, ell_src, op2, "sum", uu, ee,
-                          static.num_src)
+        if static.meta_src is not None:
+            return ell_reduce(static.meta_src, ell_src, op2, "sum", uu, ee,
+                              static.num_src)
+        # Static-shape pipeline blocks (graph.block(uniform_ell_k=...)):
+        # no src-direction ELL (its bucket structure would vary per batch
+        # and recompile every step) — reduce through the statically padded
+        # reverse tiles with the Pallas one-hot kernel instead.
+        from dgl1_tpu.ops.engine_pallas import _tiled_reduce
+
+        return _tiled_reduce(op2, tsrc, uu, ee, static.num_src)
 
     def take_ct_dst():
         return jnp.take(ct, coo_dst, axis=0, mode="clip")
@@ -247,6 +259,7 @@ def _bwd(static, res, ct):
     return (
         _float0_like(ell_dst),
         _float0_like(ell_src),
+        _float0_like(tsrc),
         np.zeros(coo_src.shape, dtype=jax.dtypes.float0),
         np.zeros(coo_dst.shape, dtype=jax.dtypes.float0),
         np.zeros(emask.shape, dtype=jax.dtypes.float0),
@@ -260,7 +273,9 @@ _gspmm_ell_sum.defvjp(_fwd, _bwd)
 
 def gspmm_ell(g: Graph, op: str, reduce_op: str, u, e):
     """ELL-engine gspmm; returns None when not covered."""
-    if g.ell_dst is None or g.ell_src is None:
+    if g.ell_dst is None:
+        return None
+    if g.ell_src is None and g.tsrc is None:
         return None
     if op not in _SUPPORTED_OPS or reduce_op not in ("sum", "mean"):
         return None
@@ -276,12 +291,12 @@ def gspmm_ell(g: Graph, op: str, reduce_op: str, u, e):
         u_feat=tuple(u.shape[1:]) if u is not None else (),
         e_feat=tuple(e.shape[1:]) if e is not None else (),
         meta_dst=g.ell_dst_meta,
-        meta_src=g.ell_src_meta,
+        meta_src=g.ell_src_meta if g.ell_src is not None else None,
     )
     dtype = (u if u is not None else e).dtype
     u_in = u if u is not None else jnp.zeros((1, 1), dtype)
     e_in = e if e is not None else jnp.zeros((1, 1), dtype)
-    out = _gspmm_ell_sum(static, g.ell_dst, g.ell_src, g.src, g.dst,
+    out = _gspmm_ell_sum(static, g.ell_dst, g.ell_src, g.tsrc, g.src, g.dst,
                          g.edge_mask, u_in, e_in)
     if reduce_op == "mean":
         deg = jnp.maximum(g.in_degrees().astype(out.dtype), 1.0)

@@ -23,7 +23,14 @@ import numpy as np
 
 from dgl1_tpu import _native
 from dgl1_tpu import random as dgl_random
-from dgl1_tpu.graph import Graph, ID_DTYPE, _build_ell
+from dgl1_tpu.graph import (
+    Graph,
+    ID_DTYPE,
+    _build_ell_uniform,
+    _build_tiles,
+    _pad_tiles,
+    static_tile_bound,
+)
 
 __all__ = ["sample_block_fused", "supports_fused"]
 
@@ -107,9 +114,21 @@ def sample_block_fused(
     native.build_adj(lsrc[:n_edges], csc_dst[:n_edges], n_edges, cap_s,
                      csr_indptr, csr_dst, csr_eid, csr_src)
 
-    ell_dst_meta, ell_dst = _build_ell(csc_indptr, lsrc, csc_eid, P, n_edges)
-    ell_src_meta, ell_src = _build_ell(csr_indptr, csr_dst, csr_eid, cap_s,
-                                       n_edges)
+    # Static-shape layouts: a uniform single-rung dst-ELL (bucket metadata
+    # is a pure function of (P, fanout)) and statically padded reverse
+    # tiles for the backward — NOT the data-dependent degree-bucketed ELL,
+    # whose bucket structure is part of the jit static key and recompiled
+    # the train step every batch.
+    ell_dst_meta, ell_dst = _build_ell_uniform(csc_indptr, lsrc, csc_eid, P,
+                                               fanout)
+    tdst = _pad_tiles(
+        _build_tiles(csc_dst, lsrc, csc_eid, n_edges, P),
+        static_tile_bound(cap_e, P), P,
+    )
+    tsrc = _pad_tiles(
+        _build_tiles(csr_src, csr_dst, csr_eid, n_edges, cap_s),
+        static_tile_bound(cap_e, cap_s), cap_s,
+    )
 
     b = Graph(
         src=lsrc,
@@ -125,13 +144,14 @@ def sample_block_fused(
         csc_dst=csc_dst,
         num_src_nodes=cap_s,
         num_dst_nodes=P,
-        num_edges=n_edges,
+        num_edges=cap_e,
         is_block=True,
+        tdst=tdst,
+        tsrc=tsrc,
         ell_dst=ell_dst,
-        ell_src=ell_src,
         ell_dst_meta=ell_dst_meta,
-        ell_src_meta=ell_src_meta,
     )
+    b.meta["num_real_edges"] = n_edges
     src_id_arr = np.zeros((cap_s,), dtype=ID_DTYPE)
     src_id_arr[:n_src] = src_ids[:n_src]
     # Keep the id maps host-side numpy: a jnp.asarray here is an eager
@@ -139,7 +159,8 @@ def sample_block_fused(
     # tunnel); the training loop device_puts blocks it actually ships.
     b.srcdata["_ID"] = src_id_arr
     b.dstdata["_ID"] = seeds.astype(ID_DTYPE)
-    b.edata["_ID"] = peid[:n_edges]
+    peid[n_edges:] = 0  # static leaf shape: id map padded to the bound
+    b.edata["_ID"] = peid
     b.meta["num_real_src"] = n_src
     b.meta["num_real_dst"] = int(num_real_dst)
     return b

@@ -25,6 +25,15 @@ from dgl1_tpu.graph import Graph, graph
 __all__ = ["sample_neighbors", "sample_neighbors_arrays"]
 
 
+def _ranges(starts: np.ndarray, degs: np.ndarray) -> np.ndarray:
+    """Concatenate [s, s+d) ranges without a Python loop over rows."""
+    total = int(degs.sum())
+    if total == 0:
+        return np.zeros((0,), dtype=np.int64)
+    off = np.repeat(np.cumsum(degs) - degs, degs)
+    return np.repeat(starts, degs) + (np.arange(total) - off)
+
+
 def _csc_arrays(g: Graph):
     return (
         np.asarray(g.csc_indptr),
@@ -55,12 +64,8 @@ def sample_neighbors_arrays(
 
     if fanout < 0:
         # Full neighborhood (fanout=-1, parity with the reference).
-        total = int(degs.sum())
         seed_idx = np.repeat(np.arange(len(seeds)), degs)
-        flat = np.concatenate(
-            [np.arange(s, s + d) for s, d in zip(starts, degs)]
-        ) if total else np.zeros((0,), dtype=np.int64)
-        picked = flat
+        picked = _ranges(starts, degs)
     elif replace:
         k = fanout
         valid = degs > 0
@@ -71,11 +76,9 @@ def sample_neighbors_arrays(
     else:
         k = fanout
         counts = np.minimum(degs, k)
-        # Candidate edges of all seeds, flattened.
+        # Candidate edges of all seeds, flattened (vectorized ragged fill).
         seed_of_cand = np.repeat(np.arange(len(seeds)), degs)
-        cand = np.concatenate(
-            [np.arange(s, s + d) for s, d in zip(starts, degs)]
-        ) if degs.sum() else np.zeros((0,), dtype=np.int64)
+        cand = _ranges(starts, degs)
         if prob is not None:
             # Weighted without replacement: Efraimidis-Spirakis keys
             # u^(1/w) — take the k largest <=> smallest -log(u)/w.
@@ -96,27 +99,97 @@ def sample_neighbors_arrays(
     return nbr_s, seed_idx, eid_s
 
 
+def _etype_fanout(fanout, canonical):
+    """Resolve an int-or-dict fanout for one canonical etype (parity: the
+    reference's per-etype fanout dict, ``neighbor.cc :: SampleNeighbors``)."""
+    if isinstance(fanout, dict):
+        if canonical in fanout:
+            return int(fanout[canonical])
+        if canonical[1] in fanout:
+            return int(fanout[canonical[1]])
+        raise KeyError(f"fanout dict has no entry for etype {canonical!r}")
+    return int(fanout)
+
+
+def _sample_neighbors_hetero(hg, nodes, fanout, prob, replace, rng, formats):
+    """Per-etype sampling on a HeteroGraph: for each relation (st, et, dt),
+    sample up to fanout[et] in-edges of the dt-type seed nodes. Returns a
+    hetero frontier in the parent node spaces with per-etype
+    ``edata['_ID']``. Parity: ``dgl.sampling.sample_neighbors`` on
+    heterographs (SURVEY.md §2.1 neighbor-sampling row)."""
+    from dgl1_tpu.graph import block as _block
+    from dgl1_tpu.heterograph import HeteroGraph
+
+    rng = rng or dgl_random.default_rng()
+    if not isinstance(nodes, dict):
+        if len(hg.ntypes) != 1:
+            raise ValueError("nodes must be a {ntype: ids} dict on a "
+                             "multi-ntype heterograph")
+        nodes = {hg.ntypes[0]: nodes}
+    nodes = {nt: np.asarray(v, dtype=np.int64) for nt, v in nodes.items()}
+    counts = {nt: hg.num_nodes(nt) for nt in hg.ntypes}
+    rels = {}
+    for c in hg.canonical_etypes:
+        st, _, dt = c
+        rel = hg.rel_graphs[c]
+        seeds = nodes.get(dt)
+        k = _etype_fanout(fanout, c)
+        if seeds is None or len(seeds) == 0 or k == 0:
+            fr = _block((np.zeros(0, np.int64), np.zeros(0, np.int64)),
+                        num_src_nodes=counts[st], num_dst_nodes=counts[dt],
+                        formats=formats or ("coo",))
+            fr.edata["_ID"] = np.zeros((0,), np.int32)
+            rels[c] = fr
+            continue
+        p = None
+        if prob is not None and prob in rel.edata:
+            p = np.asarray(rel.edata[prob]).reshape(-1)
+        nbr, seed_idx, eids = sample_neighbors_arrays(
+            np.asarray(rel.csc_indptr), np.asarray(rel.csc_src),
+            np.asarray(rel.csc_eid), seeds, k, replace, rng, p,
+        )
+        fr = _block((nbr, seeds[seed_idx]),
+                    num_src_nodes=counts[st], num_dst_nodes=counts[dt],
+                    formats=formats or ("coo",))
+        fr.edata["_ID"] = eids.astype(np.int32)
+        rels[c] = fr
+    return HeteroGraph(rels, counts)
+
+
 def sample_neighbors(
-    g: Graph,
+    g,
     nodes,
-    fanout: int,
+    fanout,
     edge_dir: str = "in",
     prob: Optional[str] = None,
     replace: bool = False,
     rng: Optional[np.random.Generator] = None,
     formats=None,
-) -> Graph:
+):
     """Sample up to ``fanout`` in-edges (or out-edges) per seed node.
 
     Returns a frontier graph in the parent node space whose edges are the
     sampled ones; original edge ids are in ``edata['_ID']``.
     Parity: ``dgl.sampling.sample_neighbors``.
 
+    Heterograph form: ``g`` a HeteroGraph, ``nodes`` a ``{ntype: ids}``
+    dict, ``fanout`` an int or a per-etype dict (keyed by etype name or
+    canonical 3-tuple) — parity with the reference's per-etype fanout
+    (``src/graph/sampling/neighbor/neighbor.cc``).
+
     ``formats``: restrict the frontier's derived layouts (see
     ``dgl.graph``). The block pipeline passes ``("coo",)`` — ``to_block``
     only reads the edge list, and the ELL/tile builds were ~half the
     host sampling cost per batch.
     """
+    from dgl1_tpu.heterograph import HeteroGraph
+
+    if isinstance(g, HeteroGraph):
+        if edge_dir != "in":
+            raise NotImplementedError(
+                "hetero sample_neighbors supports edge_dir='in'")
+        return _sample_neighbors_hetero(g, nodes, fanout, prob, replace,
+                                        rng, formats)
     if edge_dir == "out":
         rev = sample_neighbors(
             g.reverse(copy_edata=False), nodes, fanout, "in", prob, replace,

@@ -25,6 +25,7 @@ __all__ = [
     "to_simple",
     "line_graph",
     "to_block",
+    "to_block_hetero",
     "compact_graphs",
     "to_homogeneous",
     "to_heterogeneous",
@@ -227,11 +228,144 @@ def line_graph(g: Graph, backtracking: bool = True) -> Graph:
     return graph((e1, e2), num_nodes=e)
 
 
-def to_block(frontier: Graph, dst_nodes, include_dst_in_src: bool = True,
-             num_real_dst: Optional[int] = None,
-             pad_src_to: Optional[int] = None,
-             pad_edges_to: Optional[int] = None,
-             formats=None) -> Graph:
+def to_block_hetero(frontier, dst_nodes, include_dst_in_src: bool = True,
+                    num_real_dst: Optional[dict] = None,
+                    pad_src_to: Optional[dict] = None,
+                    pad_edges_to: Optional[dict] = None,
+                    formats=None,
+                    uniform_k: Optional[dict] = None):
+    """Hetero frontier -> bipartite hetero block with per-ntype compact ids.
+
+    Parity: ``src/graph/transform/to_bipartite.cc :: ToBlock`` on
+    heterographs — per node type, dst nodes get local ids [0, len(dst));
+    the src side is the dst nodes (if included) followed by the remaining
+    unique source endpoints across ALL relations of that srctype, in
+    first-seen order (relations visited in canonical order, deterministic).
+
+    Static-shape contract (TPU-native): ``dst_nodes``/``num_real_dst`` are
+    per-ntype dicts; ``pad_src_to`` a per-ntype dict; ``pad_edges_to`` a
+    per-canonical-etype dict. Every relation of the frontier emits a rel
+    block even with zero sampled edges, so one XLA program serves every
+    batch of an epoch. Real ids occupy a prefix per ntype;
+    ``blk.meta['num_real_src'/'num_real_dst']`` record the prefix lengths.
+    """
+    from dgl1_tpu.heterograph import HeteroGraph
+
+    dst_nodes = {nt: np.asarray(v).astype(np.int64)
+                 for nt, v in dst_nodes.items()}
+    num_real_dst = dict(num_real_dst or {})
+    for nt, v in dst_nodes.items():
+        num_real_dst.setdefault(nt, len(v))
+
+    relabel_dst = {}
+    relabel_src = {}
+    src_ids = {}
+    for nt in frontier.ntypes:
+        n_parent = frontier.num_nodes(nt)
+        relabel_src[nt] = np.full((n_parent,), -1, dtype=np.int64)
+        if nt in dst_nodes:
+            r = np.full((n_parent,), -1, dtype=np.int64)
+            real = dst_nodes[nt][: num_real_dst[nt]]
+            r[real] = np.arange(len(real))
+            relabel_dst[nt] = r
+            if include_dst_in_src:
+                src_ids[nt] = real.copy()
+                relabel_src[nt][real] = np.arange(len(real))
+            else:
+                src_ids[nt] = np.zeros((0,), dtype=np.int64)
+        else:
+            src_ids[nt] = np.zeros((0,), dtype=np.int64)
+
+    # First pass: extend per-srctype id lists across relations (canonical
+    # order => deterministic first-seen numbering).
+    rel_edges = {}
+    for c in frontier.canonical_etypes:
+        st, _, dt = c
+        rel = frontier.rel_graphs[c]
+        e = rel.num_edges()
+        src = np.asarray(rel.src)[:e].astype(np.int64)
+        dst = np.asarray(rel.dst)[:e].astype(np.int64)
+        if dt not in relabel_dst:
+            if e:
+                raise ValueError(
+                    f"frontier has edges of type {c} but no dst seeds of "
+                    f"type {dt!r}")
+            rel_edges[c] = (src, dst)
+            continue
+        if e and np.any(relabel_dst[dt][dst] < 0):
+            raise ValueError(
+                f"frontier {c} contains an edge to a non-seed dst node")
+        new_mask = relabel_src[st][src] < 0
+        new_srcs = src[new_mask]
+        if len(new_srcs):
+            _, first = np.unique(new_srcs, return_index=True)
+            uniq = new_srcs[np.sort(first)]
+            relabel_src[st][uniq] = len(src_ids[st]) + np.arange(len(uniq))
+            src_ids[st] = np.concatenate([src_ids[st], uniq])
+        rel_edges[c] = (src, dst)
+
+    num_src = {}
+    for nt in frontier.ntypes:
+        bound = (pad_src_to or {}).get(nt)
+        if bound is not None and bound < len(src_ids[nt]):
+            raise ValueError(
+                f"pad_src_to[{nt!r}]={bound} smaller than actual src count "
+                f"{len(src_ids[nt])}")
+        num_src[nt] = int(bound) if bound is not None else len(src_ids[nt])
+
+    rels = {}
+    for c in frontier.canonical_etypes:
+        st, _, dt = c
+        src, dst = rel_edges[c]
+        lsrc = relabel_src[st][src] if len(src) else src
+        ldst = (relabel_dst[dt][dst] if dt in relabel_dst and len(dst)
+                else dst)
+        n_dst = len(dst_nodes.get(dt, ()))
+        rels[c] = block(
+            (lsrc, ldst),
+            num_src_nodes=num_src[st],
+            num_dst_nodes=n_dst,
+            pad_edges_to=(pad_edges_to or {}).get(c),
+            formats=formats,
+            uniform_ell_k=(uniform_k or {}).get(c),
+        )
+        eid = frontier.rel_graphs[c].edata.get("_ID")
+        if eid is not None:
+            eid = np.asarray(eid)[: len(src)].astype(np.int32)
+            pad_e = rels[c].num_edges_padded()
+            if pad_e != len(eid):
+                # Static leaf shape: the id map pads to the edge bound.
+                eid = np.concatenate(
+                    [eid, np.zeros((pad_e - len(eid),), np.int32)])
+            rels[c].edata["_ID"] = eid
+
+    src_frames = {}
+    for nt in frontier.ntypes:
+        arr = np.zeros((num_src[nt],), dtype=np.int32)
+        arr[: len(src_ids[nt])] = src_ids[nt]
+        src_frames[nt] = {"_ID": arr}
+    dst_frames = {nt: {"_ID": v.astype(np.int32)}
+                  for nt, v in dst_nodes.items()}
+    blk = HeteroGraph(
+        rels,
+        {nt: len(v) for nt, v in dst_nodes.items()},
+        node_frames=dst_frames,
+        num_src_nodes_dict=num_src,
+        src_node_frames=src_frames,
+    )
+    blk.meta["num_real_src"] = {nt: int(len(src_ids[nt]))
+                                for nt in frontier.ntypes}
+    blk.meta["num_real_dst"] = {nt: int(num_real_dst[nt])
+                                for nt in dst_nodes}
+    return blk
+
+
+def to_block(frontier, dst_nodes, include_dst_in_src: bool = True,
+             num_real_dst=None,
+             pad_src_to=None,
+             pad_edges_to=None,
+             formats=None,
+             uniform_k=None) -> Graph:
     """Convert a frontier graph (edges into seed nodes, in parent ids) to a
     bipartite message-flow block with compact local ids.
 
@@ -249,6 +383,13 @@ def to_block(frontier: Graph, dst_nodes, include_dst_in_src: bool = True,
     lengths.
     """
     import jax.numpy as jnp
+
+    from dgl1_tpu.heterograph import HeteroGraph
+
+    if isinstance(frontier, HeteroGraph):
+        return to_block_hetero(frontier, dst_nodes, include_dst_in_src,
+                               num_real_dst, pad_src_to, pad_edges_to,
+                               formats, uniform_k)
 
     dst_nodes = np.asarray(dst_nodes).astype(np.int64)
     if num_real_dst is None:
@@ -287,6 +428,7 @@ def to_block(frontier: Graph, dst_nodes, include_dst_in_src: bool = True,
         num_dst_nodes=len(dst_nodes),
         pad_edges_to=pad_edges_to,
         formats=formats,
+        uniform_ell_k=uniform_k,
     )
     src_id_arr = np.zeros((num_src,), dtype=np.int32)
     src_id_arr[: len(src_ids)] = src_ids

@@ -61,10 +61,13 @@ def test_sample_block_fused_invariants():
     blk = sample_block_fused(g, seeds, 64, k, pad_src_to=P * (k + 1),
                              pad_edges_to=P * k,
                              rng=np.random.default_rng(3))
-    ne = blk.num_edges()
+    # Static-shape contract: num_edges() is pinned to the padded bound on
+    # pipeline blocks; the real count lives in meta / num_real_edges().
+    ne = blk.num_real_edges()
+    assert blk.num_edges() == P * k
     src_ids = np.asarray(blk.srcdata["_ID"])
     dst_ids = np.asarray(blk.dstdata["_ID"])
-    peid = np.asarray(blk.edata["_ID"])
+    peid = np.asarray(blk.edata["_ID"])[:ne]
     lsrc = np.asarray(blk.src)[:ne]
     ldst = np.asarray(blk.dst)[:ne]
 
@@ -100,7 +103,7 @@ def test_dataloader_fast_path_matches_dense_oracle():
         x = jnp.take(feat, jnp.asarray(inp), axis=0, mode="clip")
         h = dgl.ops.gspmm(blocks[0], "copy_lhs", "sum", x, None)
         b0 = blocks[0]
-        ne0 = b0.num_edges()
+        ne0 = b0.num_real_edges()
         ls = np.asarray(b0.src)[:ne0]
         ld = np.asarray(b0.dst)[:ne0]
         ref = np.zeros((b0.num_dst_nodes(), 16), np.float32)
