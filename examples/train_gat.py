@@ -99,6 +99,17 @@ def main():
     print(f"done in {dt:.1f}s; best val {best_val:.4f} "
           f"test@best-val {best_test:.4f}")
 
+    # Accuracy gate vs the literature (GAT: Cora 83.0 / Citeseer 72.5 /
+    # Pubmed 79.0, Velickovic et al. 2018) on REAL data only.
+    gates = {"cora": 0.830, "citeseer": 0.725, "pubmed": 0.790}
+    if not ds.is_synthetic and args.dataset in gates:
+        gate = gates[args.dataset] - 0.01
+        if best_test < gate:
+            raise SystemExit(
+                f"ACCURACY GATE FAILED: {args.dataset} test "
+                f"{best_test:.4f} < {gate:.4f}")
+        print(f"accuracy gate passed ({best_test:.4f} >= {gate:.4f})")
+
 
 if __name__ == "__main__":
     main()
