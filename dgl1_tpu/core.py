@@ -6,14 +6,16 @@ Parity: ``python/dgl/core.py`` (``message_passing``, ``invoke_gspmm``,
 0.4-era scheduler (``python/dgl/runtime/scheduler.py``). TPU-native: the
 builtin path is a closed lowering table onto :func:`dgl1_tpu.ops.gspmm` /
 :func:`dgl1_tpu.ops.gsddmm`; the UDF reduce path degree-buckets on host
-(eager-only — inside ``jit`` use builtins, which cover the entire fused
-kernel surface of the reference).
+when eager (exact mailbox widths) and lowers through the static ELL
+mailbox plan when traced (``jit``-compatible degree bucketing — see
+:func:`invoke_udf_reduce_ell`).
 """
 
 from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,12 +65,23 @@ class EdgeBatch:
 
 
 class NodeBatch:
-    """Batch of nodes passed to a node UDF (parity: ``dgl.udf.NodeBatch``)."""
+    """Batch of nodes passed to a node UDF (parity: ``dgl.udf.NodeBatch``).
 
-    def __init__(self, data: Dict, mailbox: Dict, nodes):
+    On the compiled (jit) path the mailbox is a statically padded
+    degree-bucket: ``mailbox[f]`` is (n, k, *feat) with padded slots
+    ZERO-FILLED, ``mailbox_mask`` (n, k) marks real messages, and
+    ``degrees`` holds the true in-degree per node — sum-style UDFs are
+    exact as-is; order statistics should mask via ``mailbox_mask``
+    (TPU-native static-shape divergence from the reference's exact-width
+    buckets; the eager path keeps exact widths)."""
+
+    def __init__(self, data: Dict, mailbox: Dict, nodes, mailbox_mask=None,
+                 degrees=None):
         self.data = data
         self.mailbox = mailbox
         self._nodes = nodes
+        self.mailbox_mask = mailbox_mask
+        self.degrees = degrees
 
     def nodes(self):
         return self._nodes
@@ -132,11 +145,78 @@ def invoke_gsddmm(g: Graph, mfunc):
     )
 
 
+def _is_traced(g: Graph) -> bool:
+    return isinstance(g.csc_indptr, jax.core.Tracer)
+
+
+def invoke_udf_reduce_ell(g: Graph, msg: Dict[str, jnp.ndarray],
+                          rfunc: Callable):
+    """Compiled degree-bucketed UDF reduce: the ELL layout IS a static
+    mailbox plan (bucket widths/counts live in the pytree aux, so XLA
+    compiles one program per graph shape — the jit-able counterpart of
+    the reference's ``runtime/degree_bucketing.py``). Padded slots are
+    zero-filled and flagged via ``NodeBatch.mailbox_mask``; rows come
+    back bucket-sorted and one fill-gather restores node order
+    (zero-degree nodes -> zeros, matching the reference's zero-init).
+    """
+    meta, ell = g.ell_dst_meta, g.ell_dst
+    num_dst = g.num_dst_nodes()
+    idx, eid, inv_perm = ell["idx"], ell["eid"], ell["inv_perm"]
+    if inv_perm.shape[0] == 0:  # uniform static blocks: row == node id
+        perm = jnp.arange(num_dst)
+    else:
+        # Stable argsort: positions 0..n_nonzero-1 recover row -> node.
+        perm = jnp.argsort(inv_perm, stable=True)
+
+    out_fields = None
+    chunks: Dict[str, list] = {}
+    slot_off = 0
+    row_off = 0
+    for k, n_b in meta:
+        sl_idx = idx[slot_off:slot_off + n_b * k]
+        sl_eid = eid[slot_off:slot_off + n_b * k]
+        valid = (sl_idx < (1 << 29)).reshape(n_b, k)
+        mailbox = {}
+        for f, v in msg.items():
+            m = jnp.take(v, sl_eid, axis=0, mode="clip").reshape(
+                (n_b, k) + v.shape[1:])
+            vm = valid.reshape((n_b, k) + (1,) * (v.ndim - 1))
+            mailbox[f] = jnp.where(vm, m, jnp.zeros_like(m))
+        nodes = perm[row_off:row_off + n_b]
+        ndata = {f: jnp.take(v, nodes, axis=0, mode="clip")
+                 for f, v in g.dstdata.items()}
+        ret = rfunc(NodeBatch(ndata, mailbox, nodes,
+                              mailbox_mask=valid,
+                              degrees=valid.sum(axis=1)))
+        if out_fields is None:
+            out_fields = list(ret.keys())
+        for f, v in ret.items():
+            chunks.setdefault(f, []).append(v)
+        slot_off += n_b * k
+        row_off += n_b
+    out = {}
+    for f in (out_fields or []):
+        stacked = jnp.concatenate(chunks[f], axis=0)
+        if inv_perm.shape[0] == 0:
+            out[f] = stacked
+        else:
+            out[f] = jnp.take(stacked, inv_perm, axis=0, mode="fill",
+                              fill_value=0.0)
+    return out
+
+
 def invoke_udf_reduce(g: Graph, msg: Dict[str, jnp.ndarray], rfunc: Callable):
     """Degree-bucketed UDF reduce (parity: ``core.py :: invoke_udf_reduce`` /
-    0.4 ``runtime/degree_bucketing.py``). Eager-only: bucket boundaries are
-    data-dependent, which XLA cannot trace — use builtin reducers under jit.
+    0.4 ``runtime/degree_bucketing.py``). Eager graphs take the exact-width
+    host-bucketed path below; traced graphs (inside ``jit``) lower through
+    the static ELL mailbox plan (:func:`invoke_udf_reduce_ell`).
     """
+    if _is_traced(g):
+        if g.ell_dst is None:
+            raise NotImplementedError(
+                "UDF reduce under jit needs the graph's ELL layout; build "
+                "the graph with formats including 'ell'")
+        return invoke_udf_reduce_ell(g, msg, rfunc)
     num_dst = g.num_dst_nodes()
     indptr = np.asarray(g.csc_indptr)
     deg = np.diff(indptr)

@@ -175,6 +175,34 @@ def _pm_bwd(res, ct):
 partial_merge.defvjp(_pm_fwd, _pm_bwd)
 
 
+@jax.custom_vjp
+def scatter_to_slots(slot_node, recv_pos, x):
+    """Owner-side dual of :func:`partial_merge`: lay out owned-node rows
+    into the per-sender partial-slot order (``slot_node`` sentinel
+    ``n_loc`` -> zero row). Backward is a pure ``recv_pos`` gather-sum —
+    no scatter in either direction. Used to ship per-destination values
+    (e.g. GAT's er half-logits) from owners to the parts holding their
+    split in-edges."""
+    return jnp.take(x, slot_node, axis=0, mode="fill", fill_value=0.0)
+
+
+def _sts_fwd(slot_node, recv_pos, x):
+    return scatter_to_slots(slot_node, recv_pos, x), (slot_node, recv_pos)
+
+
+def _sts_bwd(res, ct):
+    slot_node, recv_pos = res
+    g_x = jnp.sum(
+        jnp.take(ct, recv_pos, axis=0, mode="fill", fill_value=0.0), axis=1
+    )
+    return (np.zeros(slot_node.shape, dtype=jax.dtypes.float0),
+            np.zeros(recv_pos.shape, dtype=jax.dtypes.float0),
+            g_x)
+
+
+scatter_to_slots.defvjp(_sts_fwd, _sts_bwd)
+
+
 def sharded_gspmm(pg: PartitionedGraph, feat_local: jnp.ndarray,
                   axis_name: str = "p", edge_weight: Optional[jnp.ndarray] = None
                   ) -> jnp.ndarray:
@@ -256,11 +284,22 @@ def sharded_gat_attention(pg: PartitionedGraph, el_local, er_local,
 
     el_local (n_loc, H), er_local (n_loc, H), ft_local (n_loc, H, D);
     returns (n_loc, H, D).
+
+    Vertex-cut mode (``pg.m_part > 0``, split destinations): the per-dst
+    softmax becomes a cross-part ONLINE softmax — each part computes
+    (max, exp-sum, weighted-numerator) partials over its share of a split
+    destination's in-edges; the owner's er half-logits travel to the
+    edge-holding parts through one extra ``all_to_all`` (via
+    :func:`scatter_to_slots`), the packed (m, s, n) partials return
+    through the existing partial all_to_all, and the owner merges with
+    ``exp(m_p - M)`` rescaling — exact softmax, fwd AND grad, with no
+    scatter anywhere (SURVEY.md §2.3 graph-partition-parallel row; the
+    flash-attention-style merge the reference never needed because it
+    pulls all edges to one worker).
     """
     if pg.m_part:
-        raise NotImplementedError(
-            "sharded attention needs dst-owner edges (halo mode); "
-            "vertex-cut split destinations would need cross-part softmax")
+        return _vertex_cut_gat_attention(pg, el_local, er_local, ft_local,
+                                         negative_slope, axis_name)
     n_loc = pg.n_loc
     h, d = ft_local.shape[1], ft_local.shape[2]
     el_c = halo_exchange(pg, el_local, axis_name)
@@ -290,6 +329,89 @@ def sharded_gat_attention(pg: PartitionedGraph, el_local, er_local,
     den = jax.ops.segment_sum(p, edst, num_segments=n_loc + 1,
                               indices_are_sorted=True)[:n_loc]
     return num / jnp.maximum(den, 1e-30)[:, :, None]
+
+
+def _vertex_cut_gat_attention(pg: PartitionedGraph, el_local, er_local,
+                              ft_local, negative_slope: float,
+                              axis_name: str):
+    """Cross-part online-softmax GAT aggregation (per-device view)."""
+    P = pg.num_parts
+    n_loc, m_part = pg.n_loc, pg.m_part
+    n_out = n_loc + P * m_part
+    h, d = ft_local.shape[1], ft_local.shape[2]
+    slot_node = pg.slot_node[0]
+    recv_pos = pg.recv_pos[0]
+    NEG = -1e30
+
+    # Source-side tensors ride the halo all_to_all as usual.
+    el_c = halo_exchange(pg, el_local, axis_name)
+    ft_c = halo_exchange(pg, ft_local.reshape(n_loc, h * d), axis_name)
+
+    # Destination-side er: owners lay their rows into partial-slot order
+    # and one all_to_all delivers them to the parts holding the edges.
+    er_sbuf = scatter_to_slots(slot_node, recv_pos, er_local)
+    er_tail = jax.lax.all_to_all(
+        er_sbuf.reshape(P, m_part, h), axis_name, split_axis=0,
+        concat_axis=0,
+    ).reshape(P * m_part, h)
+    er_ext = jnp.concatenate([er_local, er_tail], axis=0)  # (n_out, H)
+
+    esrc, edst = pg.esrc[0], pg.edst[0]
+    valid = edst < n_out  # sentinel n_out marks padded edge slots
+    el_e = jnp.take(el_c, esrc, axis=0, mode="clip")
+    er_e = jnp.take(er_ext, jnp.minimum(edst, n_out - 1), axis=0)
+    z = el_e + er_e
+    z = jnp.where(z >= 0, z, negative_slope * z)
+    z = jnp.where(valid[:, None], z, NEG)
+
+    # Local partials per output row (owned nodes + foreign-dst slots).
+    m_row = jax.lax.stop_gradient(jax.ops.segment_max(
+        z, edst, num_segments=n_out + 1, indices_are_sorted=True))
+    m_row = jnp.maximum(m_row, NEG)[:n_out]
+    p_e = jnp.where(valid[:, None],
+                    jnp.exp(z - jnp.take(m_row, jnp.minimum(edst, n_out - 1),
+                                         axis=0)),
+                    0.0)
+    ft_e = jnp.take(ft_c, esrc, axis=0, mode="clip").reshape(-1, h, d)
+    s_row = jax.ops.segment_sum(p_e, edst, num_segments=n_out + 1,
+                                indices_are_sorted=True)[:n_out]
+    n_row = jax.ops.segment_sum(p_e[:, :, None] * ft_e, edst,
+                                num_segments=n_out + 1,
+                                indices_are_sorted=True)[:n_out]
+
+    # Ship (m, s, n) partials of foreign destinations to their owners —
+    # packed into ONE all_to_all along the feature axis.
+    pack = jnp.concatenate(
+        [m_row[n_loc:], s_row[n_loc:], n_row[n_loc:].reshape(-1, h * d)],
+        axis=-1,
+    ).reshape(P, m_part, h * (2 + d))
+    recv = jax.lax.all_to_all(pack, axis_name, split_axis=0, concat_axis=0
+                              ).reshape(P * m_part, h * (2 + d))
+    recv_m = jax.lax.stop_gradient(recv[:, :h])
+    recv_s = recv[:, h:2 * h]
+    recv_n = recv[:, 2 * h:]
+
+    # Owner-side online merge: global max, then exp(m_p - M) rescale.
+    own_m, own_s = m_row[:n_loc], s_row[:n_loc]
+    own_n = n_row[:n_loc].reshape(n_loc, h * d)
+    gathered_m = jnp.take(recv_m, recv_pos, axis=0, mode="fill",
+                          fill_value=NEG)  # (n_loc, P, H)
+    M = jnp.maximum(own_m, jnp.max(gathered_m, axis=1))  # stop-grad inputs
+    w_own = jnp.exp(own_m - M)
+    denom = own_s * w_own
+    numer = own_n * jnp.reshape(
+        jnp.broadcast_to(w_own[:, :, None], (n_loc, h, d)), (n_loc, h * d))
+
+    M_slot = jnp.take(M, slot_node, axis=0, mode="fill", fill_value=0.0)
+    w_slot = jnp.exp(recv_m - M_slot)  # empty partials: m=-1e30 -> w ~ 0
+    s_slot = recv_s * w_slot
+    n_slot = recv_n * jnp.reshape(
+        jnp.broadcast_to(w_slot[:, :, None], (P * m_part, h, d)),
+        (P * m_part, h * d))
+    denom = partial_merge(recv_pos, slot_node, denom, s_slot)
+    numer = partial_merge(recv_pos, slot_node, numer, n_slot)
+    out = numer.reshape(n_loc, h, d) / jnp.maximum(denom, 1e-30)[:, :, None]
+    return out
 
 
 def make_sharded_gat_layer(pg: PartitionedGraph, mesh: Mesh,

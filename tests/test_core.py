@@ -96,3 +96,100 @@ def test_send_and_recv_subset():
     for e in eids:
         ref[dst[e]] += h[src[e]]
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_udf_reduce_compiled_matches_eager():
+    """UDF reduce inside jit (static ELL mailbox plan) matches the eager
+    exact-width degree-bucketed path on values AND grads, and a masked
+    order-statistic UDF matches the builtin max."""
+    import jax
+
+    from dgl1_tpu import core
+
+    g = dgl.rand_graph(150, 1800, seed=3)
+    rng = np.random.default_rng(5)
+    h = jnp.asarray(rng.normal(size=(150, 6)).astype(np.float32))
+
+    def reducer(nodes):
+        # padding-safe custom reduce (padded slots are zero-filled)
+        return {"out": (nodes.mailbox["m"] ** 2).sum(axis=1)}
+
+    g.ndata["h"] = h
+    out_eager = g.update_all(fn.copy_u("h", "m"), reducer)
+
+    @jax.jit
+    def step(g, h):
+        g.ndata["h"] = h
+        return core.message_passing(g, fn.copy_u("h", "m"), reducer,
+                                    None)["out"]
+
+    out_jit = step(g, h)
+    np.testing.assert_allclose(np.asarray(out_jit), np.asarray(out_eager),
+                               atol=1e-5)
+
+    # Grads through the compiled UDF path vs the dense reference.
+    @jax.jit
+    def loss(g, h):
+        g.ndata["h"] = h
+        res = core.message_passing(g, fn.copy_u("h", "m"), reducer, None)
+        return (res["out"] ** 2).sum()
+
+    gj = jax.grad(loss, argnums=1)(g, h)
+    e = g.num_edges()
+    src = jnp.asarray(np.asarray(g.src)[:e])
+    dst = jnp.asarray(np.asarray(g.dst)[:e])
+
+    def loss_ref(h):
+        out = jax.ops.segment_sum(h[src] ** 2, dst, num_segments=150)
+        return (out ** 2).sum()
+
+    gr = jax.grad(loss_ref)(h)
+    np.testing.assert_allclose(np.asarray(gj), np.asarray(gr), rtol=1e-5,
+                               atol=1e-3)
+
+    # Masked order statistic via mailbox_mask == builtin max.
+    def max_reducer(nodes):
+        m = jnp.where(nodes.mailbox_mask[..., None], nodes.mailbox["m"],
+                      -jnp.inf)
+        out = m.max(axis=1)
+        return {"out": jnp.where(jnp.isfinite(out), out, 0.0)}
+
+    @jax.jit
+    def step_max(g, h):
+        g.ndata["h"] = h
+        return core.message_passing(g, fn.copy_u("h", "m"), max_reducer,
+                                    None)["out"]
+
+    ref_max = dgl.ops.gspmm(g, "copy_lhs", "max", h, None)
+    np.testing.assert_allclose(np.asarray(step_max(g, h)),
+                               np.asarray(ref_max), atol=1e-5)
+
+
+def test_udf_reduce_compiled_degrees_and_dstdata():
+    """The compiled NodeBatch carries true degrees and dst-side ndata."""
+    import jax
+
+    from dgl1_tpu import core
+
+    g = dgl.rand_graph(60, 500, seed=9)
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(60, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(60, 4)).astype(np.float32))
+
+    def mean_plus_bias(nodes):
+        s = nodes.mailbox["m"].sum(axis=1)
+        deg = jnp.maximum(nodes.degrees.astype(s.dtype), 1.0)[:, None]
+        return {"out": s / deg + nodes.data["b"]}
+
+    @jax.jit
+    def step(g, h, b):
+        g.ndata["h"] = h
+        g.ndata["b"] = b
+        return core.message_passing(g, fn.copy_u("h", "m"),
+                                    mean_plus_bias, None)["out"]
+
+    out = step(g, h, b)
+    ref = dgl.ops.gspmm(g, "copy_lhs", "mean", h, None) + b
+    # zero-degree nodes: compiled path yields 0 (+bias via data) —
+    # mean oracle also zero-fills, so add bias everywhere.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
