@@ -18,13 +18,18 @@ _initialized = False
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
-               ip_config: Optional[str] = None):
+               ip_config: Optional[str] = None,
+               timeout_s: Optional[float] = 300.0):
     """Join the multi-host runtime (parity: ``dgl.distributed.initialize``).
 
     With no arguments, reads ``COORDINATOR_ADDRESS`` / ``NUM_PROCESSES`` /
     ``PROCESS_ID`` from the environment (as set by ``tools/launch.py``);
     ``ip_config`` accepts a DistDGL-style host file, using its first line
     as the coordinator. No-op when single-process.
+
+    ``timeout_s``: raise instead of hanging when peers never join (the
+    reference's blocking socket reads hang forever on a dead server —
+    SURVEY.md §5 failure-detection bullet asks for timeout errors).
     """
     global _initialized
     if _initialized:
@@ -45,9 +50,20 @@ def initialize(coordinator_address: Optional[str] = None,
     num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", 1))
     process_id = process_id if process_id is not None else int(
         os.environ.get("PROCESS_ID", 0))
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            initialization_timeout=(None if timeout_s is None
+                                    else int(timeout_s)))
+    except Exception as exc:
+        raise RuntimeError(
+            f"distributed initialize failed: process {process_id}/"
+            f"{num_processes} could not join {coordinator_address} within "
+            f"{timeout_s}s — check that every peer in the ip_config/launch "
+            f"set is up (a missing peer no longer hangs, per the "
+            f"fail-fast contract)"
+        ) from exc
     _initialized = True
 
 

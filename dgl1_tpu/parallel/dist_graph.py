@@ -24,21 +24,42 @@ __all__ = ["DistGraph", "DistTensor"]
 
 
 class DistTensor:
-    """Global-indexed view over per-partition shards (host side)."""
+    """Global-indexed view over distributed node features (host side).
 
-    def __init__(self, book: GraphPartitionBook, shards: Dict[int, np.ndarray],
-                 name: str = ""):
+    Two backings, same ``tensor[nids]`` surface (parity:
+    ``dgl.distributed.DistTensor`` / the KVStore pull):
+
+    * ``shards`` — per-partition in-process arrays (single-process pod
+      view, or a host that deliberately gathered every shard);
+    * ``store`` — a replicated mmap :class:`HostFeatureStore` opened via
+      :func:`dgl1_tpu.parallel.partition.load_global_feats`: every host
+      pulls ANY node's rows locally (page-cache served), which is how a
+      sampler on host A reads features of nodes owned by host B without
+      an RPC protocol.
+    """
+
+    def __init__(self, book: GraphPartitionBook,
+                 shards: Optional[Dict[int, np.ndarray]] = None,
+                 name: str = "", store=None):
+        if (shards is None) == (store is None):
+            raise ValueError("DistTensor takes exactly one of shards/store")
         self.book = book
-        self.shards = {p: np.asarray(v) for p, v in shards.items()}
+        self.shards = (None if shards is None else
+                       {p: np.asarray(v) for p, v in shards.items()})
+        self.store = store
         self.name = name
 
     @property
     def shape(self):
+        if self.store is not None:
+            return tuple(self.store.shape)
         first = next(iter(self.shards.values()))
         return (self.book.num_nodes(),) + first.shape[1:]
 
     def __getitem__(self, nids) -> np.ndarray:
         nids = np.asarray(nids)
+        if self.store is not None:
+            return self.store.pull(nids)
         parts = self.book.nid2partid(nids)
         local = self.book.nid2localnid(nids)
         first = next(iter(self.shards.values()))
@@ -49,6 +70,10 @@ class DistTensor:
         return out
 
     def __setitem__(self, nids, value):
+        if self.store is not None:
+            raise TypeError(
+                "store-backed DistTensor is read-only (the replicated mmap "
+                "is shared across hosts); write via the partition artifacts")
         nids = np.asarray(nids)
         value = np.asarray(value)
         parts = self.book.nid2partid(nids)
@@ -82,6 +107,7 @@ class DistGraph:
         self.book = GraphPartitionBook(part, num_parts)
         self.part = np.asarray(part)
         self.num_parts = num_parts
+        self.part_id: Optional[int] = None
         self._pg: Optional[PartitionedGraph] = None
         self.ndata: Dict[str, DistTensor] = {}
         for k, v in g.ndata.items():
@@ -90,6 +116,42 @@ class DistGraph:
                 p: arr[self.book.partid2nids(p)] for p in range(num_parts)
             }
             self.ndata[k] = DistTensor(self.book, shards, name=k)
+
+    @classmethod
+    def from_partition(cls, out_path: str, graph_name: str, part_id: int,
+                       formats=("csc",)) -> "DistGraph":
+        """Per-host view from :func:`partition_graph` artifacts: the full
+        structure (replicated — ~2 int32/edge) for sampling any seed, the
+        partition book, and ndata as read-only replicated-mmap
+        DistTensors (the KVStore-pull replacement). ``part_id`` is this
+        host's partition; its train shard is
+        ``book.partid2nids(part_id)``."""
+        import json as _json
+        from pathlib import Path
+
+        from dgl1_tpu.graph import graph as make_graph
+        from dgl1_tpu.parallel.partition import load_global_feats
+
+        out = Path(out_path)
+        with open(out / f"{graph_name}.json") as f:
+            meta = _json.load(f)
+        with np.load(out / f"{graph_name}_structure.npz") as z:
+            g = make_graph((z["src"], z["dst"]),
+                           num_nodes=int(z["num_nodes"][0]),
+                           formats=formats)
+        part = np.load(out / "node_part.npy")
+        obj = cls.__new__(cls)
+        obj.g = g
+        obj.book = GraphPartitionBook(part, int(meta["num_parts"]))
+        obj.part = part
+        obj.num_parts = int(meta["num_parts"])
+        obj.part_id = int(part_id)
+        obj._pg = None
+        obj.ndata = {
+            k: DistTensor(obj.book, store=st, name=k)
+            for k, st in load_global_feats(out_path, graph_name).items()
+        }
+        return obj
 
     def num_nodes(self) -> int:
         return self.g.num_nodes()

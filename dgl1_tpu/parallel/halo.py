@@ -152,11 +152,19 @@ def vertex_cut_edge_owner(g: Graph, part: np.ndarray, num_parts: int,
     if threshold is None:
         threshold = max(int(e / (num_parts * 16)), 64)
     owner = part[dst].astype(np.int32)
-    hubs = np.nonzero(in_deg > threshold)[0]
-    for h in hubs:
-        eids = np.nonzero(dst == h)[0]
-        owner[eids] = (part[h] + np.arange(len(eids)) % num_parts) \
-            % num_parts
+    hub_mask = in_deg > threshold
+    hub_edges = np.nonzero(hub_mask[dst])[0]
+    if len(hub_edges):
+        # Deal each hub's in-edges round-robin across parts, vectorized:
+        # rank-within-hub = position in the dst-grouped order.
+        hd = dst[hub_edges]
+        order = np.argsort(hd, kind="stable")
+        sorted_hd = hd[order]
+        first_pos = np.searchsorted(sorted_hd, sorted_hd)
+        rank = np.arange(len(sorted_hd)) - first_pos
+        owner[hub_edges[order]] = (
+            part[sorted_hd].astype(np.int64) + rank
+        ) % num_parts
     return owner
 
 
@@ -168,6 +176,7 @@ def build_partitioned_graph(
     pad_edges_multiple: int = 128,
     pad_halo_multiple: int = 8,
     edge_owner: Optional[np.ndarray] = None,
+    tiles: bool = True,
 ) -> PartitionedGraph:
     """Build the device-resident partitioned structure from an assignment.
 
@@ -331,21 +340,22 @@ def build_partitioned_graph(
         edst[p, : len(eids)] = ldst[order]
         esrc[p, : len(eids)] = esrc_p[order]
 
-        # Pallas tile descriptors for this part, both directions.
-        dummy_eid = np.zeros(len(eids), np.int32)
-        tiles_fwd_list.append(_build_tiles(
-            ldst[order].astype(np.int32), esrc_p[order].astype(np.int32),
-            dummy_eid, len(eids), n_out,
-        ))
-        rev_order = np.argsort(esrc_p, kind="stable")
-        tiles_rev_list.append(_build_tiles(
-            esrc_p[rev_order].astype(np.int32),
-            ldst[rev_order].astype(np.int32),
-            dummy_eid, len(eids), n_comb,
-        ))
+        if tiles:
+            # Pallas tile descriptors for this part, both directions.
+            dummy_eid = np.zeros(len(eids), np.int32)
+            tiles_fwd_list.append(_build_tiles(
+                ldst[order].astype(np.int32), esrc_p[order].astype(np.int32),
+                dummy_eid, len(eids), n_out,
+            ))
+            rev_order = np.argsort(esrc_p, kind="stable")
+            tiles_rev_list.append(_build_tiles(
+                esrc_p[rev_order].astype(np.int32),
+                ldst[rev_order].astype(np.int32),
+                dummy_eid, len(eids), n_comb,
+            ))
 
-    tiles_fwd = _pad_tiles(tiles_fwd_list, n_out)
-    tiles_rev = _pad_tiles(tiles_rev_list, n_comb)
+    tiles_fwd = _pad_tiles(tiles_fwd_list, n_out) if tiles else None
+    tiles_rev = _pad_tiles(tiles_rev_list, n_comb) if tiles else None
 
     return PartitionedGraph(
         tiles_fwd=tiles_fwd,

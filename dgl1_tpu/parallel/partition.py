@@ -197,6 +197,8 @@ def partition_graph(
     part_method: str = "greedy",
     balance_edges: bool = False,
     seed: int = 0,
+    save_global_feats: bool = True,
+    save_structure: bool = True,
 ) -> np.ndarray:
     """Partition + persist (parity: ``dgl.distributed.partition_graph``).
 
@@ -204,6 +206,18 @@ def partition_graph(
     nodes, with ``inner_node`` / ``inner_edge`` flags and original ids —
     the same artifact shape as the reference's ``PartitionWithHalo``.
     Returns the assignment array.
+
+    Multi-host feature contract (the KVStore-pull replacement): with
+    ``save_global_feats`` the FULL feature matrices are also written once
+    as raw ``.bin`` files that every host ``np.memmap``s read-only
+    (replicated store). Rationale vs a sharded pull protocol: structure
+    is ~2 int32/edge and features O(100 GB) at papers100M f16 are ~26 GiB
+    — cheap to replicate on TPU-host disks/NFS, and a local mmap gather
+    (page-cache served) beats a per-batch cross-host RPC by orders of
+    magnitude; the reference itself short-circuits to a shared-memory
+    fast path whenever data is host-local (SURVEY.md §3.5 kvstore pull).
+    ``save_structure`` writes the full COO once so any host can sample
+    any seed without forwarding (``DistGraph.from_partition`` reads it).
     """
     if part_method == "random":
         part = random_partition_assignment(g, num_parts, seed)
@@ -264,10 +278,42 @@ def partition_graph(
         "node_map": [m.tolist() if len(m) < 100000 else None
                      for m in node_map],
     }
+    if save_global_feats and g.ndata:
+        fdir = out / f"{graph_name}_feat"
+        fdir.mkdir(exist_ok=True)
+        book["global_feats"] = {}
+        for k, v in g.ndata.items():
+            arr = np.ascontiguousarray(np.asarray(v))
+            arr.tofile(fdir / f"{k}.bin")
+            book["global_feats"][k] = {
+                "shape": list(arr.shape), "dtype": str(arr.dtype)}
+    if save_structure:
+        np.savez(out / f"{graph_name}_structure.npz",
+                 src=src.astype(np.int32), dst=dst.astype(np.int32),
+                 num_nodes=np.asarray([g.num_nodes()]))
     np.save(out / "node_part.npy", part)
     with open(out / f"{graph_name}.json", "w") as f:
         json.dump(book, f)
     return part
+
+
+def load_global_feats(out_path: str, graph_name: str, mmap: bool = True):
+    """Open the replicated global feature store written by
+    :func:`partition_graph` — ``{field: HostFeatureStore}``, any host can
+    pull any node's rows (the DistDGL KVStore-pull replacement)."""
+    from dgl1_tpu.data.feature_store import HostFeatureStore
+
+    out = Path(out_path)
+    with open(out / f"{graph_name}.json") as f:
+        book = json.load(f)
+    stores = {}
+    for k, meta in book.get("global_feats", {}).items():
+        stores[k] = HostFeatureStore(
+            out / f"{graph_name}_feat" / f"{k}.bin",
+            shape=tuple(meta["shape"]), dtype=np.dtype(meta["dtype"]),
+            mmap=mmap,
+        )
+    return stores
 
 
 def load_partition(out_path: str, graph_name: str, part_id: int):
