@@ -34,6 +34,84 @@ ITERS_HI = 120
 HBM_BW = {"tpu": 819e9, "cpu": 100e9}
 
 
+def run_matrix():
+    """Honest coverage matrix: {power-law, uniform, geometric} x
+    F in {32, 128, 512} x {fwd, fwd+bwd}, one JSON line per cell with the
+    per-engine hub-coverage fraction — the headline's power-law number
+    rides the dense/chunked hub tiers; uniform/geometric graphs sit on
+    the per-edge gather wall (docs/PERF_NOTES.md 'Engine comparison').
+    Run: ``python bench.py --matrix``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import geometric_graph, powerlaw_graph
+    from dgl1_tpu.graph import rand_graph
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    n = (1 << 17) if on_tpu else (1 << 13)
+    iters_lo, iters_hi = (10, 40) if on_tpu else (1, 3)
+
+    families = {
+        "powerlaw": lambda: powerlaw_graph(n, AVG_DEGREE, seed=0),
+        "uniform": lambda: rand_graph(n, n * AVG_DEGREE, seed=0),
+        "geometric": lambda: geometric_graph(n, AVG_DEGREE, seed=0),
+    }
+    rows = []
+    for fam, make in families.items():
+        g_host = make()
+        num_edges = g_host.num_edges()
+        hub_frac = 0.0
+        if g_host.hub_dst_meta is not None:
+            hub_frac = g_host.hub_dst_meta.covered / max(num_edges, 1)
+        g = jax.device_put(g_host)
+        jax.block_until_ready(jax.tree.leaves(g))
+        for F in (32, 128, 512):
+            feat = jax.random.normal(jax.random.PRNGKey(0), (n, F),
+                                     jnp.float32)
+            for mode in ("fwd", "fwd+bwd"):
+                def make_run(iters, mode=mode):
+                    @jax.jit
+                    def run(g2, x):
+                        if mode == "fwd":
+                            def body(i, x):
+                                return dgl.ops.gspmm(
+                                    g2, "copy_lhs", "sum", x, None) * 0.1
+                        else:
+                            def body(i, x):
+                                return jax.grad(lambda x: jnp.sum(
+                                    dgl.ops.gspmm(g2, "copy_lhs", "sum",
+                                                  x, None) ** 2))(x) * 1e-4
+                        return jax.lax.fori_loop(0, iters, body, x)
+
+                    return run
+
+                def timed(run):
+                    _ = float(run(g, feat)[0, 0])
+                    t0 = time.perf_counter()
+                    _ = float(run(g, feat)[0, 0])
+                    return time.perf_counter() - t0
+
+                t_lo = timed(make_run(iters_lo))
+                t_hi = timed(make_run(iters_hi))
+                dt = (t_hi - t_lo) / (iters_hi - iters_lo)
+                roofline = HBM_BW["tpu" if on_tpu else "cpu"] / (
+                    F * DTYPE_BYTES)
+                row = {
+                    "family": fam, "F": F, "mode": mode,
+                    "edges_per_s": round(num_edges / dt, 1),
+                    "vs_roofline": round(num_edges / dt / roofline, 4),
+                    "hub_coverage": round(hub_frac, 4),
+                    "E": num_edges, "N": n, "backend": backend,
+                    "engine": dgl.ops.get_engine(),
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+    return rows
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -91,4 +169,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--matrix" in sys.argv:
+        run_matrix()
+    else:
+        main()

@@ -183,6 +183,23 @@ def synthetic_classification_graph(
     return g
 
 
+def geometric_graph(num_nodes: int, avg_degree: int, seed: int = 0,
+                    **kw) -> Graph:
+    """Local-band "geometric" graph: node ids are positions along a
+    1-D embedding and edges connect nearby ids (Gaussian offsets), the
+    locality structure of meshes/road networks — the regime where NO node
+    is a hub and every engine sits on the per-edge gather wall (the
+    benchmark matrix's anti-hub counterpoint to :func:`powerlaw_graph`)."""
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+    src = rng.integers(0, num_nodes, size=num_edges)
+    off = np.rint(rng.normal(0.0, max(avg_degree, 2), num_edges)
+                  ).astype(np.int64)
+    off = np.where(off == 0, 1, off)
+    dst = np.clip(src + off, 0, num_nodes - 1)
+    return graph((src, dst), num_nodes=num_nodes, **kw)
+
+
 def powerlaw_graph(num_nodes: int, avg_degree: int, alpha: float = 2.1,
                    seed: int = 0, **kw) -> Graph:
     """Power-law degree graph (Zipf out-degrees) for kernel benchmarking —

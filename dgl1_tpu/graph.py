@@ -314,6 +314,73 @@ class Graph:
         deg = jnp.diff(self.csr_indptr)
         return deg if u is None else deg[u]
 
+    def edge_ids(self, u, v, return_uv: bool = False):
+        """Edge id(s) of edges (u[i] -> v[i]) (parity:
+        ``DGLGraph.edge_ids``). Host-side query. With ``return_uv``
+        returns (u, v, eid) triples covering EVERY parallel edge;
+        otherwise returns one eid per pair (the first in CSR order) and
+        raises if a pair has no edge."""
+        u = np.asarray(u, dtype=np.int64).reshape(-1)
+        v = np.asarray(v, dtype=np.int64).reshape(-1)
+        indptr = np.asarray(self.csr_indptr)
+        col = np.asarray(self.csr_dst)
+        eid = np.asarray(self.csr_eid)
+        if return_uv:
+            us, vs, es = [], [], []
+            for uu, vv in zip(u, v):
+                lo, hi = int(indptr[uu]), int(indptr[uu + 1])
+                hits = np.nonzero(col[lo:hi] == vv)[0]
+                us.append(np.full(len(hits), uu, np.int64))
+                vs.append(np.full(len(hits), vv, np.int64))
+                es.append(eid[lo:hi][hits].astype(np.int64))
+            cat = (lambda xs: np.concatenate(xs) if xs else
+                   np.zeros(0, np.int64))
+            return cat(us), cat(vs), cat(es)
+        out = np.empty(len(u), dtype=np.int64)
+        for i, (uu, vv) in enumerate(zip(u, v)):
+            lo, hi = int(indptr[uu]), int(indptr[uu + 1])
+            hits = np.nonzero(col[lo:hi] == vv)[0]
+            if len(hits) == 0:
+                raise KeyError(f"no edge ({int(uu)} -> {int(vv)})")
+            out[i] = eid[lo + hits[0]]
+        return out if out.size != 1 else out[0]
+
+    def has_edges_between(self, u, v):
+        """Boolean mask: does edge (u[i] -> v[i]) exist (parity:
+        ``DGLGraph.has_edges_between``). Host-side query."""
+        u = np.asarray(u, dtype=np.int64).reshape(-1)
+        v = np.asarray(v, dtype=np.int64).reshape(-1)
+        indptr = np.asarray(self.csr_indptr)
+        col = np.asarray(self.csr_dst)
+        out = np.zeros(len(u), dtype=bool)
+        for i, (uu, vv) in enumerate(zip(u, v)):
+            lo, hi = int(indptr[uu]), int(indptr[uu + 1])
+            out[i] = bool((col[lo:hi] == vv).any())
+        return out if out.size != 1 else bool(out[0])
+
+    def adjacency_matrix(self, transpose: bool = False, scipy_fmt=None,
+                         etype=None):
+        """Adjacency as ``A[dst, src] = 1`` (parity:
+        ``DGLGraph.adjacency_matrix`` — the SpMM orientation), or the
+        transpose. ``scipy_fmt`` in {'coo', 'csr', 'csc'} returns a scipy
+        sparse matrix; default returns a dense jnp array (device use)."""
+        from scipy import sparse as sp
+
+        e = self.num_real_edges()
+        src = np.asarray(self.src)[:e]
+        dst = np.asarray(self.dst)[:e]
+        rows, cols = (src, dst) if transpose else (dst, src)
+        shape = ((self.num_src_nodes(), self.num_dst_nodes()) if transpose
+                 else (self.num_dst_nodes(), self.num_src_nodes()))
+        mat = sp.coo_matrix(
+            (np.ones(e, np.float32), (rows, cols)), shape=shape)
+        if scipy_fmt is not None:
+            return mat.asformat(scipy_fmt)
+        return jnp.asarray(mat.todense())
+
+    # DGL aliases.
+    adj = adjacency_matrix
+
     # ------------------------------------------------------------------
     # Structure transforms that are pure pytree rewires (zero copy)
     # ------------------------------------------------------------------

@@ -218,21 +218,28 @@ def sample_neighbors(
 
 def select_topk(g, k: int, weight: str, nodes=None, edge_dir: str = "in",
                 ascending: bool = False):
-    """Subgraph keeping each node's top-k in-edges by ``edata[weight]``
-    (parity: ``dgl.sampling.select_topk``). Host-side preprocessing like
-    the samplers; returns an edge-induced subgraph in the parent's node
-    space with ``edata['_ID']``."""
+    """Subgraph keeping each node's top-k in-edges (or out-edges with
+    ``edge_dir='out'``) by ``edata[weight]`` (parity:
+    ``dgl.sampling.select_topk``). Host-side preprocessing like the
+    samplers; returns an edge-induced subgraph in the parent's node space
+    with ``edata['_ID']``."""
     import numpy as np
 
     from dgl1_tpu.transform import edge_subgraph
 
-    if edge_dir != "in":
-        raise NotImplementedError("select_topk supports edge_dir='in'")
+    if edge_dir == "out":
+        indptr = np.asarray(g.csr_indptr)
+        eid = np.asarray(g.csr_eid)
+        num_rows = g.num_src_nodes()
+    elif edge_dir == "in":
+        indptr = np.asarray(g.csc_indptr)
+        eid = np.asarray(g.csc_eid)
+        num_rows = g.num_dst_nodes()
+    else:
+        raise ValueError("edge_dir must be 'in' or 'out'")
     w = np.asarray(g.edata[weight]).reshape(-1)[: g.num_edges()]
-    indptr = np.asarray(g.csc_indptr)
-    eid = np.asarray(g.csc_eid)
     if nodes is None:
-        nodes = np.arange(g.num_dst_nodes())
+        nodes = np.arange(num_rows)
     keep = []
     for v in np.asarray(nodes, dtype=np.int64):
         lo, hi = int(indptr[v]), int(indptr[v + 1])

@@ -216,3 +216,45 @@ def test_networkx_roundtrip():
     d = nx.DiGraph([(0, 1), (1, 2)])
     gd = dgl.from_networkx(d)
     assert gd.num_edges() == 2
+
+
+def test_edge_ids_and_has_edges_between():
+    g = dgl.graph(([0, 0, 1, 2, 0], [1, 2, 2, 0, 1]), num_nodes=3)
+    assert int(g.edge_ids(0, 2)) == 1
+    assert bool(g.has_edges_between(0, 1))
+    assert not bool(g.has_edges_between(1, 0))
+    np.testing.assert_array_equal(
+        g.has_edges_between([0, 1, 2], [1, 0, 0]), [True, False, True])
+    # Parallel edges (0->1 twice): return_uv enumerates both.
+    u, v, e = g.edge_ids([0], [1], return_uv=True)
+    assert len(e) == 2 and set(e.tolist()) == {0, 4}
+    with pytest.raises(KeyError):
+        g.edge_ids(1, 0)
+
+
+def test_adjacency_matrix():
+    g = dgl.graph(([0, 1, 1], [1, 2, 2]), num_nodes=3)
+    import scipy.sparse as sp
+
+    A = g.adjacency_matrix(scipy_fmt="csr")
+    assert isinstance(A, sp.csr_matrix)
+    # SpMM orientation: A[dst, src].
+    assert A[1, 0] == 1 and A[2, 1] == 2 and A[0, 1] == 0
+    At = g.adjacency_matrix(transpose=True, scipy_fmt="coo")
+    assert At.shape == (3, 3) and At.tocsr()[0, 1] == 1  # At[src, dst]
+    dense = np.asarray(g.adjacency_matrix())
+    assert dense[2, 1] == 2
+
+
+def test_select_topk_out_edges():
+    from dgl1_tpu.sampling.neighbor import select_topk
+
+    g = dgl.graph(([0, 0, 0, 1], [1, 2, 0, 2]), num_nodes=3)
+    import jax.numpy as jnp
+
+    g.edata["w"] = jnp.asarray(np.asarray([3.0, 1.0, 2.0, 5.0]))
+    sub = select_topk(g, 2, "w", edge_dir="out")
+    eids = set(np.asarray(sub.edata["_ID"]).tolist())
+    # node 0 keeps its top-2 out-edges by weight (w=3,2), node 1 keeps its
+    # single out-edge.
+    assert eids == {0, 2, 3}
