@@ -60,3 +60,4 @@ __all__ = [
     "exit_client",
     "DistEmbedding",
 ]
+from dgl1_tpu.parallel.tp import make_tp_gcn_layer, shard_params_tp

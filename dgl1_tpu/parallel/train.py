@@ -76,3 +76,23 @@ def make_gcn_train_step(
         out_shardings=(repl, repl, repl),
     )
     return jitted, loss_fn
+
+
+def make_gcn_predict(pg: PartitionedGraph, mesh: Mesh):
+    """Jitted sharded forward: ``predict(params, x) -> (P, n_loc) argmax
+    class ids`` (the eval counterpart of :func:`make_gcn_train_step`)."""
+    matvec = make_sharded_gcn_matvec(pg, mesh)
+
+    def predict(params, x):
+        h = matvec(x)
+        h = jax.nn.relu(
+            jnp.einsum("pnf,fh->pnh", h, params["w1"]) + params["b1"]
+        )
+        h = matvec(h)
+        logits = jnp.einsum("pnh,hc->pnc", h, params["w2"]) + params["b2"]
+        return jnp.argmax(logits, axis=-1)
+
+    shard = NamedSharding(mesh, P("p"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(predict, in_shardings=(repl, shard),
+                   out_shardings=shard)

@@ -99,6 +99,22 @@ def main():
     print(f"done in {dt:.1f}s ({edges_per_s / 1e6:.1f} M edge-aggr/s "
           f"across {args.parts} parts)")
 
+    # Accuracy evaluation on the sharded model (the synthetic labels are
+    # learnable by construction, so a broken distributed step shows up
+    # here, not just as a non-increasing loss).
+    from dgl1_tpu.parallel.train import make_gcn_predict
+
+    predict = make_gcn_predict(pg, mesh)
+    pred = predict(params, x)
+    correct = np.asarray((pred == labels) & test_mask).sum()
+    total = np.asarray(test_mask).sum()
+    acc = correct / max(total, 1)
+    print(f"test acc {acc:.4f} ({int(total)} test nodes)")
+    if args.epochs >= 30 and acc < 0.6:
+        raise SystemExit(
+            f"SANITY GATE FAILED: sharded GCN test acc {acc:.4f} < 0.6 on "
+            f"the learnable synthetic task")
+
 
 if __name__ == "__main__":
     main()
