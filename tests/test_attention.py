@@ -228,7 +228,7 @@ def test_fused_attn_dropout_semantics():
     # Unbiasedness: the mean over many seeds approaches the undropped
     # output (inverted scaling).
     acc = np.zeros_like(np.asarray(base))
-    n_seeds = 64
+    n_seeds = 24
     for sd in range(n_seeds):
         acc += np.asarray(gat_attention(
             g, el, er, ft, SLOPE, drop, jnp.asarray([sd], jnp.int32)))
@@ -239,7 +239,7 @@ def test_fused_attn_dropout_semantics():
     sel = deg >= 4
     err = np.abs(got[sel] - ref[sel]).mean()
     scale = np.abs(ref[sel]).mean()
-    assert err < 0.25 * scale, (err, scale)
+    assert err < 0.3 * scale, (err, scale)
 
     # Grad correctness under a FIXED mask: finite differences vs vjp.
     def loss(el_, er_, ft_):

@@ -196,7 +196,14 @@ def test_vertex_cut_matvec_matches_dense_oracle():
     mv = make_sharded_gcn_matvec(pg, mesh)
     feat = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
     x = pg.shard_node_data(feat)
-    yg = np.asarray(pg.unshard_node_data(mv(x)))
+
+    @jax.jit
+    def fwd_and_grad(x):
+        y, vjp = jax.vjp(mv, x)
+        return y, vjp(jnp.cos(y))[0]
+
+    y_s, gx_s = fwd_and_grad(x)
+    yg = np.asarray(pg.unshard_node_data(y_s))
 
     deg_out = np.maximum(np.asarray(g.out_degrees()), 1) ** -0.5
     deg_in = np.maximum(np.asarray(g.in_degrees()), 1) ** -0.5
@@ -206,10 +213,7 @@ def test_vertex_cut_matvec_matches_dense_oracle():
     ref = M @ np.asarray(feat)
     np.testing.assert_allclose(yg, ref, atol=1e-4)
 
-    def loss(x):
-        return jnp.sum(jnp.sin(mv(x)))
-
-    gx = np.asarray(pg.unshard_node_data(jax.grad(loss)(x)))
+    gx = np.asarray(pg.unshard_node_data(gx_s))
 
     def loss_ref(f):
         return jnp.sum(jnp.sin(jnp.asarray(M) @ f))
@@ -256,7 +260,16 @@ def test_sharded_gat_attention_matches_single_device():
     el_s = pg.shard_node_data(el)
     er_s = pg.shard_node_data(er)
     ft_s = pg.shard_node_data(ft)
-    out = np.asarray(pg.unshard_node_data(jax.jit(layer)(el_s, er_s, ft_s)))
+
+    # ONE compiled program for fwd AND grads (d/dx sum(sin(out)) has
+    # cotangent cos(out)) — separate jit+grad compiles dominated runtime.
+    @jax.jit
+    def fwd_and_grads(el_s, er_s, ft_s):
+        out, vjp = jax.vjp(layer, el_s, er_s, ft_s)
+        return out, vjp(jnp.cos(out))
+
+    out_s, gs = fwd_and_grads(el_s, er_s, ft_s)
+    out = np.asarray(pg.unshard_node_data(out_s))
     np.testing.assert_allclose(out, ref_fn(el, er, ft), rtol=2e-4, atol=2e-4)
 
     # Grads vs the fused/composed single-device op.
@@ -264,10 +277,6 @@ def test_sharded_gat_attention_matches_single_device():
     from dgl1_tpu.ops import gsddmm, gspmm
     from dgl1_tpu.ops.edge_softmax import edge_softmax
 
-    def loss_sharded(el_s, er_s, ft_s):
-        return jnp.sum(jnp.sin(layer(el_s, er_s, ft_s)))
-
-    gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(el_s, er_s, ft_s)
     got = [np.asarray(pg.unshard_node_data(x)) for x in gs]
 
     def loss_single(el, er, ft):
@@ -364,7 +373,14 @@ def test_vertex_cut_gat_attention_matches_single_device():
     mesh = Mesh(np.array(jax.devices()[:4]), ("p",))
     layer = make_sharded_gat_layer(pg, mesh)
     el_s, er_s, ft_s = (pg.shard_node_data(x) for x in (el, er, ft))
-    out = np.asarray(pg.unshard_node_data(jax.jit(layer)(el_s, er_s, ft_s)))
+
+    @jax.jit
+    def fwd_and_grads(el_s, er_s, ft_s):
+        out, vjp = jax.vjp(layer, el_s, er_s, ft_s)
+        return out, vjp(jnp.cos(out))
+
+    out_s, gs = fwd_and_grads(el_s, er_s, ft_s)
+    out = np.asarray(pg.unshard_node_data(out_s))
 
     def single(el, er, ft):
         zc = gsddmm(g, "add", el[:, :, None], er[:, :, None],
@@ -376,10 +392,6 @@ def test_vertex_cut_gat_attention_matches_single_device():
     ref = np.asarray(single(el, er, ft))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
-    def loss_sharded(el_s, er_s, ft_s):
-        return jnp.sum(jnp.sin(layer(el_s, er_s, ft_s)))
-
-    gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(el_s, er_s, ft_s)
     got = [np.asarray(pg.unshard_node_data(x)) for x in gs]
 
     def loss_single(el, er, ft):
