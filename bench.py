@@ -54,18 +54,27 @@ def run_matrix():
     n = (1 << 17) if on_tpu else (1 << 13)
     iters_lo, iters_hi = (10, 40) if on_tpu else (1, 3)
 
+    # Geometric (mesh/road locality) graphs carry the block-dense layout:
+    # node ids are positions, so 128x128 near-diagonal blocks fill up and
+    # the SpMM rides the MXU instead of the per-edge gather wall
+    # (dgl1_tpu/bdense_format.py). Power-law rides the hub tiers; uniform
+    # random has no exploitable structure (gather wall is the physics).
+    ALL_B = ("coo", "csr", "csc", "tile", "ell", "hub", "bdense")
     families = {
         "powerlaw": lambda: powerlaw_graph(n, AVG_DEGREE, seed=0),
         "uniform": lambda: rand_graph(n, n * AVG_DEGREE, seed=0),
-        "geometric": lambda: geometric_graph(n, AVG_DEGREE, seed=0),
+        "geometric": lambda: geometric_graph(n, AVG_DEGREE, seed=0,
+                                             formats=ALL_B),
     }
     rows = []
     for fam, make in families.items():
         g_host = make()
         num_edges = g_host.num_edges()
-        hub_frac = 0.0
+        hub_frac = bd_frac = 0.0
         if g_host.hub_dst_meta is not None:
             hub_frac = g_host.hub_dst_meta.covered / max(num_edges, 1)
+        if getattr(g_host, "bdense_meta", None) is not None:
+            bd_frac = g_host.bdense_meta.covered / max(num_edges, 1)
         g = jax.device_put(g_host)
         jax.block_until_ready(jax.tree.leaves(g))
         for F in (32, 128, 512):
@@ -104,6 +113,7 @@ def run_matrix():
                     "edges_per_s": round(num_edges / dt, 1),
                     "vs_roofline": round(num_edges / dt / roofline, 4),
                     "hub_coverage": round(hub_frac, 4),
+                    "bdense_coverage": round(bd_frac, 4),
                     "E": num_edges, "N": n, "backend": backend,
                     "engine": dgl.ops.get_engine(),
                 }

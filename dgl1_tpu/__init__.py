@@ -115,6 +115,8 @@ from dgl1_tpu.transform import (
     remove_edges,
     add_nodes,
     remove_nodes,
+    reorder_graph,
+    rcm_order,
 )
 from dgl1_tpu.ops.edge_softmax import edge_softmax
 from dgl1_tpu import sampling
@@ -208,6 +210,8 @@ __all__ = [
     "remove_edges",
     "add_nodes",
     "remove_nodes",
+    "reorder_graph",
+    "rcm_order",
     "in_subgraph",
     "out_subgraph",
     "knn_graph",

@@ -116,6 +116,8 @@ class Graph:
         "hub_src",
         "hub_dst_meta",
         "hub_src_meta",
+        "bdense",
+        "bdense_meta",
         "_num_src_nodes",
         "_num_dst_nodes",
         "_num_edges",
@@ -158,6 +160,8 @@ class Graph:
         hub_src: Optional[Dict[str, Any]] = None,
         hub_dst_meta: Optional[Tuple] = None,
         hub_src_meta: Optional[Tuple] = None,
+        bdense: Optional[Dict[str, Any]] = None,
+        bdense_meta=None,
         ndata: Optional[Dict[str, Any]] = None,
         edata: Optional[Dict[str, Any]] = None,
         srcdata: Optional[Dict[str, Any]] = None,
@@ -191,6 +195,11 @@ class Graph:
         self.hub_src = hub_src
         self.hub_dst_meta = hub_dst_meta
         self.hub_src_meta = hub_src_meta
+        # Clustered block-dense layout (see bdense_format.py): direction-
+        # specific; dropped on reverse() (the engine's custom_vjp handles
+        # the src direction internally through the same blocks).
+        self.bdense = bdense
+        self.bdense_meta = bdense_meta
         self._num_src_nodes = int(num_src_nodes)
         self._num_dst_nodes = int(num_dst_nodes)
         self._num_edges = int(num_edges)
@@ -281,7 +290,10 @@ class Graph:
                 created.append("ell")
             if self.hub_dst is not None:
                 created.append("hub")
-            universe = ["coo", "csr", "csc", "tile", "ell", "hub"]
+            if self.bdense is not None:
+                created.append("bdense")
+            universe = ["coo", "csr", "csc", "tile", "ell", "hub",
+                        "bdense"]
             return {"created": created,
                     "not created": [f for f in universe
                                     if f not in created]}
@@ -410,6 +422,7 @@ class Graph:
             hub_src=self.hub_dst,
             hub_dst_meta=self.hub_src_meta,
             hub_src_meta=self.hub_dst_meta,
+            bdense=None,
             ell_dst_meta=self.ell_src_meta,
             ell_src_meta=self.ell_dst_meta,
             num_src_nodes=self._num_dst_nodes,
@@ -512,6 +525,7 @@ class Graph:
             self.ell_src,
             self.hub_dst,
             self.hub_src,
+            self.bdense,
         )
 
     def tree_flatten(self):
@@ -541,6 +555,7 @@ class Graph:
             self.ell_src_meta,
             self.hub_dst_meta,
             self.hub_src_meta,
+            self.bdense_meta,
         )
         return children, aux
 
@@ -548,7 +563,7 @@ class Graph:
     def tree_unflatten(cls, aux, children):
         struct, ndata, edata, srcdata, dstdata, bnn, bne = children
         (num_src, num_dst, num_edges, is_block, ell_dst_meta, ell_src_meta,
-         hub_dst_meta, hub_src_meta) = aux
+         hub_dst_meta, hub_src_meta, bdense_meta) = aux
         (
             src,
             dst,
@@ -567,6 +582,7 @@ class Graph:
             ell_src,
             hub_dst,
             hub_src,
+            bdense,
         ) = struct
         g = cls(
             src=src,
@@ -594,6 +610,8 @@ class Graph:
             hub_src=hub_src,
             hub_dst_meta=hub_dst_meta,
             hub_src_meta=hub_src_meta,
+            bdense=bdense,
+            bdense_meta=bdense_meta,
             ndata=ndata,
             edata=edata,
             srcdata=srcdata if is_block else None,
@@ -752,7 +770,17 @@ def _build_formats(src: np.ndarray, dst: np.ndarray, num_src: int, num_dst: int,
             num_edges, num_padded, _build_ell,
             min_group_edges=floor, dense_floor=hub_dense_floor,
         )
+    bdense_meta = bdense = None
+    if formats is not None and "bdense" in formats and num_edges > 0:
+        from dgl1_tpu.bdense_format import build_block_dense
+
+        bdense_meta, bdense = build_block_dense(
+            np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            num_src, num_dst, _build_ell,
+        )
     return dict(
+        bdense_meta=bdense_meta,
+        bdense=bdense,
         src=coo_src,
         dst=coo_dst,
         edge_mask=mask,

@@ -39,6 +39,12 @@ try:
     _engine_hub.register()
 except ImportError:  # pragma: no cover
     pass
+try:
+    from dgl1_tpu.ops import engine_bdense as _engine_bdense
+
+    _engine_bdense.register()
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = (
     list(_spmm.__all__)

@@ -27,7 +27,7 @@ _ENGINE = os.environ.get("DGL1_TPU_ENGINE", "auto")
 # name -> (gspmm_fn, gsddmm_fn); fns return None when not covered.
 _ENGINES: Dict[str, Tuple[Optional[Callable], Optional[Callable]]] = {}
 
-_AUTO_ORDER = ["hub", "ell", "pallas"]
+_AUTO_ORDER = ["bdense", "hub", "ell", "pallas"]
 
 
 def set_engine(name: str) -> None:

@@ -40,6 +40,8 @@ __all__ = [
     "add_nodes",
     "remove_nodes",
     "typed_subgraphs",
+    "reorder_graph",
+    "rcm_order",
 ]
 
 
@@ -54,6 +56,111 @@ def _slice_rows(data: dict, idx: np.ndarray) -> dict:
 
     idx = jnp.asarray(idx)
     return {k: jnp.take(v, idx, axis=0, mode="clip") for k, v in data.items()}
+
+
+def rcm_order(g: Graph) -> np.ndarray:
+    """Reverse Cuthill-McKee node order over the undirected adjacency.
+
+    Returns ``perm`` with ``perm[new_id] = old_id``. Per connected
+    component: BFS from a minimum-degree seed, neighbors expanded in
+    ascending-degree order, then the whole order reversed. This is the
+    locality supplier for the block-dense SpMM format
+    (``dgl1_tpu/bdense_format.py``): after RCM the adjacency concentrates
+    near the diagonal, so 128x128 blocks fill up.
+    """
+    n = g.num_nodes()
+    src, dst = _coo(g)
+    us = np.concatenate([src, dst])
+    vs = np.concatenate([dst, src])
+    order = np.argsort(us, kind="stable")
+    us, vs = us[order], vs[order]
+    deg = np.bincount(us, minlength=n)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+
+    visited = np.zeros(n, bool)
+    out = np.empty(n, np.int64)
+    pos = 0
+    seeds = np.argsort(deg, kind="stable")  # min-degree seeds first
+    for seed in seeds:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        out[pos] = seed
+        head, pos = pos, pos + 1
+        while head < pos:
+            u = out[head]
+            head += 1
+            nbr = vs[indptr[u]:indptr[u + 1]]
+            nbr = nbr[~visited[nbr]]
+            if len(nbr):
+                nbr = np.unique(nbr)  # sorted + deduped
+                nbr = nbr[np.argsort(deg[nbr], kind="stable")]
+                visited[nbr] = True
+                out[pos:pos + len(nbr)] = nbr
+                pos += len(nbr)
+    return out[::-1].copy()
+
+
+def reorder_graph(g: Graph, node_permute_algo: str = "metis",
+                  edge_permute_algo: str = "src", store_ids: bool = True,
+                  permute_config: Optional[dict] = None,
+                  formats=None) -> Graph:
+    """Relabel nodes (and sort edges) for locality (parity:
+    ``dgl.reorder_graph``, ``python/dgl/transforms/functional.py``).
+
+    ``node_permute_algo``: 'rcm' | 'metis' | 'custom'. 'metis' orders
+    nodes by partition id (``permute_config={'k': parts}``, default 8)
+    using this repo's partitioners; 'custom' takes
+    ``permute_config={'nodes_perm': perm}`` with ``perm[new] = old``.
+    ``edge_permute_algo``: 'src' | 'dst' | 'custom'
+    (``permute_config={'edges_perm': ...}``).
+
+    Pass ``formats=('coo','csr','csc','ell','bdense')`` to build the
+    block-dense layout on the reordered graph — RCM/metis order is what
+    makes its dense tier cover edges on hub-free graphs.
+    """
+    cfg = permute_config or {}
+    n = g.num_nodes()
+    if node_permute_algo == "rcm":
+        perm = rcm_order(g)
+    elif node_permute_algo == "metis":
+        from dgl1_tpu.parallel.partition import metis_partition_assignment
+
+        k = int(cfg.get("k", 8))
+        part = metis_partition_assignment(g, k)
+        perm = np.argsort(part, kind="stable").astype(np.int64)
+    elif node_permute_algo == "custom":
+        perm = np.asarray(cfg["nodes_perm"], np.int64)
+        if perm.shape != (n,):
+            raise ValueError("nodes_perm must have num_nodes entries")
+    else:
+        raise ValueError(f"unknown node_permute_algo {node_permute_algo!r}")
+
+    relabel = np.empty(n, np.int64)
+    relabel[perm] = np.arange(n)
+    src, dst = _coo(g)
+    new_src, new_dst = relabel[src], relabel[dst]
+
+    if edge_permute_algo == "src":
+        eperm = np.argsort(new_src, kind="stable")
+    elif edge_permute_algo == "dst":
+        eperm = np.argsort(new_dst, kind="stable")
+    elif edge_permute_algo == "custom":
+        eperm = np.asarray(cfg["edges_perm"], np.int64)
+    else:
+        raise ValueError(f"unknown edge_permute_algo {edge_permute_algo!r}")
+    new_src, new_dst = new_src[eperm], new_dst[eperm]
+
+    new = graph((new_src, new_dst), num_nodes=n, formats=formats)
+    new.ndata.update(_slice_rows(g.ndata, perm))
+    new.edata.update(_slice_rows(g.edata, eperm))
+    if store_ids:
+        import jax.numpy as jnp
+
+        new.ndata["_ID"] = jnp.asarray(perm.astype(np.int32))
+        new.edata["_ID"] = jnp.asarray(eperm.astype(np.int32))
+    return new
 
 
 def reverse(g: Graph, copy_edata: bool = True) -> Graph:
