@@ -25,7 +25,14 @@ from dgl1_tpu.nn.conv import (
     DenseChebConv,
     CFConv,
     AtomicConv,
+    GATv2Conv,
+    EGATConv,
+    EdgeGATConv,
+    GCN2Conv,
+    PNAConv,
+    HGTConv,
 )
+from dgl1_tpu.nn.linear import TypedLinear, HeteroLinear, HeteroEmbedding
 from dgl1_tpu.nn.glob import (
     SumPooling,
     AvgPooling,
@@ -39,7 +46,8 @@ from dgl1_tpu.nn.glob import (
 )
 from dgl1_tpu.nn.hetero import HeteroGraphConv
 from dgl1_tpu.nn.factory import KNNGraph, SegmentedKNNGraph
-from dgl1_tpu.nn.utils import WeightBasis, Sequential
+from dgl1_tpu.nn.utils import (WeightBasis, Sequential, JumpingKnowledge,
+                               LabelPropagation)
 from dgl1_tpu.nn.softmax import edge_softmax
 
 __all__ = [
@@ -77,6 +85,17 @@ __all__ = [
     "Sequential",
     "SetTransformerEncoder",
     "SetTransformerDecoder",
+    "GATv2Conv",
+    "EGATConv",
+    "EdgeGATConv",
+    "GCN2Conv",
+    "PNAConv",
+    "JumpingKnowledge",
+    "LabelPropagation",
+    "HGTConv",
+    "TypedLinear",
+    "HeteroLinear",
+    "HeteroEmbedding",
 ]
 
 from dgl1_tpu.nn.conv import GMMConv  # noqa: E402

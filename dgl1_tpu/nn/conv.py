@@ -39,6 +39,12 @@ __all__ = [
     "DenseSAGEConv",
     "DenseChebConv",
     "CFConv",
+    "GATv2Conv",
+    "EGATConv",
+    "EdgeGATConv",
+    "GCN2Conv",
+    "PNAConv",
+    "HGTConv",
 ]
 
 
@@ -801,3 +807,356 @@ class AtomicConv(nn.Module):
                    onehot[:, :, None],                  # (N, T, 1)
                    e_feat[:, None, :])                  # (E, 1, K)
         return ue.reshape(-1, onehot.shape[1] * e_feat.shape[1])
+
+
+class GATv2Conv(nn.Module):
+    """GATv2 layer (parity: ``python/dgl/nn/pytorch/conv/gatv2conv.py``).
+
+    "How Attentive are GATs?" — the attention vector is applied AFTER the
+    nonlinearity on the combined features, making the attention function
+    on each edge a universal approximator:
+    ``e_ij = a^T leaky_relu(W_l h_i + W_r h_j)``.
+    """
+
+    out_feats: int
+    num_heads: int = 1
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    residual: bool = False
+    activation: Optional[Callable] = None
+    share_weights: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, deterministic: bool = True):
+        h_src, h_dst = _split_feat(feat)
+        if not isinstance(feat, (tuple, list)) and g.is_block:
+            h_dst = h_src[: g.num_dst_nodes()]
+        drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
+        h_src, h_dst = drop(h_src), drop(h_dst)
+
+        H, F = self.num_heads, self.out_feats
+        fc_src = nn.Dense(H * F, use_bias=self.use_bias, name="fc_src")
+        feat_src = fc_src(h_src).reshape(-1, H, F)
+        if self.share_weights:
+            feat_dst = (feat_src[: g.num_dst_nodes()]
+                        if g.is_block else feat_src)
+        else:
+            feat_dst = nn.Dense(H * F, use_bias=self.use_bias,
+                                name="fc_dst")(h_dst).reshape(-1, H, F)
+
+        # (E, H, F) combined features, nonlinearity BEFORE the attn dot.
+        eij = gsddmm(g, "add", feat_src, feat_dst,
+                     lhs_target="u", rhs_target="v")
+        eij = nn.leaky_relu(eij, negative_slope=self.negative_slope)
+        attn = self.param("attn", nn.initializers.xavier_normal(),
+                          (1, H, F))
+        e = jnp.sum(eij * attn, axis=-1, keepdims=True)  # (E, H, 1)
+        a = edge_softmax(g, e)
+        a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+        rst = gspmm(g, "mul", "sum", feat_src, a)
+
+        if self.residual:
+            res = nn.Dense(H * F, use_bias=False, name="res_fc")(h_dst)
+            rst = rst + res.reshape(-1, H, F)
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst
+
+
+class EGATConv(nn.Module):
+    """GAT with edge features, returns (node_out, edge_out) (parity:
+    ``python/dgl/nn/pytorch/conv/egatconv.py``):
+    ``f_ij = leaky_relu(A h_i + B h_j + C f_ij)`` becomes both the new
+    edge feature and (dotted with a per-head vector) the attention logit.
+    """
+
+    out_node_feats: int
+    out_edge_feats: int
+    num_heads: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, efeat):
+        h_src, h_dst = _split_feat(feat)
+        if not isinstance(feat, (tuple, list)) and g.is_block:
+            h_dst = h_src[: g.num_dst_nodes()]
+        H, Fn, Fe = self.num_heads, self.out_node_feats, self.out_edge_feats
+
+        f_ni = nn.Dense(H * Fe, use_bias=self.use_bias,
+                        name="fc_ni")(h_src).reshape(-1, H, Fe)
+        f_nj = nn.Dense(H * Fe, use_bias=self.use_bias,
+                        name="fc_nj")(h_dst).reshape(-1, H, Fe)
+        f_fij = nn.Dense(H * Fe, use_bias=self.use_bias,
+                         name="fc_fij")(efeat).reshape(-1, H, Fe)
+        f_tmp = gsddmm(g, "add", f_ni, f_nj,
+                       lhs_target="u", rhs_target="v") + f_fij
+        f_out = nn.leaky_relu(f_tmp, negative_slope=0.2)
+
+        attn = self.param("attn", nn.initializers.xavier_normal(),
+                          (1, H, Fe))
+        e = jnp.sum(f_out * attn, axis=-1, keepdims=True)
+        a = edge_softmax(g, e)
+        feat_src = nn.Dense(H * Fn, use_bias=self.use_bias,
+                            name="fc_node")(h_src).reshape(-1, H, Fn)
+        h_out = gspmm(g, "mul", "sum", feat_src, a)
+        return h_out, f_out
+
+
+class EdgeGATConv(nn.Module):
+    """GAT whose logits AND messages incorporate edge features (parity:
+    ``python/dgl/nn/pytorch/conv/edgegatconv.py``): edge features are
+    projected per head and added to the source term of both the
+    attention logit and the message.
+    """
+
+    out_feats: int
+    num_heads: int = 1
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    residual: bool = True
+    activation: Optional[Callable] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, efeat, deterministic: bool = True):
+        h_src, h_dst = _split_feat(feat)
+        if not isinstance(feat, (tuple, list)) and g.is_block:
+            h_dst = h_src[: g.num_dst_nodes()]
+        drop = nn.Dropout(self.feat_drop, deterministic=deterministic)
+        h_src, h_dst = drop(h_src), drop(h_dst)
+
+        H, F = self.num_heads, self.out_feats
+        feat_src = nn.Dense(H * F, use_bias=False,
+                            name="fc")(h_src).reshape(-1, H, F)
+        feat_dst = (feat_src[: g.num_dst_nodes()] if g.is_block
+                    else feat_src)
+        feat_edge = nn.Dense(H * F, use_bias=False,
+                             name="fc_edge")(efeat).reshape(-1, H, F)
+
+        attn_l = self.param("attn_l", nn.initializers.xavier_normal(),
+                            (1, H, F))
+        attn_r = self.param("attn_r", nn.initializers.xavier_normal(),
+                            (1, H, F))
+        attn_e = self.param("attn_e", nn.initializers.xavier_normal(),
+                            (1, H, F))
+        el = jnp.sum(feat_src * attn_l, axis=-1, keepdims=True)
+        er = jnp.sum(feat_dst * attn_r, axis=-1, keepdims=True)
+        ee = jnp.sum(feat_edge * attn_e, axis=-1, keepdims=True)
+        e = gsddmm(g, "add", el, er, lhs_target="u", rhs_target="v") + ee
+        e = nn.leaky_relu(e, negative_slope=self.negative_slope)
+        a = edge_softmax(g, e)
+        a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
+        # Message: (W h_u + W_e e_uv), weighted by attention.
+        msg = gsddmm(g, "copy_lhs", feat_src, None,
+                     lhs_target="u") + feat_edge
+        rst = gspmm(g, "copy_rhs", "sum", None, msg * a)
+
+        if self.residual:
+            res = nn.Dense(H * F, use_bias=False, name="res_fc")(h_dst)
+            rst = rst + res.reshape(-1, H, F)
+        if self.use_bias:
+            rst = rst + self.param("bias", nn.initializers.zeros,
+                                   (1, H, F))
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst
+
+
+class GCN2Conv(nn.Module):
+    """GCNII layer (parity: ``python/dgl/nn/pytorch/conv/gcn2conv.py``):
+    initial residual + identity mapping,
+    ``H' = ((1-a) P H + a H0)((1-b) I + b W)``, ``b = ln(lam/l + 1)``.
+    ``in_feats`` must equal ``out_feats`` (square weight).
+    """
+
+    layer: int = 1
+    alpha: float = 0.1
+    lambda_: float = 1.0
+    project_initial_features: bool = False
+    use_bias: bool = True
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, feat_0):
+        import math
+
+        beta = math.log(self.lambda_ / self.layer + 1.0)
+        # Symmetric normalization (GraphConv norm='both').
+        deg_out = jnp.maximum(g.out_degrees().astype(feat.dtype), 1.0)
+        deg_in = jnp.maximum(g.in_degrees().astype(feat.dtype), 1.0)
+        h = feat * (deg_out ** -0.5)[:, None]
+        h = gspmm(g, "copy_lhs", "sum", h, None)
+        h = h * (deg_in ** -0.5)[:, None]
+
+        h = (1.0 - self.alpha) * h
+        h0 = self.alpha * feat_0
+        w = nn.Dense(feat.shape[-1], use_bias=self.use_bias, name="fc")
+        if self.project_initial_features:
+            # One shared weight for smoothed + initial terms.
+            rst = (1.0 - beta) * (h + h0) + beta * w(h + h0)
+        else:
+            w0 = nn.Dense(feat.shape[-1], use_bias=self.use_bias,
+                          name="fc_0")
+            rst = (1.0 - beta) * (h + h0) + beta * (w(h) + w0(h0))
+        if self.activation is not None:
+            rst = self.activation(rst)
+        return rst
+
+
+class PNAConv(nn.Module):
+    """Principal Neighbourhood Aggregation (parity:
+    ``python/dgl/nn/pytorch/conv/pnaconv.py``): multiple aggregators x
+    degree scalers, tower decomposition, mixing linear.
+
+    aggregators: subset of {'mean','max','min','std','var','sum'};
+    scalers: subset of {'identity','amplification','attenuation'};
+    ``delta``: avg log-degree of the training graphs.
+    """
+
+    out_feats: int
+    aggregators: Tuple[str, ...] = ("mean", "max", "min", "std")
+    scalers: Tuple[str, ...] = ("identity", "amplification", "attenuation")
+    delta: float = 1.0
+    num_towers: int = 1
+    dropout: float = 0.0
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, feat, deterministic: bool = True):
+        h_src, h_dst = _split_feat(feat)
+        if not isinstance(feat, (tuple, list)) and g.is_block:
+            h_dst = h_src[: g.num_dst_nodes()]
+        fin = h_src.shape[-1]
+        if fin % self.num_towers:
+            raise ValueError("in_feats must divide num_towers")
+
+        # Aggregations are tower-independent: compute once on full width.
+        aggs = []
+        mean = None
+        for name in self.aggregators:
+            if name == "mean":
+                mean = gspmm(g, "copy_lhs", "mean", h_src, None)
+                aggs.append(mean)
+            elif name == "sum":
+                aggs.append(gspmm(g, "copy_lhs", "sum", h_src, None))
+            elif name == "max":
+                aggs.append(gspmm(g, "copy_lhs", "max", h_src, None))
+            elif name == "min":
+                aggs.append(gspmm(g, "copy_lhs", "min", h_src, None))
+            elif name in ("var", "std"):
+                if mean is None:
+                    mean = gspmm(g, "copy_lhs", "mean", h_src, None)
+                sq = gspmm(g, "copy_lhs", "mean", h_src * h_src, None)
+                var = jnp.maximum(sq - mean * mean, 0.0)
+                aggs.append(jnp.sqrt(var + 1e-5) if name == "std" else var)
+            else:
+                raise ValueError(f"unknown aggregator {name!r}")
+        h_agg = jnp.concatenate(aggs, axis=-1)  # (N, A*fin)
+
+        deg = jnp.maximum(g.in_degrees().astype(h_agg.dtype), 1.0)
+        logd = jnp.log(deg + 1.0)[:, None]
+        scaled = []
+        for name in self.scalers:
+            if name == "identity":
+                scaled.append(h_agg)
+            elif name == "amplification":
+                scaled.append(h_agg * (logd / self.delta))
+            elif name == "attenuation":
+                scaled.append(h_agg * (self.delta / jnp.maximum(logd,
+                                                                1e-5)))
+            else:
+                raise ValueError(f"unknown scaler {name!r}")
+        h_cat = jnp.concatenate(scaled, axis=-1)  # (N, S*A*fin)
+
+        # Towers: split input and aggregate widths, per-tower U linear on
+        # [h_dst_tower || aggregated_tower], then mixing across towers.
+        T = self.num_towers
+        A, S = len(self.aggregators), len(self.scalers)
+        tw_in, tw_out = fin // T, self.out_feats // T
+        h_cat = h_cat.reshape(-1, S * A, fin)
+        outs = []
+        for t in range(T):
+            part = h_cat[:, :, t * tw_in:(t + 1) * tw_in].reshape(
+                h_cat.shape[0], -1)
+            inp = jnp.concatenate(
+                [h_dst[:, t * tw_in:(t + 1) * tw_in], part], axis=-1)
+            outs.append(nn.Dense(tw_out, name=f"tower_{t}")(inp))
+        rst = jnp.concatenate(outs, axis=-1)
+        rst = nn.Dense(self.out_feats, name="mixing")(rst)
+        rst = nn.Dropout(self.dropout, deterministic=deterministic)(rst)
+        if self.residual and h_dst.shape[-1] == self.out_feats:
+            rst = rst + h_dst
+        return rst
+
+
+class HGTConv(nn.Module):
+    """Heterogeneous Graph Transformer layer (parity:
+    ``python/dgl/nn/pytorch/conv/hgtconv.py``): operates on a homogeneous
+    graph carrying integer node/edge type arrays (the reference's
+    calling convention). Per-type Q/K/V projections (TypedLinear),
+    per-relation attention/message transforms and priority scaling,
+    edge softmax, typed output projection with a learnable skip gate.
+    """
+
+    in_size: int
+    head_size: int
+    num_heads: int
+    num_ntypes: int
+    num_etypes: int
+    dropout: float = 0.2
+    use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, g: Graph, x, ntype, etype,
+                 deterministic: bool = True):
+        from dgl1_tpu.nn.linear import TypedLinear
+
+        H, D = self.num_heads, self.head_size
+        q = TypedLinear(self.in_size, H * D, self.num_ntypes,
+                        name="linear_q")(x, ntype).reshape(-1, H, D)
+        k = TypedLinear(self.in_size, H * D, self.num_ntypes,
+                        name="linear_k")(x, ntype).reshape(-1, H, D)
+        v = TypedLinear(self.in_size, H * D, self.num_ntypes,
+                        name="linear_v")(x, ntype).reshape(-1, H, D)
+
+        rel_att = self.param("relation_att",
+                             nn.initializers.xavier_uniform(),
+                             (self.num_etypes, H, D, D))
+        rel_msg = self.param("relation_msg",
+                             nn.initializers.xavier_uniform(),
+                             (self.num_etypes, H, D, D))
+        rel_pri = self.param("relation_pri", nn.initializers.ones,
+                             (self.num_etypes, H))
+
+        # Per-edge K/V with the relation transform folded in (one-hot
+        # mixture over etypes; R is small in practice).
+        k_e = gsddmm(g, "copy_lhs", k, None, lhs_target="u")  # (E,H,D)
+        v_e = gsddmm(g, "copy_lhs", v, None, lhs_target="u")
+        q_e = gsddmm(g, "copy_rhs", None, q, rhs_target="v")
+        et = jnp.asarray(etype)
+        if et.shape[0] < k_e.shape[0]:  # pad to the padded edge count
+            et = jnp.concatenate(
+                [et, jnp.zeros((k_e.shape[0] - et.shape[0],), et.dtype)])
+        oh = jax.nn.one_hot(et, self.num_etypes, dtype=k_e.dtype)
+        kt = jnp.einsum("er,ehd,rhdf->ehf", oh, k_e, rel_att)
+        mt = jnp.einsum("er,ehd,rhdf->ehf", oh, v_e, rel_msg)
+        pri = oh @ rel_pri  # (E, H)
+        logits = jnp.sum(kt * q_e, axis=-1) * pri / (D ** 0.5)  # (E,H)
+        a = edge_softmax(g, logits[..., None])
+        a = nn.Dropout(self.dropout, deterministic=deterministic)(a)
+        h_agg = gspmm(g, "copy_rhs", "sum", None, mt * a)  # (N,H,D)
+
+        h = nn.gelu(h_agg.reshape(-1, H * D))
+        h = TypedLinear(H * D, H * D, self.num_ntypes,
+                        name="linear_a")(h, ntype)
+        alpha = jax.nn.sigmoid(
+            self.param("skip", nn.initializers.ones, (self.num_ntypes,)))
+        alpha = alpha[ntype][:, None]
+        if x.shape == h.shape:
+            h = alpha * h + (1.0 - alpha) * x
+        if self.use_norm:
+            h = nn.LayerNorm(name="norm")(h)
+        return h
