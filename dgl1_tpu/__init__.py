@@ -117,6 +117,8 @@ from dgl1_tpu.transform import (
     remove_nodes,
     reorder_graph,
     rcm_order,
+    laplacian_pe,
+    random_walk_pe,
 )
 from dgl1_tpu.ops.edge_softmax import edge_softmax
 from dgl1_tpu import sampling
@@ -212,6 +214,8 @@ __all__ = [
     "remove_nodes",
     "reorder_graph",
     "rcm_order",
+    "laplacian_pe",
+    "random_walk_pe",
     "in_subgraph",
     "out_subgraph",
     "knn_graph",

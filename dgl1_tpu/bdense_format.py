@@ -61,7 +61,9 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
       tail ELL arrays (t_* dst-direction, r_* src-direction)
     """
     if min_edges is None:
-        min_edges = BLK
+        min_edges = BLK // 4  # blocks >= ~32 edges beat the per-edge
+        # gather (one 128x128 bf16 block read ~32KB vs 32 gathered rows
+        # at the ~90M rows/s gather-unit wall)
     e = len(src)
     n_rb = max((num_dst + BLK - 1) // BLK, 1)
     n_cb = max((num_src + BLK - 1) // BLK, 1)
@@ -85,6 +87,14 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
         lr = (dst[de].astype(np.int64) % BLK)
         lc = (src[de].astype(np.int64) % BLK)
         np.add.at(a, (k_of_e * BLK + lr, lc), 1.0)
+    # Counts are tiny integers (edge multiplicities): store bf16 to halve
+    # the dominant HBM stream of the block matmuls (exact for integers
+    # <= 256; the kernel casts per-block in VMEM and accumulates f32 —
+    # same policy as hub_format.py's dense count matrix).
+    if a.max(initial=0.0) <= 256:
+        import ml_dtypes
+
+        a = a.astype(ml_dtypes.bfloat16)
     rb = (kept_keys // n_cb).astype(np.int32)
     cb = (kept_keys % n_cb).astype(np.int32)
     # kept_keys is sorted by key = rb-major: rb runs are contiguous.

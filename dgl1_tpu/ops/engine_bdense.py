@@ -39,11 +39,14 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _block_kernel(transpose: bool, out_rows_ref, first_ref, a_idx_ref,
+def _block_kernel(transpose: bool, dt, out_rows_ref, first_ref, a_idx_ref,
                   in_rows_ref, a_ref, x_ref, out_ref):
     k = pl.program_id(1)
-    a = a_ref[:]
-    x = x_ref[:]
+    # A is stored bf16 (exact small-integer counts); cast per-block in
+    # VMEM to the compute dtype. dt=bf16 (ops.precision policy) runs the
+    # MXU single-pass; dt=f32 keeps the oracle bit-strict.
+    a = a_ref[:].astype(dt)
+    x = x_ref[:].astype(dt)
     if transpose:
         part = jax.lax.dot_general(
             a, x, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -65,7 +68,7 @@ def _block_kernel(transpose: bool, out_rows_ref, first_ref, a_idx_ref,
 
 
 def _block_call(transpose: bool, a, out_rows, first, a_idx, in_rows,
-                x_pad, n_out_blocks: int):
+                x_pad, n_out_blocks: int, dt=jnp.float32):
     """x_pad: (n_in_blocks*BLK, f_pad). Returns (n_out_blocks*BLK, f_pad).
 
     Prefetch arrays: out_rows[k] = output block row, in_rows[k] = input
@@ -90,7 +93,7 @@ def _block_call(transpose: bool, a, out_rows, first, a_idx, in_rows,
     )
     flops = 2 * K * n_fb * BLK * BLK * FEAT_BLOCK
     return pl.pallas_call(
-        functools.partial(_block_kernel, transpose),
+        functools.partial(_block_kernel, transpose, dt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_blocks * BLK, f_pad),
                                        jnp.float32),
@@ -110,6 +113,7 @@ class _Static(NamedTuple):
     num_dst: int
     u_feat: Tuple[int, ...]
     meta: BDenseMeta
+    prec: str = "f32"  # ops.precision matmul mode, captured at trace time
 
 
 def _pad_rows_feat(x2, rows: int, f_pad: int):
@@ -135,9 +139,10 @@ def _dense_dir(static: _Static, bd, x, transpose: bool):
         in_rows = bd["cb"]
         mask = bd["rb_mask"]
         n_valid = static.num_dst
+    dt = jnp.bfloat16 if static.prec == "bf16" else jnp.float32
     x_pad = _pad_rows_feat(x, n_in * BLK, f_pad)
     out = _block_call(transpose, bd["a"], out_rows, first, a_idx, in_rows,
-                      x_pad, n_out)
+                      x_pad, n_out, dt=dt)
     rows = jnp.repeat(mask, BLK, total_repeat_length=n_out * BLK)
     out = jnp.where(rows[:, None], out, jnp.zeros_like(out))
     return out[:n_valid, :ff]
@@ -195,11 +200,14 @@ def gspmm_bdense(g: Graph, op: str, reduce_op: str, u, e):
         return None
     feat = u.shape[1:]
     ff = int(np.prod(feat)) if feat else 1
+    from dgl1_tpu.ops.precision import get_matmul_precision
+
     static = _Static(
         num_src=g.num_src_nodes(),
         num_dst=g.num_dst_nodes(),
         u_feat=tuple(feat),
         meta=g.bdense_meta,
+        prec=get_matmul_precision(),
     )
     out = _gspmm_bdense_sum(static, g.bdense, u.reshape(u.shape[0], ff))
     out = out.astype(u.dtype).reshape((static.num_dst,) + feat)

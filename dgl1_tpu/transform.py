@@ -42,6 +42,8 @@ __all__ = [
     "typed_subgraphs",
     "reorder_graph",
     "rcm_order",
+    "laplacian_pe",
+    "random_walk_pe",
 ]
 
 
@@ -895,3 +897,62 @@ def typed_subgraphs(g: Graph, etypes, num_rels: int) -> tuple:
         edge_subgraph(g, np.nonzero(etypes == r)[0], relabel_nodes=False)
         for r in range(int(num_rels))
     )
+
+
+def laplacian_pe(g: Graph, k: int, padding: bool = False):
+    """Laplacian positional encoding (parity: ``dgl.laplacian_pe`` /
+    ``python/dgl/transforms/functional.py``): the k non-trivial smallest
+    eigenvectors of the symmetric-normalized Laplacian, sign-randomized
+    by convention left to the caller (returned raw here, deterministic).
+
+    Host-side (offline preprocessing quantity, like
+    :func:`laplacian_lambda_max`). ``padding=True`` zero-pads when the
+    graph has fewer than ``k + 1`` nodes.
+    """
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    n = g.num_nodes()
+    if not padding and n <= k:
+        raise ValueError(f"need num_nodes > k, got {n} <= {k}")
+    src, dst = _coo(g)
+    A = sp.coo_matrix((np.ones(len(src)), (dst, src)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)  # undirected, simple
+    deg = np.asarray(A.sum(1)).ravel()
+    dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    L = sp.eye(n) - sp.diags(dinv) @ A @ sp.diags(dinv)
+    kk = min(k + 1, n)
+    if n < 40 or kk >= n - 1:
+        w, v = np.linalg.eigh(L.toarray())
+    else:
+        w, v = spla.eigsh(L.tocsc(), k=kk, which="SM", tol=1e-6)
+    order = np.argsort(w)
+    v = v[:, order[1:kk]]  # drop the trivial eigenvector
+    if v.shape[1] < k:
+        v = np.pad(v, ((0, 0), (0, k - v.shape[1])))
+    return jnp.asarray(v[:, :k].astype(np.float32))
+
+
+def random_walk_pe(g: Graph, k: int, eweight_name: Optional[str] = None):
+    """Random-walk positional encoding (parity: ``dgl.random_walk_pe``):
+    ``PE[i, j] = (RW^(j+1))_{ii}`` for the row-normalized random-walk
+    matrix, j = 0..k-1. Host-side scipy (offline preprocessing)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    n = g.num_nodes()
+    src, dst = _coo(g)
+    w = (np.asarray(g.edata[eweight_name], np.float64)[: len(src)]
+         if eweight_name else np.ones(len(src)))
+    A = sp.coo_matrix((w, (src, dst)), shape=(n, n)).tocsr()
+    deg = np.asarray(A.sum(1)).ravel()
+    dinv = np.where(deg > 0, 1.0 / deg, 0.0)
+    RW = sp.diags(dinv) @ A  # row-normalized: walk src -> dst
+    pe = np.zeros((n, k))
+    M = RW.copy()
+    for j in range(k):
+        pe[:, j] = M.diagonal()
+        if j + 1 < k:
+            M = M @ RW
+    return jnp.asarray(pe.astype(np.float32))

@@ -40,9 +40,10 @@ def test_bdense_planner_covers_band():
     assert m.n_blocks > 0
     # A width-40 band on 400 nodes concentrates in near-diagonal blocks.
     assert m.covered > 0.9 * g.num_edges()
-    # Count matrices hold every covered edge exactly once.
+    # Count matrices hold every covered edge exactly once (bf16 entries
+    # are exact small integers; sum in f64).
     bd = g.bdense
-    assert float(np.asarray(bd["a"]).sum()) == float(m.covered)
+    assert float(np.asarray(bd["a"], np.float64).sum()) == float(m.covered)
 
 
 @pytest.mark.parametrize("red", ["sum", "mean"])
@@ -90,8 +91,8 @@ def test_bdense_tail_only_graph():
     # A scattered graph: no block reaches min_edges, everything on the
     # ELL tail — coverage must still be exact.
     rng = np.random.default_rng(7)
-    src = rng.integers(0, N, 800)
-    dst = rng.integers(0, N, 800)
+    src = rng.integers(0, N, 120)
+    dst = rng.integers(0, N, 120)
     g = dgl.graph((src, dst), num_nodes=N, formats=FORMATS)
     assert g.bdense_meta.n_blocks == 0
     u = data(4)
@@ -200,3 +201,52 @@ def test_rcm_order_band_matrix_bandwidth():
     bw = np.abs(relabel[np.asarray(g.src)] -
                 relabel[np.asarray(g.dst)]).max()
     assert bw <= 2  # path graph RCM bandwidth is 1; allow slack
+
+
+def test_laplacian_pe_ring():
+    # Ring graph: eigenvectors are sin/cos harmonics; PE columns must be
+    # orthonormal and orthogonal to the constant vector.
+    n = 24
+    src = np.arange(n)
+    dst = (src + 1) % n
+    g = dgl.graph((np.concatenate([src, dst]),
+                   np.concatenate([dst, src])), num_nodes=n)
+    pe = np.asarray(dgl.laplacian_pe(g, k=4))
+    assert pe.shape == (n, 4)
+    for j in range(4):
+        np.testing.assert_allclose(np.linalg.norm(pe[:, j]), 1.0,
+                                   rtol=1e-4)
+        assert abs(pe[:, j].sum()) < 1e-3  # orthogonal to constant
+
+
+def test_laplacian_pe_padding():
+    g = dgl.graph((np.array([0, 1]), np.array([1, 0])), num_nodes=3)
+    pe = np.asarray(dgl.laplacian_pe(g, k=5, padding=True))
+    assert pe.shape == (3, 5)
+    with np.testing.assert_raises(Exception):
+        dgl.laplacian_pe(g, k=5)
+
+
+def test_random_walk_pe_triangle():
+    # Directed triangle: return probability is 1 exactly at step 3.
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 0])
+    g = dgl.graph((src, dst), num_nodes=3)
+    pe = np.asarray(dgl.random_walk_pe(g, k=4))
+    np.testing.assert_allclose(pe[:, 0], 0.0, atol=1e-7)  # step 1
+    np.testing.assert_allclose(pe[:, 1], 0.0, atol=1e-7)  # step 2
+    np.testing.assert_allclose(pe[:, 2], 1.0, atol=1e-7)  # step 3
+    np.testing.assert_allclose(pe[:, 3], 0.0, atol=1e-7)  # step 4
+
+
+def test_bdense_bf16_precision_mode():
+    from dgl1_tpu.ops import matmul_precision
+
+    g = make()
+    u = data(6)
+    ref = gspmm_xla(g, "copy_lhs", "sum", u, None)
+    with matmul_precision("bf16"):
+        out = gspmm_bdense(g, "copy_lhs", "sum", u, None)
+    # bf16 feature rounding: ~4e-3 per element, accumulated in f32 over
+    # ~40-edge rows -> a few 1e-2 absolute on O(1) sums.
+    np.testing.assert_allclose(out, ref, rtol=3e-2, atol=1e-1)

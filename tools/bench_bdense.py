@@ -17,9 +17,12 @@ ALL_B = ("coo", "csr", "csc", "tile", "ell", "hub", "bdense")
 
 
 def main():
+    import sys
+
     on_tpu = jax.default_backend() not in ("cpu",)
     n = N if on_tpu else N // 16
-    lo, hi = (10, 40) if on_tpu else (1, 3)
+    lo, hi = (5, 20) if on_tpu else (1, 3)
+    engines = ("bdense", "ell") if "--ell" in sys.argv else ("bdense",)
     g_host = geometric_graph(n, DEG, seed=0, formats=ALL_B)
     e = g_host.num_edges()
     m = g_host.bdense_meta
@@ -31,7 +34,7 @@ def main():
     print(f"# device_put {time.time() - t0:.1f}s", flush=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (n, F), jnp.float32)
 
-    for engine in ("bdense", "ell"):
+    for engine in engines:
         dispatch.set_engine(engine)
         for mode in ("fwd", "fwd+bwd"):
             def make(iters, mode=mode):
