@@ -130,6 +130,8 @@ from dgl1_tpu.parallel import metis_partition, metis_partition_assignment
 from dgl1_tpu import models
 from dgl1_tpu import utils
 from dgl1_tpu import udf
+from dgl1_tpu import geometry
+from dgl1_tpu.nn.explain import khop_in_subgraph
 
 
 class DGLError(Exception):
@@ -216,6 +218,8 @@ __all__ = [
     "rcm_order",
     "laplacian_pe",
     "random_walk_pe",
+    "geometry",
+    "khop_in_subgraph",
     "in_subgraph",
     "out_subgraph",
     "knn_graph",

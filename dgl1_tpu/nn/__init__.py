@@ -33,6 +33,7 @@ from dgl1_tpu.nn.conv import (
     HGTConv,
 )
 from dgl1_tpu.nn.linear import TypedLinear, HeteroLinear, HeteroEmbedding
+from dgl1_tpu.nn.explain import GNNExplainer
 from dgl1_tpu.nn.glob import (
     SumPooling,
     AvgPooling,
@@ -96,6 +97,7 @@ __all__ = [
     "TypedLinear",
     "HeteroLinear",
     "HeteroEmbedding",
+    "GNNExplainer",
 ]
 
 from dgl1_tpu.nn.conv import GMMConv  # noqa: E402

@@ -76,7 +76,7 @@ class GraphConv(nn.Module):
     activation: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, g: Graph, feat):
+    def __call__(self, g: Graph, feat, edge_weight=None):
         if self.norm not in ("both", "right", "left", "none"):
             raise ValueError(f"invalid norm {self.norm!r}")
         feat_src, _ = _split_feat(feat)
@@ -87,19 +87,25 @@ class GraphConv(nn.Module):
             norm = jnp.where(deg > 0, deg, 1.0) ** power
             feat_src = feat_src * norm[: feat_src.shape[0], None]
 
+        # Per-edge scalar weights (parity: graphconv.py edge_weight; the
+        # GNNExplainer mask contract): u_mul_e instead of copy_u.
+        def agg(x):
+            if edge_weight is None:
+                return gspmm(g, "copy_lhs", "sum", x, None)
+            ew = edge_weight.reshape(-1, *([1] * (x.ndim - 1)))
+            return gspmm(g, "mul", "sum", x, ew)
+
         in_feats = feat_src.shape[-1]
         if self.use_weight:
             dense = nn.Dense(self.out_feats, use_bias=False, name="weight")
             if in_feats > self.out_feats:
                 # mult-order optimization (reference does the same): project
                 # first when it shrinks the aggregated width.
-                feat_src = dense(feat_src)
-                rst = gspmm(g, "copy_lhs", "sum", feat_src, None)
+                rst = agg(dense(feat_src))
             else:
-                rst = gspmm(g, "copy_lhs", "sum", feat_src, None)
-                rst = dense(rst)
+                rst = dense(agg(feat_src))
         else:
-            rst = gspmm(g, "copy_lhs", "sum", feat_src, None)
+            rst = agg(feat_src)
 
         if self.norm in ("both", "right"):
             deg = g.in_degrees().astype(rst.dtype)
