@@ -95,6 +95,10 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
         import ml_dtypes
 
         a = a.astype(ml_dtypes.bfloat16)
+    # Backward copy in cb-sorted order: block k of `ab` is block
+    # perm_b[k] of `a`. Doubles A storage (bf16, cheap) so BOTH kernel
+    # directions stream their A operand sequentially — no dynamic
+    # A-block indexing in the grid.
     rb = (kept_keys // n_cb).astype(np.int32)
     cb = (kept_keys % n_cb).astype(np.int32)
     # kept_keys is sorted by key = rb-major: rb runs are contiguous.
@@ -138,10 +142,12 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
         tail_meta_dst=tail_meta_dst, tail_meta_src=tail_meta_src,
         covered=int(e - n_tail),
     )
+    ab = (a.reshape(max(K, 1), BLK, BLK)[perm_b].reshape(-1, BLK)
+          if K else a)
     arrays = {
-        "a": a,
+        "a": a, "ab": ab,
         "rb": rb, "cb": cb, "first_f": first_f,
-        "perm_b": perm_b, "rbb": rbb, "cbb": cbb, "first_b": first_b,
+        "rbb": rbb, "cbb": cbb, "first_b": first_b,
         "rb_mask": rb_mask, "cb_mask": cb_mask,
         "t_idx": tail_dst["idx"], "t_eid": tail_dst["eid"],
         "t_inv": tail_dst["inv_perm"],

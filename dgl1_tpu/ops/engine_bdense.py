@@ -39,7 +39,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _block_kernel(transpose: bool, dt, out_rows_ref, first_ref, a_idx_ref,
+def _block_kernel(transpose: bool, dt, out_rows_ref, first_ref,
                   in_rows_ref, a_ref, x_ref, out_ref):
     k = pl.program_id(1)
     # A is stored bf16 (exact small-integer counts); cast per-block in
@@ -67,28 +67,29 @@ def _block_kernel(transpose: bool, dt, out_rows_ref, first_ref, a_idx_ref,
         out_ref[:] = out_ref[:] + part.astype(out_ref.dtype)
 
 
-def _block_call(transpose: bool, a, out_rows, first, a_idx, in_rows,
+def _block_call(transpose: bool, a, out_rows, first, in_rows,
                 x_pad, n_out_blocks: int, dt=jnp.float32):
     """x_pad: (n_in_blocks*BLK, f_pad). Returns (n_out_blocks*BLK, f_pad).
 
     Prefetch arrays: out_rows[k] = output block row, in_rows[k] = input
-    block row, a_idx[k] = which A block (identity forward, perm_b
-    backward), first[k] = start-of-run flag in the iteration order.
+    block row, first[k] = start-of-run flag in the iteration order. The
+    A operand is pre-sorted in iteration order (block k at rows
+    [k*BLK, (k+1)*BLK)) so it streams sequentially.
     """
     K = out_rows.shape[0]
     f_pad = x_pad.shape[1]
     n_fb = f_pad // FEAT_BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # out_rows, first, a_idx, in_rows
+        num_scalar_prefetch=3,  # out_rows, first, in_rows
         grid=(n_fb, K),
         in_specs=[
             pl.BlockSpec((BLK, BLK),
-                         lambda fb, k, o, fi, ai, ir: (ai[k], 0)),
+                         lambda fb, k, o, fi, ir: (k, 0)),
             pl.BlockSpec((BLK, FEAT_BLOCK),
-                         lambda fb, k, o, fi, ai, ir: (ir[k], fb)),
+                         lambda fb, k, o, fi, ir: (ir[k], fb)),
         ],
         out_specs=pl.BlockSpec(
-            (BLK, FEAT_BLOCK), lambda fb, k, o, fi, ai, ir: (o[k], fb)
+            (BLK, FEAT_BLOCK), lambda fb, k, o, fi, ir: (o[k], fb)
         ),
     )
     flops = 2 * K * n_fb * BLK * BLK * FEAT_BLOCK
@@ -105,7 +106,7 @@ def _block_call(transpose: bool, a, out_rows, first, a_idx, in_rows,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(out_rows, first, a_idx, in_rows, a, x_pad)
+    )(out_rows, first, in_rows, a, x_pad)
 
 
 class _Static(NamedTuple):
@@ -128,20 +129,19 @@ def _dense_dir(static: _Static, bd, x, transpose: bool):
     f_pad = _round_up(max(ff, 1), FEAT_BLOCK)
     if transpose:
         n_in, n_out = m.n_rb, m.n_cb
-        out_rows, first = bd["cbb"], bd["first_b"]
-        a_idx, in_rows = bd["perm_b"], bd["rbb"]
+        a, out_rows, first = bd["ab"], bd["cbb"], bd["first_b"]
+        in_rows = bd["rbb"]
         mask = bd["cb_mask"]
         n_valid = static.num_src
     else:
         n_in, n_out = m.n_cb, m.n_rb
-        out_rows, first = bd["rb"], bd["first_f"]
-        a_idx = jnp.arange(max(m.n_blocks, 1), dtype=jnp.int32)
+        a, out_rows, first = bd["a"], bd["rb"], bd["first_f"]
         in_rows = bd["cb"]
         mask = bd["rb_mask"]
         n_valid = static.num_dst
     dt = jnp.bfloat16 if static.prec == "bf16" else jnp.float32
     x_pad = _pad_rows_feat(x, n_in * BLK, f_pad)
-    out = _block_call(transpose, bd["a"], out_rows, first, a_idx, in_rows,
+    out = _block_call(transpose, a, out_rows, first, in_rows,
                       x_pad, n_out, dt=dt)
     rows = jnp.repeat(mask, BLK, total_repeat_length=n_out * BLK)
     out = jnp.where(rows[:, None], out, jnp.zeros_like(out))
