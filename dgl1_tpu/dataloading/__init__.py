@@ -18,6 +18,7 @@ from dgl1_tpu.dataloading import negative_sampler
 from dgl1_tpu.dataloading.inference import layerwise_inference
 from dgl1_tpu.dataloading.cluster import ClusterGCNDataLoader
 from dgl1_tpu.dataloading.graph_dataloader import GraphDataLoader
+from dgl1_tpu.dataloading.saint import SAINTSampler
 
 __all__ = [
     "NeighborSampler",
@@ -32,4 +33,5 @@ __all__ = [
     "layerwise_inference",
     "ClusterGCNDataLoader",
     "GraphDataLoader",
+    "SAINTSampler",
 ]
