@@ -41,30 +41,28 @@ class BDenseMeta(NamedTuple):
     covered: int           # edges on the dense tier
 
 
-def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
-                      num_dst: int, build_ell,
-                      min_edges: Optional[int] = None):
-    """Plan the block-dense layout from the (real) edge list.
+def plan_blocks(src: np.ndarray, dst: np.ndarray, num_src: int,
+                num_dst: int, min_edges: Optional[int] = None):
+    """Dense-tier planner (shared by the single-device format below and
+    the sharded per-partition path in ``parallel/halo.py``).
 
-    ``min_edges``: keep blocks with at least this many edges (default:
-    BLK — the break-even point where the block's A-matrix read is paid
-    for by the saved per-edge row reads). Returns (meta, arrays) with:
+    Returns ``(K, arrays, tail_eids)`` where ``arrays`` holds:
 
-      a        (K*BLK, BLK) f32 count blocks, sorted by rb
+      a        (max(K,1)*BLK, BLK) bf16/f32 count blocks, rb-sorted
+      ab       same blocks re-sorted in cb (backward-iteration) order
       rb, cb   (K,) int32 dst/src block ids (rb-sorted)
       first_f  (K,) 1 if first block of its rb run
-      perm_b   (K,) int32 block order sorted by cb (for the backward)
-      rbb, cbb (K,) rb/cb in that backward order
-      first_b  (K,) 1 if first block of its cb run (backward accumulate)
-      rb_mask  (n_rb,) bool: rb block rows touched by the dense tier
-      cb_mask  (n_cb,) bool: cb block rows touched (backward zero-fill)
-      tail ELL arrays (t_* dst-direction, r_* src-direction)
+      rbb, cbb (K,) rb/cb in backward order
+      first_b  (K,) 1 if first block of its cb run
+      rb_mask  (n_rb,) bool: dst block rows touched by the dense tier
+      cb_mask  (n_cb,) bool: src block rows touched (backward zero-fill)
+
+    and ``tail_eids`` indexes the edges NOT covered by the dense tier.
     """
     if min_edges is None:
         min_edges = BLK // 4  # blocks >= ~32 edges beat the per-edge
         # gather (one 128x128 bf16 block read ~32KB vs 32 gathered rows
         # at the ~90M rows/s gather-unit wall)
-    e = len(src)
     n_rb = max((num_dst + BLK - 1) // BLK, 1)
     n_cb = max((num_src + BLK - 1) // BLK, 1)
     rb_e = dst.astype(np.int64) // BLK
@@ -95,10 +93,6 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
         import ml_dtypes
 
         a = a.astype(ml_dtypes.bfloat16)
-    # Backward copy in cb-sorted order: block k of `ab` is block
-    # perm_b[k] of `a`. Doubles A storage (bf16, cheap) so BOTH kernel
-    # directions stream their A operand sequentially — no dynamic
-    # A-block indexing in the grid.
     rb = (kept_keys // n_cb).astype(np.int32)
     cb = (kept_keys % n_cb).astype(np.int32)
     # kept_keys is sorted by key = rb-major: rb runs are contiguous.
@@ -120,9 +114,35 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
     if K == 0:
         rb = np.zeros((1,), np.int32)
         cb = np.zeros((1,), np.int32)
+    # Backward copy in cb-sorted order: block k of `ab` is block
+    # perm_b[k] of `a`. Doubles A storage (bf16, cheap) so BOTH kernel
+    # directions stream their A operand sequentially — no dynamic
+    # A-block indexing in the grid.
+    ab = (a.reshape(max(K, 1), BLK, BLK)[perm_b].reshape(-1, BLK)
+          if K else a)
+    arrays = {
+        "a": a, "ab": ab,
+        "rb": rb, "cb": cb, "first_f": first_f,
+        "rbb": rbb, "cbb": cbb, "first_b": first_b,
+        "rb_mask": rb_mask, "cb_mask": cb_mask,
+    }
+    return K, arrays, np.nonzero(~dense_block_of_edge)[0]
+
+
+def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
+                      num_dst: int, build_ell,
+                      min_edges: Optional[int] = None):
+    """Plan the full block-dense layout (dense tier + ELL tails) from
+    the (real) edge list. See :func:`plan_blocks` for the dense-tier
+    array layout; this adds the t_*/r_* ELL tail arrays (dst/src
+    directions) for exact coverage.
+    """
+    e = len(src)
+    n_rb = max((num_dst + BLK - 1) // BLK, 1)
+    n_cb = max((num_src + BLK - 1) // BLK, 1)
+    K, arrays, te = plan_blocks(src, dst, num_src, num_dst, min_edges)
 
     # Tail: leftover edges, both ELL directions (exact coverage).
-    te = np.nonzero(~dense_block_of_edge)[0]
     t_src, t_dst = src[te], dst[te]
     n_tail = len(te)
 
@@ -142,16 +162,10 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
         tail_meta_dst=tail_meta_dst, tail_meta_src=tail_meta_src,
         covered=int(e - n_tail),
     )
-    ab = (a.reshape(max(K, 1), BLK, BLK)[perm_b].reshape(-1, BLK)
-          if K else a)
-    arrays = {
-        "a": a, "ab": ab,
-        "rb": rb, "cb": cb, "first_f": first_f,
-        "rbb": rbb, "cbb": cbb, "first_b": first_b,
-        "rb_mask": rb_mask, "cb_mask": cb_mask,
+    arrays.update({
         "t_idx": tail_dst["idx"], "t_eid": tail_dst["eid"],
         "t_inv": tail_dst["inv_perm"],
         "r_idx": tail_src["idx"], "r_eid": tail_src["eid"],
         "r_inv": tail_src["inv_perm"],
-    }
+    })
     return meta, arrays

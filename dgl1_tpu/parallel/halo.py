@@ -34,7 +34,7 @@ def _round_up(x: int, m: int) -> int:
 
 _PG_ARRAY_FIELDS = (
     "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids",
-    "tiles_fwd", "tiles_rev", "recv_pos", "slot_node",
+    "tiles_fwd", "tiles_rev", "recv_pos", "slot_node", "bdense",
 )
 _PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes",
                      "m_part")
@@ -63,7 +63,7 @@ class PartitionedGraph:
     def __init__(self, *, edst, esrc, send_idx, in_deg, out_deg, node_mask,
                  orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes,
                  tiles_fwd=None, tiles_rev=None, recv_pos=None,
-                 slot_node=None, m_part=0):
+                 slot_node=None, m_part=0, bdense=None):
         self.edst = edst
         self.esrc = esrc
         self.send_idx = send_idx
@@ -78,6 +78,11 @@ class PartitionedGraph:
         # cotangents to their owners).
         self.tiles_fwd = tiles_fwd
         self.tiles_rev = tiles_rev
+        # Per-part block-dense descriptors (bdense_format.plan_blocks,
+        # stacked on a leading P axis, K padded to the cross-part max):
+        # the dense tier of the local SpMM; tiles_fwd/rev then cover only
+        # the leftover (tail) edges.
+        self.bdense = bdense
         # Vertex-cut (split-destination) extras — None/0 in pure halo
         # mode. recv_pos (P, n_loc, P): receive-buffer position of the
         # partial each sender holds for an owned node (sentinel = OOB);
@@ -177,6 +182,7 @@ def build_partitioned_graph(
     pad_halo_multiple: int = 8,
     edge_owner: Optional[np.ndarray] = None,
     tiles: bool = True,
+    bdense: bool = False,
 ) -> PartitionedGraph:
     """Build the device-resident partitioned structure from an assignment.
 
@@ -270,6 +276,9 @@ def build_partitioned_graph(
         return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
 
     tiles_fwd_list, tiles_rev_list = [], []
+    bdense_list = []
+    if bdense and not tiles:
+        raise ValueError("bdense=True requires tiles=True (the tail path)")
 
     edst = np.full((num_parts, e_loc), n_out, dtype=np.int32)
     esrc = np.zeros((num_parts, e_loc), dtype=np.int32)
@@ -340,24 +349,73 @@ def build_partitioned_graph(
         edst[p, : len(eids)] = ldst[order]
         esrc[p, : len(eids)] = esrc_p[order]
 
+        t_src, t_dst = esrc_p, ldst
+        if bdense:
+            # Dense tier over (combined src space, output dst space);
+            # the tile descriptors below then cover only the tail.
+            from dgl1_tpu.bdense_format import plan_blocks
+
+            _, bdp, tail_eids = plan_blocks(
+                esrc_p.astype(np.int64), ldst.astype(np.int64),
+                n_comb, n_out)
+            bdense_list.append(bdp)
+            t_src, t_dst = esrc_p[tail_eids], ldst[tail_eids]
         if tiles:
-            # Pallas tile descriptors for this part, both directions.
-            dummy_eid = np.zeros(len(eids), np.int32)
+            # Pallas tile descriptors for this part, both directions
+            # (tail edges only in bdense mode).
+            dummy_eid = np.zeros(len(t_src), np.int32)
+            t_order = np.argsort(t_dst, kind="stable")
             tiles_fwd_list.append(_build_tiles(
-                ldst[order].astype(np.int32), esrc_p[order].astype(np.int32),
-                dummy_eid, len(eids), n_out,
+                t_dst[t_order].astype(np.int32),
+                t_src[t_order].astype(np.int32),
+                dummy_eid, len(t_src), n_out,
             ))
-            rev_order = np.argsort(esrc_p, kind="stable")
+            rev_order = np.argsort(t_src, kind="stable")
             tiles_rev_list.append(_build_tiles(
-                esrc_p[rev_order].astype(np.int32),
-                ldst[rev_order].astype(np.int32),
-                dummy_eid, len(eids), n_comb,
+                t_src[rev_order].astype(np.int32),
+                t_dst[rev_order].astype(np.int32),
+                dummy_eid, len(t_src), n_comb,
             ))
 
     tiles_fwd = _pad_tiles(tiles_fwd_list, n_out) if tiles else None
     tiles_rev = _pad_tiles(tiles_rev_list, n_comb) if tiles else None
 
+    bdense_stacked = None
+    if bdense:
+        from dgl1_tpu.bdense_format import BLK
+
+        n_rb = (n_out + BLK - 1) // BLK
+        n_cb = (n_comb + BLK - 1) // BLK
+        k_max = max(b["rb"].shape[0] for b in bdense_list)
+        out = {k: [] for k in bdense_list[0]}
+        for b in bdense_list:
+            pad = k_max - b["rb"].shape[0]
+            # Padding blocks are all-zero count matrices aimed at the
+            # scratch output block (n_rb fwd / n_cb bwd): they write
+            # zeros past the real rows, nothing else.
+            out["a"].append(np.concatenate(
+                [b["a"], np.zeros((pad * BLK, BLK), b["a"].dtype)]))
+            out["ab"].append(np.concatenate(
+                [b["ab"], np.zeros((pad * BLK, BLK), b["ab"].dtype)]))
+            out["rb"].append(np.concatenate(
+                [b["rb"], np.full(pad, n_rb, np.int32)]))
+            out["cb"].append(np.concatenate(
+                [b["cb"], np.zeros(pad, np.int32)]))
+            out["first_f"].append(np.concatenate(
+                [b["first_f"], np.ones(pad, np.int32)]))
+            out["rbb"].append(np.concatenate(
+                [b["rbb"], np.zeros(pad, np.int32)]))
+            out["cbb"].append(np.concatenate(
+                [b["cbb"], np.full(pad, n_cb, np.int32)]))
+            out["first_b"].append(np.concatenate(
+                [b["first_b"], np.ones(pad, np.int32)]))
+            out["rb_mask"].append(b["rb_mask"])
+            out["cb_mask"].append(b["cb_mask"])
+        bdense_stacked = {k: jnp.asarray(np.stack(v))
+                          for k, v in out.items()}
+
     return PartitionedGraph(
+        bdense=bdense_stacked,
         tiles_fwd=tiles_fwd,
         tiles_rev=tiles_rev,
         edst=jnp.asarray(edst),

@@ -122,6 +122,78 @@ def make_local_spmm(n_loc: int, n_comb: int):
     return fn
 
 
+def _bdense_dir(bd, x, transpose: bool, n_valid: int):
+    """One dense-tier reduce over the per-part block descriptors (device
+    view, no P axis). transpose=False: combined -> owned/partial rows;
+    True: cotangent -> combined rows. Output rows beyond the blocks'
+    coverage are zeroed (the tail tiles fill them)."""
+    from dgl1_tpu.bdense_format import BLK
+    from dgl1_tpu.ops.engine_bdense import FEAT_BLOCK, _block_call
+    from dgl1_tpu.ops.precision import get_matmul_precision
+
+    if transpose:
+        a, out_rows, first, in_rows = (bd["ab"], bd["cbb"], bd["first_b"],
+                                       bd["rbb"])
+        mask = bd["cb_mask"]
+        n_in = bd["rb_mask"].shape[0]
+    else:
+        a, out_rows, first, in_rows = (bd["a"], bd["rb"], bd["first_f"],
+                                       bd["cb"])
+        mask = bd["rb_mask"]
+        n_in = bd["cb_mask"].shape[0]
+    n_out = mask.shape[0]
+    f = x.shape[1]
+    f_pad = -(-max(f, 1) // FEAT_BLOCK) * FEAT_BLOCK
+    x_pad = jnp.pad(x, ((0, n_in * BLK - x.shape[0]),
+                        (0, f_pad - f)))
+    dt = jnp.bfloat16 if get_matmul_precision() == "bf16" else jnp.float32
+    # +1 scratch block absorbs the cross-part K padding.
+    out = _block_call(transpose, a, out_rows, first, in_rows, x_pad,
+                      n_out + 1, dt=dt)
+    rows = jnp.repeat(mask, BLK, total_repeat_length=n_out * BLK)
+    out = out[: n_out * BLK]
+    out = jnp.where(rows[:, None], out, jnp.zeros_like(out))
+    return out[:n_valid, :f]
+
+
+def make_local_spmm_bdense(n_loc: int, n_comb: int):
+    """Block-dense + tile-tail local SpMM (custom-vjp): the dense tier
+    runs the per-part 128x128 count-block matmuls on the MXU; leftover
+    edges ride the tile kernel. Same contract as :func:`make_local_spmm`
+    — forward reduces into owned rows, backward into the combined
+    space."""
+
+    @jax.custom_vjp
+    def fn(bd, tiles_fwd, tiles_rev, combined):
+        feat = combined.shape[1:]
+        flat = int(np.prod(feat)) if feat else 1
+        x2 = combined.reshape(combined.shape[0], flat)
+        dense = _bdense_dir(bd, x2, False, n_loc)
+        tail = _tiled_sum(tiles_fwd, combined, n_loc)
+        return dense.reshape((n_loc,) + feat) + tail
+
+    def fwd(bd, tiles_fwd, tiles_rev, combined):
+        return fn(bd, tiles_fwd, tiles_rev, combined), (bd, tiles_fwd,
+                                                        tiles_rev)
+
+    def bwd(res, ct):
+        bd, tiles_fwd, tiles_rev = res
+        feat = ct.shape[1:]
+        flat = int(np.prod(feat)) if feat else 1
+        ct2 = ct.reshape(ct.shape[0], flat)
+        dense = _bdense_dir(bd, ct2, True, n_comb)
+        tail = _tiled_sum(tiles_rev, ct, n_comb)
+        g_combined = (dense.reshape((n_comb,) + feat) + tail
+                      ).astype(ct.dtype)
+        f0 = jax.tree.map(
+            lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0),
+            (bd, tiles_fwd, tiles_rev))
+        return f0 + (g_combined,)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
     """Per-device segment-sum over this device's edges.
 
@@ -133,6 +205,12 @@ def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
     n_out, dropped by scatter OOB semantics).
     """
     n_out = pg.n_loc + pg.num_parts * pg.m_part
+    if pg.bdense is not None:
+        n_comb = pg.n_loc + pg.num_parts * pg.m_halo
+        fn = make_local_spmm_bdense(n_out, n_comb)
+        return fn({k: v[0] for k, v in pg.bdense.items()},
+                  _tiles_device_view(pg.tiles_fwd),
+                  _tiles_device_view(pg.tiles_rev), combined)
     if pg.tiles_fwd is not None:
         n_comb = pg.n_loc + pg.num_parts * pg.m_halo
         fn = make_local_spmm(n_out, n_comb)
