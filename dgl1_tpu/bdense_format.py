@@ -39,6 +39,8 @@ class BDenseMeta(NamedTuple):
     tail_meta_dst: Tuple   # ELL meta for leftover edges, reduce-by-dst
     tail_meta_src: Tuple   # ELL meta for leftover edges, reduce-by-src
     covered: int           # edges on the dense tier
+    max_row_blocks: int = 1  # max dense blocks in one rb row
+    max_col_blocks: int = 1  # max dense blocks in one cb column
 
 
 def plan_blocks(src: np.ndarray, dst: np.ndarray, num_src: int,
@@ -120,11 +122,19 @@ def plan_blocks(src: np.ndarray, dst: np.ndarray, num_src: int,
     # A-block indexing in the grid.
     ab = (a.reshape(max(K, 1), BLK, BLK)[perm_b].reshape(-1, BLK)
           if K else a)
+    # Row/column grouping pointers (the attention path iterates whole rb
+    # rows / cb columns; blocks are contiguous per row in `a` and per
+    # column in `ab`). Tiny: (n_rb+1,) + (n_cb+1,) int32.
+    row_ptr = np.searchsorted(rb[: max(K, 1) if K else 0],
+                              np.arange(n_rb + 1)).astype(np.int32)
+    col_ptr = np.searchsorted(cbb[: max(K, 1) if K else 0],
+                              np.arange(n_cb + 1)).astype(np.int32)
     arrays = {
         "a": a, "ab": ab,
         "rb": rb, "cb": cb, "first_f": first_f,
         "rbb": rbb, "cbb": cbb, "first_b": first_b,
         "rb_mask": rb_mask, "cb_mask": cb_mask,
+        "row_ptr": row_ptr, "col_ptr": col_ptr,
     }
     return K, arrays, np.nonzero(~dense_block_of_edge)[0]
 
@@ -161,11 +171,16 @@ def build_block_dense(src: np.ndarray, dst: np.ndarray, num_src: int,
         n_blocks=K, n_rb=n_rb, n_cb=n_cb,
         tail_meta_dst=tail_meta_dst, tail_meta_src=tail_meta_src,
         covered=int(e - n_tail),
+        max_row_blocks=int(np.diff(arrays["row_ptr"]).max(initial=0)) or 1,
+        max_col_blocks=int(np.diff(arrays["col_ptr"]).max(initial=0)) or 1,
     )
     arrays.update({
         "t_idx": tail_dst["idx"], "t_eid": tail_dst["eid"],
         "t_inv": tail_dst["inv_perm"],
         "r_idx": tail_src["idx"], "r_eid": tail_src["eid"],
         "r_inv": tail_src["inv_perm"],
+        # Tail endpoints in tail-list order (the attention path computes
+        # per-tail-edge logits; the SpMM engine never touches these).
+        "t_src": t_src.astype(np.int32), "t_dst": t_dst.astype(np.int32),
     })
     return meta, arrays

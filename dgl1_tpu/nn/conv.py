@@ -178,6 +178,14 @@ class GATConv(nn.Module):
                     dtype=jnp.int32)
             rst = gat_attention(g, el, er, feat_src,
                                 self.negative_slope, drop, seed)
+        if rst is None and (deterministic or self.attn_drop == 0.0):
+            # Hub-free graphs carrying the block-dense layout: exact
+            # row-blocked attention (ops/battention.py) — still no
+            # per-edge (E, H) tensor in HBM.
+            from dgl1_tpu.ops.battention import bdense_gat_attention
+
+            rst = bdense_gat_attention(g, el, er, feat_src,
+                                       self.negative_slope)
         if rst is None:
             e = gsddmm(g, "add", el, er, lhs_target="u", rhs_target="v")
             e = nn.leaky_relu(e, negative_slope=self.negative_slope)

@@ -411,6 +411,10 @@ def build_partitioned_graph(
                 [b["first_b"], np.ones(pad, np.int32)]))
             out["rb_mask"].append(b["rb_mask"])
             out["cb_mask"].append(b["cb_mask"])
+            # Row/col pointers cover only the REAL blocks [0, K_p); the
+            # padding blocks above sit past them in no row/column.
+            out["row_ptr"].append(b["row_ptr"])
+            out["col_ptr"].append(b["col_ptr"])
         bdense_stacked = {k: jnp.asarray(np.stack(v))
                           for k, v in out.items()}
 
