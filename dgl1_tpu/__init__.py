@@ -94,6 +94,7 @@ from dgl1_tpu.transform import (
     add_self_loop,
     remove_self_loop,
     reverse,
+    add_reverse_edges,
     to_bidirected,
     khop_graph,
     node_subgraph,
@@ -201,6 +202,7 @@ __all__ = [
     "add_self_loop",
     "remove_self_loop",
     "reverse",
+    "add_reverse_edges",
     "to_bidirected",
     "khop_graph",
     "node_subgraph",

@@ -18,6 +18,7 @@ __all__ = [
     "add_self_loop",
     "remove_self_loop",
     "reverse",
+    "add_reverse_edges",
     "to_bidirected",
     "khop_graph",
     "node_subgraph",
@@ -208,6 +209,32 @@ def _unique_pairs(s: np.ndarray, d: np.ndarray, n: int):
     key = s.astype(np.int64) * n + d.astype(np.int64)
     uniq = np.unique(key)
     return (uniq // n).astype(np.int64), (uniq % n).astype(np.int64)
+
+
+def add_reverse_edges(
+    g: Graph, copy_ndata: bool = True, copy_edata: bool = False
+) -> Graph:
+    """Append the reverse of every edge, keeping the originals first
+    (parity: ``dgl.add_reverse_edges`` — unlike :func:`to_bidirected`, no
+    deduplication, and edge ``i``'s reverse is edge ``i + num_edges``).
+    ``copy_edata=True`` duplicates each edge feature row onto its
+    reverse."""
+    if g.is_block:
+        raise ValueError("add_reverse_edges on a block is ill-defined")
+    src, dst = _coo(g)
+    new = graph(
+        (np.concatenate([src, dst]), np.concatenate([dst, src])),
+        num_nodes=g.num_nodes(),
+    )
+    if copy_ndata:
+        new.ndata.update(g.ndata)
+    if copy_edata and g.edata:
+        import jax.numpy as jnp
+
+        for k, v in g.edata.items():
+            e = v[: g.num_edges()]
+            new.edata[k] = jnp.concatenate([e, e], axis=0)
+    return new
 
 
 def to_bidirected(g: Graph) -> Graph:

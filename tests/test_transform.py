@@ -24,6 +24,24 @@ def test_to_bidirected():
     assert edges == {(0, 1), (1, 0), (1, 2), (2, 1)}
 
 
+def test_add_reverse_edges():
+    g = dgl.graph((np.array([0, 0, 1]), np.array([1, 1, 2])), num_nodes=3)
+    g.ndata["h"] = jnp.arange(3.0)[:, None]
+    g.edata["w"] = jnp.asarray([1.0, 2.0, 3.0])
+    r = dgl.add_reverse_edges(g, copy_edata=True)
+    assert r.num_edges() == 6  # no dedup, originals first
+    src = np.asarray(r.src)[: r.num_edges()]
+    dst = np.asarray(r.dst)[: r.num_edges()]
+    np.testing.assert_array_equal(src, [0, 0, 1, 1, 1, 2])
+    np.testing.assert_array_equal(dst, [1, 1, 2, 0, 0, 1])
+    np.testing.assert_allclose(np.asarray(r.edata["w"]),
+                               [1.0, 2.0, 3.0, 1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(r.ndata["h"])[:, 0], [0, 1, 2])
+    # Default: edata not copied.
+    r2 = dgl.add_reverse_edges(g)
+    assert "w" not in r2.edata
+
+
 def test_node_subgraph():
     g = dgl.rand_graph(10, 40, seed=2)
     g.ndata["h"] = jnp.arange(10.0)[:, None]
