@@ -80,9 +80,41 @@ class NeighborSampler:
             dst = src
         return list(reversed(bounds))
 
+    @staticmethod
+    def _filter_hetero_frontier(frontier, exclude_eids):
+        """Drop excluded edge ids from a hetero frontier (link-prediction
+        leakage guard). ``exclude_eids`` is a per-etype dict keyed by
+        canonical etype or etype name (a bare array applies to every
+        relation)."""
+        from dgl1_tpu.graph import block as _block
+        from dgl1_tpu.heterograph import HeteroGraph
+
+        rels = {}
+        for c, fr in frontier.rel_graphs.items():
+            if isinstance(exclude_eids, dict):
+                exc = exclude_eids.get(c, exclude_eids.get(c[1]))
+            else:
+                exc = exclude_eids
+            fe = fr.num_edges()
+            if exc is None or fe == 0:
+                rels[c] = fr
+                continue
+            feid = np.asarray(fr.edata["_ID"])[:fe]
+            keep = ~np.isin(feid, np.asarray(exc))
+            nf = _block(
+                (np.asarray(fr.src)[:fe][keep],
+                 np.asarray(fr.dst)[:fe][keep]),
+                num_src_nodes=fr.num_src_nodes(),
+                num_dst_nodes=fr.num_dst_nodes(), formats=("coo",),
+            )
+            nf.edata["_ID"] = feid[keep].astype(np.int32)
+            rels[c] = nf
+        return HeteroGraph(rels, dict(frontier._num_nodes))
+
     def sample_blocks_hetero(self, g, seed_nodes: dict,
                              rng: Optional[np.random.Generator] = None,
-                             num_real: Optional[dict] = None):
+                             num_real: Optional[dict] = None,
+                             exclude_eids=None):
         """Hetero analog of :meth:`sample_blocks`: ``seed_nodes`` is a
         ``{ntype: ids}`` dict; fanouts entries may be per-etype dicts.
         Returns (input_nodes_dict, output_nodes_dict, blocks) with blocks
@@ -110,6 +142,9 @@ class NeighborSampler:
                 self.fanouts[layer], prob=self.prob, replace=self.replace,
                 rng=rng, formats=("coo",),
             )
+            if exclude_eids is not None:
+                frontier = self._filter_hetero_frontier(frontier,
+                                                        exclude_eids)
             blk = to_block(
                 frontier, seeds, num_real_dst=num_real,
                 pad_src_to=(b["src"] if b else None),
@@ -141,14 +176,12 @@ class NeighborSampler:
         from dgl1_tpu.heterograph import HeteroGraph
 
         if isinstance(g, HeteroGraph):
-            if exclude_eids is not None:
-                raise NotImplementedError(
-                    "exclude_eids is homogeneous-only for now")
             nr = None
             if num_real is not None:
                 nr = {nt: num_real for nt in seed_nodes}
             return self.sample_blocks_hetero(g, seed_nodes, rng=rng,
-                                             num_real=nr)
+                                             num_real=nr,
+                                             exclude_eids=exclude_eids)
         seed_nodes = np.asarray(seed_nodes, dtype=np.int64)
         bounds = (
             self._layer_bounds(len(seed_nodes)) if self.static_shapes else

@@ -111,12 +111,14 @@ def _etype_fanout(fanout, canonical):
     return int(fanout)
 
 
-def _sample_neighbors_hetero(hg, nodes, fanout, prob, replace, rng, formats):
+def _sample_neighbors_hetero(hg, nodes, fanout, prob, replace, rng, formats,
+                             edge_dir: str = "in"):
     """Per-etype sampling on a HeteroGraph: for each relation (st, et, dt),
-    sample up to fanout[et] in-edges of the dt-type seed nodes. Returns a
-    hetero frontier in the parent node spaces with per-etype
-    ``edata['_ID']``. Parity: ``dgl.sampling.sample_neighbors`` on
-    heterographs (SURVEY.md §2.1 neighbor-sampling row)."""
+    sample up to fanout[et] in-edges of the dt-type seed nodes (or, with
+    ``edge_dir='out'``, out-edges of the st-type seeds through the CSR
+    layout). Returns a hetero frontier in the parent node spaces with
+    per-etype ``edata['_ID']``. Parity: ``dgl.sampling.sample_neighbors``
+    on heterographs (SURVEY.md §2.1 neighbor-sampling row)."""
     from dgl1_tpu.graph import block as _block
     from dgl1_tpu.heterograph import HeteroGraph
 
@@ -132,7 +134,7 @@ def _sample_neighbors_hetero(hg, nodes, fanout, prob, replace, rng, formats):
     for c in hg.canonical_etypes:
         st, _, dt = c
         rel = hg.rel_graphs[c]
-        seeds = nodes.get(dt)
+        seeds = nodes.get(dt if edge_dir == "in" else st)
         k = _etype_fanout(fanout, c)
         if seeds is None or len(seeds) == 0 or k == 0:
             fr = _block((np.zeros(0, np.int64), np.zeros(0, np.int64)),
@@ -144,11 +146,19 @@ def _sample_neighbors_hetero(hg, nodes, fanout, prob, replace, rng, formats):
         p = None
         if prob is not None and prob in rel.edata:
             p = np.asarray(rel.edata[prob]).reshape(-1)
-        nbr, seed_idx, eids = sample_neighbors_arrays(
-            np.asarray(rel.csc_indptr), np.asarray(rel.csc_src),
-            np.asarray(rel.csc_eid), seeds, k, replace, rng, p,
-        )
-        fr = _block((nbr, seeds[seed_idx]),
+        if edge_dir == "in":
+            nbr, seed_idx, eids = sample_neighbors_arrays(
+                np.asarray(rel.csc_indptr), np.asarray(rel.csc_src),
+                np.asarray(rel.csc_eid), seeds, k, replace, rng, p,
+            )
+            edges = (nbr, seeds[seed_idx])
+        else:
+            nbr, seed_idx, eids = sample_neighbors_arrays(
+                np.asarray(rel.csr_indptr), np.asarray(rel.csr_dst),
+                np.asarray(rel.csr_eid), seeds, k, replace, rng, p,
+            )
+            edges = (seeds[seed_idx], nbr)
+        fr = _block(edges,
                     num_src_nodes=counts[st], num_dst_nodes=counts[dt],
                     formats=formats or ("coo",))
         fr.edata["_ID"] = eids.astype(np.int32)
@@ -185,11 +195,10 @@ def sample_neighbors(
     from dgl1_tpu.heterograph import HeteroGraph
 
     if isinstance(g, HeteroGraph):
-        if edge_dir != "in":
-            raise NotImplementedError(
-                "hetero sample_neighbors supports edge_dir='in'")
+        if edge_dir not in ("in", "out"):
+            raise ValueError("edge_dir must be 'in' or 'out'")
         return _sample_neighbors_hetero(g, nodes, fanout, prob, replace,
-                                        rng, formats)
+                                        rng, formats, edge_dir)
     if edge_dir == "out":
         rev = sample_neighbors(
             g.reverse(copy_edata=False), nodes, fanout, "in", prob, replace,

@@ -293,3 +293,54 @@ def test_hetero_sampled_training_loss_decreases(rng):
             first = tot / n
         last = tot / n
     assert last < first
+
+
+def test_hetero_sample_neighbors_out_direction(rng):
+    hg = _mag_ish(rng)
+    seeds = {"paper": np.arange(40)}
+    fr = sample_neighbors(hg, seeds, FANOUT, edge_dir="out", rng=rng)
+    for c in hg.canonical_etypes:
+        rel = fr.rel_graphs[c]
+        e = rel.num_edges()
+        if c[0] != "paper":
+            assert e == 0  # no seeds of that SRC type
+            continue
+        src = np.asarray(rel.src)[:e]
+        eid = np.asarray(rel.edata["_ID"])[:e]
+        k = FANOUT[c[1]]
+        odeg = np.bincount(src, minlength=hg.num_nodes("paper"))
+        assert odeg.max(initial=0) <= k
+        assert odeg[40:].sum() == 0  # only seeds emit edges
+        # Sampled edges exist in the parent with matching endpoints.
+        parent = hg.rel_graphs[c]
+        ps = np.asarray(parent.src)[eid]
+        pd = np.asarray(parent.dst)[eid]
+        np.testing.assert_array_equal(ps, src)
+        np.testing.assert_array_equal(pd, np.asarray(rel.dst)[:e])
+        # fanout respected exactly: min(parent out-degree, k) per seed
+        pdeg = np.diff(np.asarray(parent.csr_indptr))
+        np.testing.assert_array_equal(
+            odeg[:40], np.minimum(pdeg[:40], k))
+
+
+def test_hetero_sample_blocks_exclude_eids(rng):
+    hg = _mag_ish(rng)
+    sampler = NeighborSampler([FANOUT, FANOUT], static_shapes=False)
+    seeds = {"paper": np.arange(30)}
+    # Exclude half the 'cites' edges by id; they must never appear in any
+    # block of that relation.
+    exc = np.arange(0, 3000, 2)
+    _, _, blocks = sampler.sample_blocks(
+        hg, seeds, rng=rng, exclude_eids={("paper", "cites", "paper"): exc})
+    seen = []
+    for blk in blocks:
+        rel = blk.rel_graphs[("paper", "cites", "paper")]
+        e = rel.num_edges()
+        if e and "_ID" in rel.edata:
+            seen.append(np.asarray(rel.edata["_ID"])[:e])
+    seen = np.concatenate(seen) if seen else np.zeros(0, np.int64)
+    assert not np.isin(seen, exc).any()
+    # Other relations still sample normally.
+    assert any(
+        blk.rel_graphs[("author", "writes", "paper")].num_edges() > 0
+        for blk in blocks)
