@@ -43,13 +43,45 @@ def _pack(g: Graph, idx: int, arrays: Dict[str, np.ndarray], headers: list):
     headers.append(hdr)
 
 
+def _pack_hetero(hg, idx: int, arrays: Dict[str, np.ndarray],
+                 headers: list) -> None:
+    if hg.is_block:
+        raise ValueError("save_graphs does not serialize hetero BLOCKS; "
+                         "save the parent heterograph instead")
+    rels = []
+    for r, (c, rel) in enumerate(sorted(hg.rel_graphs.items())):
+        e = rel.num_edges()
+        arrays[f"g{idx}/rel{r}/src"] = np.asarray(rel.src)[:e]
+        arrays[f"g{idx}/rel{r}/dst"] = np.asarray(rel.dst)[:e]
+        for k, v in rel.edata.items():
+            arrays[f"g{idx}/rel{r}/edata/{k}"] = np.asarray(v)[:e]
+        rels.append({"canonical": list(c),
+                     "edata": list(rel.edata.keys())})
+    for nt, frame in hg.nframes.items():
+        for k, v in frame.items():
+            arrays[f"g{idx}/nframes/{nt}/{k}"] = np.asarray(v)
+    headers.append({
+        "hetero": True,
+        "num_nodes": dict(hg._num_nodes),
+        "rels": rels,
+        "nframes": {nt: list(f.keys()) for nt, f in hg.nframes.items()},
+    })
+
+
 def save_graphs(path: str, graphs, labels: Optional[Dict] = None) -> None:
-    """Save one or more graphs (+optional label dict of arrays) to ``path``."""
-    if isinstance(graphs, Graph):
+    """Save one or more (hetero)graphs (+optional label dict of arrays) to
+    ``path``. Heterographs round-trip with their relation edge order,
+    per-ntype node frames, and per-etype edge frames."""
+    from dgl1_tpu.heterograph import HeteroGraph
+
+    if isinstance(graphs, (Graph, HeteroGraph)):
         graphs = [graphs]
     arrays: Dict[str, np.ndarray] = {}
     headers: list = []
     for i, g in enumerate(graphs):
+        if isinstance(g, HeteroGraph):
+            _pack_hetero(g, i, arrays, headers)
+            continue
         _pack(g, i, arrays, headers)
     meta = {"num_graphs": len(graphs), "headers": headers,
             "labels": list(labels.keys()) if labels else []}
@@ -71,6 +103,25 @@ def load_graphs(path: str) -> Tuple[List[Graph], Dict]:
         meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
         out = []
         for i, hdr in enumerate(meta["headers"]):
+            if hdr.get("hetero"):
+                from dgl1_tpu.heterograph import heterograph
+
+                data = {}
+                for r, rel_hdr in enumerate(hdr["rels"]):
+                    c = tuple(rel_hdr["canonical"])
+                    data[c] = (z[f"g{i}/rel{r}/src"], z[f"g{i}/rel{r}/dst"])
+                hg = heterograph(data, num_nodes_dict=hdr["num_nodes"])
+                for r, rel_hdr in enumerate(hdr["rels"]):
+                    c = tuple(rel_hdr["canonical"])
+                    for k in rel_hdr["edata"]:
+                        hg.rel_graphs[c].edata[k] = jnp.asarray(
+                            z[f"g{i}/rel{r}/edata/{k}"])
+                for nt, keys in hdr["nframes"].items():
+                    for k in keys:
+                        hg.nframes[nt][k] = jnp.asarray(
+                            z[f"g{i}/nframes/{nt}/{k}"])
+                out.append(hg)
+                continue
             src = z[f"g{i}/src"]
             dst = z[f"g{i}/dst"]
             if hdr["is_block"]:

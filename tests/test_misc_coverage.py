@@ -187,3 +187,29 @@ def test_top_level_serialize_alias(tmp_path):
     loaded, _ = dgl.load_graphs(path)
     assert loaded[0].num_edges() == 20
     assert dgl.DGLGraph is dgl.Graph
+
+
+def test_save_load_heterograph(tmp_path):
+    rng = np.random.default_rng(0)
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): (np.array([0, 1]), np.array([1, 2])),
+        ("user", "plays", "game"): (np.array([0, 2, 1]),
+                                    np.array([0, 1, 0])),
+    }, num_nodes_dict={"user": 3, "game": 2})
+    hg.nodes["user"].data["h"] = jnp.asarray(
+        rng.normal(size=(3, 4)).astype("float32"))
+    hg.edges["plays"].data["w"] = jnp.asarray([1.0, 2.0, 3.0])
+    path = str(tmp_path / "hg.npz")
+    dgl.save_graphs(path, [hg])
+    loaded, _ = dgl.load_graphs(path)
+    h2 = loaded[0]
+    assert set(h2.canonical_etypes) == set(hg.canonical_etypes)
+    assert h2.num_nodes("user") == 3 and h2.num_nodes("game") == 2
+    c = ("user", "plays", "game")
+    e = h2.rel_graphs[c].num_edges()
+    np.testing.assert_array_equal(
+        np.asarray(h2.rel_graphs[c].src)[:e], [0, 2, 1])
+    np.testing.assert_allclose(
+        np.asarray(h2.edges["plays"].data["w"]), [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(h2.nodes["user"].data["h"]),
+                               np.asarray(hg.nodes["user"].data["h"]))
