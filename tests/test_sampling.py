@@ -120,6 +120,33 @@ def test_random_walk():
     np.testing.assert_array_equal(traces[1], [1, 2, 3, 0, 1])
 
 
+def test_random_walk_weighted_prob():
+    # Node 0 has two out-edges; weight forces edge to node 2 always.
+    g = dgl.graph((np.array([0, 0, 1, 2]), np.array([1, 2, 0, 0])),
+                  num_nodes=3)
+    g.edata["w"] = np.array([0.0, 1.0, 1.0, 1.0], dtype=np.float32)
+    traces = random_walk(g, [0] * 8, length=1, prob="w",
+                         rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(traces[:, 1], [2] * 8)
+
+
+def test_random_walk_metapath():
+    hg = dgl.heterograph({
+        ("user", "plays", "game"): (np.array([0, 1]), np.array([1, 0])),
+        ("game", "played_by", "user"): (np.array([0, 1]),
+                                        np.array([1, 0])),
+    }, num_nodes_dict={"user": 2, "game": 2})
+    traces, types = random_walk(
+        hg, [0, 1], metapath=["plays", "played_by", "plays"],
+        rng=np.random.default_rng(0))
+    assert traces.shape == (2, 4)
+    # Deterministic chain: user0 -plays-> game1 -played_by-> user0 ...
+    np.testing.assert_array_equal(traces[0], [0, 1, 0, 1])
+    np.testing.assert_array_equal(traces[1], [1, 0, 1, 0])
+    nts = hg.ntypes
+    assert [nts[t] for t in types] == ["user", "game", "user", "game"]
+
+
 def test_pinsage_sampler():
     from dgl1_tpu.sampling import RandomWalkNeighborSampler
 
