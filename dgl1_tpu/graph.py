@@ -370,6 +370,113 @@ class Graph:
             out[i] = bool((col[lo:hi] == vv).any())
         return out if out.size != 1 else bool(out[0])
 
+    # -- small facade queries (parity: DGLGraph misc surface) ----------
+
+    @property
+    def number_of_edges(self):
+        return self.num_edges
+
+    @property
+    def ntypes(self):
+        return ["_N"]
+
+    @property
+    def etypes(self):
+        return ["_E"]
+
+    @property
+    def canonical_etypes(self):
+        return [("_N", "_E", "_N")]
+
+    @property
+    def is_homogeneous(self) -> bool:
+        return True
+
+    @property
+    def idtype(self):
+        return jnp.asarray(self.src[:1]).dtype
+
+    @property
+    def device(self):
+        arr = self.src
+        return getattr(arr, "device", None) if hasattr(arr, "device") else None
+
+    def nodes(self, ntype=None):
+        """All node ids (parity: ``DGLGraph.nodes()``)."""
+        if self._is_block:
+            raise ValueError("nodes() is ambiguous on a block")
+        return jnp.arange(self.num_nodes())
+
+    def all_edges(self, order: str = "eid"):
+        """Alias of :meth:`edges` (parity: ``DGLGraph.all_edges``)."""
+        return self.edges(order)
+
+    def find_edges(self, eid):
+        """(src, dst) endpoints of the given edge ids (parity:
+        ``DGLGraph.find_edges``)."""
+        eid = jnp.asarray(eid)
+        return jnp.asarray(self.src)[eid], jnp.asarray(self.dst)[eid]
+
+    def successors(self, v: int):
+        """Out-neighbors of node ``v`` (host-side query)."""
+        indptr = np.asarray(self.csr_indptr)
+        return np.asarray(self.csr_dst)[int(indptr[v]):int(indptr[v + 1])]
+
+    def predecessors(self, v: int):
+        """In-neighbors of node ``v`` (host-side query)."""
+        indptr = np.asarray(self.csc_indptr)
+        return np.asarray(self.csc_src)[int(indptr[v]):int(indptr[v + 1])]
+
+    def _edges_of(self, nodes, indptr, other, eid, incoming: bool,
+                  form: str):
+        nodes = np.asarray(nodes, dtype=np.int64).reshape(-1)
+        indptr = np.asarray(indptr)
+        other = np.asarray(other)
+        eid = np.asarray(eid)
+        us, vs, es = [], [], []
+        for n in nodes:
+            lo, hi = int(indptr[n]), int(indptr[n + 1])
+            o = other[lo:hi]
+            s = np.full(hi - lo, n, np.int64)
+            us.append(o if incoming else s)
+            vs.append(s if incoming else o)
+            es.append(eid[lo:hi].astype(np.int64))
+        cat = (lambda xs: np.concatenate(xs) if xs else
+               np.zeros(0, np.int64))
+        u, v, e = cat(us), cat(vs), cat(es)
+        if form == "uv":
+            return u, v
+        if form == "eid":
+            return e
+        if form == "all":
+            return u, v, e
+        raise ValueError(f"unknown form {form!r}")
+
+    def in_edges(self, v, form: str = "uv"):
+        """Edges whose destination is in ``v`` (parity:
+        ``DGLGraph.in_edges``; host-side query)."""
+        return self._edges_of(v, self.csc_indptr, self.csc_src,
+                              self.csc_eid, True, form)
+
+    def out_edges(self, u, form: str = "uv"):
+        """Edges whose source is in ``u`` (parity: ``DGLGraph.out_edges``;
+        host-side query)."""
+        return self._edges_of(u, self.csr_indptr, self.csr_dst,
+                              self.csr_eid, False, form)
+
+    def subgraph(self, nodes):
+        """Node-induced subgraph (parity: ``DGLGraph.subgraph``)."""
+        from dgl1_tpu.transform import node_subgraph
+
+        return node_subgraph(self, nodes)
+
+    def to(self, device):
+        """Device placement of every array leaf (parity: ``DGLGraph.to``):
+        returns a new Graph with the same host-side metadata."""
+        import jax
+
+        return jax.device_put(self, device)
+
     def adjacency_matrix(self, transpose: bool = False, scipy_fmt=None,
                          etype=None):
         """Adjacency as ``A[dst, src] = 1`` (parity:

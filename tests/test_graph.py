@@ -258,3 +258,30 @@ def test_select_topk_out_edges():
     # node 0 keeps its top-2 out-edges by weight (w=3,2), node 1 keeps its
     # single out-edge.
     assert eids == {0, 2, 3}
+
+
+def test_misc_facade_queries():
+    g = dgl.graph((np.array([0, 0, 1, 2]), np.array([1, 2, 2, 0])),
+                  num_nodes=3)
+    np.testing.assert_array_equal(np.asarray(g.nodes()), [0, 1, 2])
+    assert g.number_of_edges() == 4
+    assert g.ntypes == ["_N"] and g.etypes == ["_E"]
+    assert g.is_homogeneous
+    np.testing.assert_array_equal(g.successors(0), [1, 2])
+    np.testing.assert_array_equal(np.sort(g.predecessors(2)), [0, 1])
+    s, d = g.find_edges([1, 3])
+    np.testing.assert_array_equal(np.asarray(s), [0, 2])
+    np.testing.assert_array_equal(np.asarray(d), [2, 0])
+    u, v, e = g.in_edges([2], form="all")
+    np.testing.assert_array_equal(np.sort(u), [0, 1])
+    np.testing.assert_array_equal(v, [2, 2])
+    assert set(e.tolist()) == {1, 2}
+    u, v = g.out_edges([0])
+    np.testing.assert_array_equal(u, [0, 0])
+    np.testing.assert_array_equal(np.sort(v), [1, 2])
+    np.testing.assert_array_equal(np.sort(g.out_edges([0], form="eid")),
+                                  [0, 1])
+    sub = g.subgraph([0, 2])
+    assert sub.num_nodes() == 2
+    g2 = g.to(None)  # device placement round-trip (CPU tests)
+    assert g2.num_edges() == g.num_edges()
