@@ -18,9 +18,11 @@ def build_model(name: str, hidden: int, num_classes: int, dropout: float):
     import flax.linen as nn
     import jax
 
+    import jax.numpy as jnp
+
     from dgl1_tpu.nn import (AGNNConv, APPNPConv, ChebConv, DotGatConv,
-                             GATv2Conv, GraphConv, JumpingKnowledge, SGConv,
-                             TAGConv)
+                             GATv2Conv, GMMConv, GraphConv, JumpingKnowledge,
+                             SGConv, TAGConv)
 
     class APPNP(nn.Module):
         @nn.compact
@@ -90,9 +92,30 @@ def build_model(name: str, hidden: int, num_classes: int, dropout: float):
             h = JumpingKnowledge(mode="cat")(outs)
             return nn.Dense(num_classes)(h)
 
+    class MoNet(nn.Module):
+        """MoNet: degree-based pseudo-coordinates as in the reference's
+        citation example (``pseudo_ij = 1/sqrt(deg)`` pairs)."""
+
+        @nn.compact
+        def __call__(self, g, x, deterministic: bool = True):
+            deg = jnp.diff(g.csc_indptr).astype(jnp.float32)
+            n = deg.shape[0] - 1
+            s = jnp.clip(jnp.asarray(g.src), 0, n)
+            d = jnp.clip(jnp.asarray(g.dst), 0, n)
+            pseudo = nn.tanh(
+                nn.Dense(2, name="pseudo_proj")(jnp.stack(
+                    [jax.lax.rsqrt(deg[s] + 1.0),
+                     jax.lax.rsqrt(deg[d] + 1.0)], axis=-1)))
+            h = jax.nn.relu(
+                GMMConv(x.shape[-1], hidden, dim=2, n_kernels=3)(
+                    g, x, pseudo))
+            h = nn.Dropout(dropout, deterministic=deterministic)(h)
+            return GMMConv(hidden, num_classes, dim=2, n_kernels=3)(
+                g, h, pseudo)
+
     return {"appnp": APPNP, "sgc": SGC, "tagcn": TAGCN, "chebnet": Cheb,
             "agnn": AGNN, "gatv2": GATv2, "dotgat": DotGAT,
-            "jknet": JKNet}[name]()
+            "jknet": JKNet, "monet": MoNet}[name]()
 
 
 # Literature test accuracies minus a 1.5% tolerance; enforced on real
@@ -106,6 +129,7 @@ GATES = {
     "gatv2": {"cora": 0.835},
     "jknet": {},
     "dotgat": {},
+    "monet": {"cora": 0.817},
 }
 
 
