@@ -48,6 +48,47 @@ class _TypeView:
         return _TypeDataProxy(self._get(t))
 
 
+class _MultiTypeFrameView:
+    """Dict-style ndata/edata on a multi-type heterograph (parity: the
+    reference's ``HeteroNodeDataView`` over all types): getting a key
+    returns ``{type: value}`` over the types that carry it; setting takes
+    such a per-type dict."""
+
+    __slots__ = ("_frames",)
+
+    def __init__(self, frames):
+        self._frames = frames  # {type: frame-dict}
+
+    def __getitem__(self, key):
+        out = {t: f[key] for t, f in self._frames.items() if key in f}
+        if not out:
+            raise KeyError(key)
+        return out
+
+    def __setitem__(self, key, value):
+        if not isinstance(value, dict):
+            raise TypeError(
+                "multi-type assignment takes a {type: value} dict")
+        for t, v in value.items():
+            self._frames[t][key] = v
+
+    def __delitem__(self, key):
+        found = False
+        for f in self._frames.values():
+            found |= f.pop(key, None) is not None
+        if not found:
+            raise KeyError(key)
+
+    def __contains__(self, key):
+        return any(key in f for f in self._frames.values())
+
+    def keys(self):
+        out = set()
+        for f in self._frames.values():
+            out |= set(f.keys())
+        return out
+
+
 class HeteroGraph:
     """Heterogeneous graph as a dict of relation blocks + per-ntype data.
 
@@ -157,15 +198,23 @@ class HeteroGraph:
 
     @property
     def ndata(self):
-        if len(self._num_nodes) != 1:
-            raise ValueError("ndata is ambiguous: multiple node types")
-        return self.nframes[self.ntypes[0]]
+        """Single node type: the frame itself. Multiple types: a
+        dict-style view where ``hg.ndata['h']`` returns ``{ntype: value}``
+        and assignment takes a per-ntype dict (parity: the reference's
+        multi-type ndata view)."""
+        if len(self._num_nodes) == 1:
+            return self.nframes[self.ntypes[0]]
+        return _MultiTypeFrameView(self.nframes)
 
     @property
     def edata(self):
-        if len(self.rel_graphs) != 1:
-            raise ValueError("edata is ambiguous: multiple edge types")
-        return self.rel_graphs[self.canonical_etypes[0]].edata
+        """Single edge type: the frame itself. Multiple types: a
+        dict-style view keyed by canonical etype (parity: the reference's
+        multi-type edata view)."""
+        if len(self.rel_graphs) == 1:
+            return self.rel_graphs[self.canonical_etypes[0]].edata
+        return _MultiTypeFrameView(
+            {c: g.edata for c, g in self.rel_graphs.items()})
 
     def apply_edges(self, func, etype=None):
         """Per-etype ``apply_edges`` (parity: ``DGLHeteroGraph.apply_edges``)."""

@@ -213,3 +213,22 @@ def test_save_load_heterograph(tmp_path):
         np.asarray(h2.edges["plays"].data["w"]), [1.0, 2.0, 3.0])
     np.testing.assert_allclose(np.asarray(h2.nodes["user"].data["h"]),
                                np.asarray(hg.nodes["user"].data["h"]))
+
+
+def test_hetero_multitype_data_views():
+    hg = dgl.heterograph({
+        ("user", "follows", "user"): (np.array([0]), np.array([1])),
+        ("user", "plays", "game"): (np.array([0]), np.array([0])),
+    }, num_nodes_dict={"user": 2, "game": 1})
+    hg.ndata["h"] = {"user": jnp.ones((2, 3)), "game": jnp.zeros((1, 3))}
+    got = hg.ndata["h"]
+    assert set(got) == {"user", "game"}
+    np.testing.assert_allclose(np.asarray(got["user"]), 1.0)
+    # Partial keys: only types carrying the key appear.
+    hg.nodes["game"].data["g_only"] = jnp.ones((1,))
+    assert set(hg.ndata["g_only"]) == {"game"}
+    assert "h" in hg.ndata and "missing" not in hg.ndata
+    hg.edata["w"] = {("user", "plays", "game"): jnp.ones((1,))}
+    assert set(hg.edata["w"]) == {("user", "plays", "game")}
+    del hg.ndata["h"]
+    assert "h" not in hg.ndata
