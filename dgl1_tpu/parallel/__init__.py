@@ -18,7 +18,8 @@ from dgl1_tpu.parallel.partition import (
     random_partition_assignment,
     edge_cut_fraction,
 )
-from dgl1_tpu.parallel.graph_partition_book import GraphPartitionBook
+from dgl1_tpu.parallel.graph_partition_book import (GraphPartitionBook,
+                                                    edge_split, node_split)
 from dgl1_tpu.parallel.halo import (PartitionedGraph,
                                     build_partitioned_graph,
                                     vertex_cut_edge_owner)

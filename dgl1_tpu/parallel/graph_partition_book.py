@@ -44,3 +44,40 @@ class GraphPartitionBook:
 
     def map_to_global(self, part_id: int, local_ids) -> np.ndarray:
         return self._part_nodes[part_id][np.asarray(local_ids)]
+
+
+def _masked_ids(nodes) -> np.ndarray:
+    arr = np.asarray(nodes)
+    if arr.dtype == bool:
+        return np.nonzero(arr)[0].astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def node_split(nodes, partition_book: "GraphPartitionBook" = None,
+               rank: int = 0, num_parts: int = None,
+               force_even: bool = False) -> np.ndarray:
+    """This worker's share of a node set (parity:
+    ``dgl.distributed.node_split``). ``nodes`` is a boolean mask or an id
+    array. With a partition book (and not ``force_even``), returns the
+    ids OWNED by partition ``rank`` — each trainer works its own
+    partition's seeds. Without a book (or with ``force_even``), stripes
+    the ids round-robin across ``num_parts`` workers."""
+    ids = _masked_ids(nodes)
+    if partition_book is not None and not force_even:
+        return ids[partition_book.nid2partid(ids) == rank]
+    k = num_parts if num_parts is not None else (
+        partition_book.num_parts if partition_book is not None else 1)
+    return ids[rank::k]
+
+
+def edge_split(edges, owner: np.ndarray = None, rank: int = 0,
+               num_parts: int = None) -> np.ndarray:
+    """This worker's share of an edge set (parity:
+    ``dgl.distributed.edge_split``). ``owner`` is a per-edge part id
+    (e.g. the destination's partition, or ``vertex_cut_edge_owner``);
+    without it, edges are striped round-robin across ``num_parts``."""
+    ids = _masked_ids(edges)
+    if owner is not None:
+        return ids[np.asarray(owner)[ids] == rank]
+    k = num_parts if num_parts is not None else 1
+    return ids[rank::k]

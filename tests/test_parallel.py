@@ -484,3 +484,25 @@ def test_sharded_bdense_vertex_cut():
     ref = np.asarray(deg_in[:, None] * dgl.ops.copy_u_sum(
         g2, feat * deg_out[:, None]))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_node_edge_split():
+    from dgl1_tpu.distributed import GraphPartitionBook, edge_split, node_split
+
+    part = np.array([0, 0, 1, 1, 0, 1, 0, 1])
+    book = GraphPartitionBook(part, 2)
+    mask = np.array([1, 0, 1, 1, 1, 0, 0, 1], dtype=bool)
+    r0 = node_split(mask, book, rank=0)
+    r1 = node_split(mask, book, rank=1)
+    np.testing.assert_array_equal(np.sort(np.concatenate([r0, r1])),
+                                  np.nonzero(mask)[0])
+    assert (part[r0] == 0).all() and (part[r1] == 1).all()
+    # Even striping covers everything disjointly.
+    e0 = node_split(mask, None, rank=0, num_parts=2)
+    e1 = node_split(mask, None, rank=1, num_parts=2)
+    np.testing.assert_array_equal(np.sort(np.concatenate([e0, e1])),
+                                  np.nonzero(mask)[0])
+    # Edge split by explicit owner array.
+    owner = np.array([0, 1, 0, 1, 1])
+    es = edge_split(np.arange(5), owner=owner, rank=1)
+    np.testing.assert_array_equal(es, [1, 3, 4])
