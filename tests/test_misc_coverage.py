@@ -232,3 +232,41 @@ def test_hetero_multitype_data_views():
     assert set(hg.edata["w"]) == {("user", "plays", "game")}
     del hg.ndata["h"]
     assert "h" not in hg.ndata
+
+
+def test_batch_unbatch_heterograph():
+    h1 = dgl.heterograph({
+        ("u", "r", "v"): (np.array([0, 1]), np.array([0, 0])),
+        ("v", "s", "u"): (np.array([0]), np.array([1])),
+    }, num_nodes_dict={"u": 2, "v": 1})
+    h2 = dgl.heterograph({
+        ("u", "r", "v"): (np.array([2]), np.array([1])),
+        ("v", "s", "u"): (np.array([0, 1]), np.array([0, 2])),
+    }, num_nodes_dict={"u": 3, "v": 2})
+    h1.nodes["u"].data["h"] = jnp.ones((2, 3))
+    h2.nodes["u"].data["h"] = 2.0 * jnp.ones((3, 3))
+    h1.edges["r"].data["w"] = jnp.asarray([1.0, 2.0])
+    h2.edges["r"].data["w"] = jnp.asarray([3.0])
+    bg = dgl.batch([h1, h2])
+    assert bg.num_nodes("u") == 5 and bg.num_nodes("v") == 3
+    np.testing.assert_array_equal(
+        np.asarray(dgl.batch_num_nodes(bg, "u")), [2, 3])
+    np.testing.assert_array_equal(
+        np.asarray(dgl.batch_num_edges(bg, "r")), [2, 1])
+    rel = bg.rel_graphs[("u", "r", "v")]
+    e = rel.num_edges()
+    # Second graph's edge offset: u by 2, v by 1.
+    np.testing.assert_array_equal(np.asarray(rel.src)[:e], [0, 1, 4])
+    np.testing.assert_array_equal(np.asarray(rel.dst)[:e], [0, 0, 2])
+    np.testing.assert_allclose(np.asarray(bg.edges["r"].data["w"]),
+                               [1.0, 2.0, 3.0])
+    parts = dgl.unbatch(bg)
+    assert len(parts) == 2
+    assert parts[1].num_nodes("u") == 3
+    r2 = parts[1].rel_graphs[("u", "r", "v")]
+    np.testing.assert_array_equal(
+        np.asarray(r2.src)[: r2.num_edges()], [2])
+    np.testing.assert_allclose(
+        np.asarray(parts[0].nodes["u"].data["h"]), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(parts[1].nodes["u"].data["h"]), 2.0)
