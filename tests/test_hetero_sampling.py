@@ -344,3 +344,85 @@ def test_hetero_sample_blocks_exclude_eids(rng):
     assert any(
         blk.rel_graphs[("author", "writes", "paper")].num_edges() > 0
         for blk in blocks)
+
+
+def test_hetero_edge_dataloader_link_pred(rng):
+    from dgl1_tpu.dataloading.edge_dataloader import EdgeDataLoader
+    from dgl1_tpu.dataloading.negative_sampler import Uniform
+
+    n_u, n_v, E = 40, 30, 200
+    s = rng.integers(0, n_u, E)
+    d = rng.integers(0, n_v, E)
+    hg = heterograph({
+        ("u", "likes", "v"): (s, d),
+        ("v", "liked_by", "u"): (d, s),  # edge i == reverse of edge i
+    }, num_nodes_dict={"u": n_u, "v": n_v})
+    sampler = NeighborSampler([{"likes": 3, "liked_by": 3}] * 2,
+                              static_shapes=False)
+    loader = EdgeDataLoader(
+        hg, {"likes": np.arange(E)}, sampler, batch_size=64,
+        negative_sampler=Uniform(2), exclude="reverse_types",
+        reverse_etypes={"likes": "liked_by"}, seed=0)
+    c = ("u", "likes", "v")
+    rc = ("v", "liked_by", "u")
+    n_batches = 0
+    for input_nodes, pos, neg, blocks in loader:
+        n_batches += 1
+        rel = pos.rel_graphs[c]
+        e = rel.num_edges()
+        assert e == 64
+        # Pair-graph endpoints map back to real parent edges.
+        uid = np.asarray(pos.nframes["u"]["_ID"])
+        vid = np.asarray(pos.nframes["v"]["_ID"])
+        gs = uid[np.asarray(rel.src)[:e]]
+        gd = vid[np.asarray(rel.dst)[:e]]
+        key = set(zip(s.tolist(), d.tolist()))
+        assert all((a, b) in key for a, b in zip(gs, gd))
+        # Negatives: 2 per positive, src-preserving.
+        nrel = neg.rel_graphs[c]
+        assert nrel.num_edges() == 128
+        # Exclusion: no batch edge id appears in any block, in EITHER
+        # direction.
+        batch_ids = set()
+        for blk in blocks:
+            for cc in (c, rc):
+                r = blk.rel_graphs[cc]
+                ee = r.num_edges()
+                if ee and "_ID" in r.edata:
+                    batch_ids |= set(
+                        np.asarray(r.edata["_ID"])[:ee].tolist())
+        # The loader excluded THIS batch's eids; we can't know them
+        # directly here, but reverse_types symmetry means any sampled
+        # (src,dst) pair of the batch would have to come from another
+        # edge id. Check structural: sampled ids are valid parent ids.
+        assert all(0 <= i < E for i in batch_ids)
+    assert n_batches == 3
+
+
+def test_hetero_edge_exclusion_blocks_batch_edges(rng):
+    from dgl1_tpu.dataloading.edge_dataloader import as_edge_prediction_sampler
+
+    n_u, n_v, E = 20, 15, 80
+    s = rng.integers(0, n_u, E)
+    d = rng.integers(0, n_v, E)
+    hg = heterograph({
+        ("u", "likes", "v"): (s, d),
+        ("v", "liked_by", "u"): (d, s),
+    }, num_nodes_dict={"u": n_u, "v": n_v})
+    sampler = NeighborSampler([{"likes": -1, "liked_by": -1}],
+                              static_shapes=False)
+    wrapped = as_edge_prediction_sampler(
+        sampler, exclude="reverse_types",
+        reverse_etypes={"likes": "liked_by"})
+    batch = np.arange(0, 40)
+    _, pos, neg, blocks = wrapped.sample_hetero(
+        hg, {"likes": batch}, rng=rng)
+    c = ("u", "likes", "v")
+    rc = ("v", "liked_by", "u")
+    for blk in blocks:
+        for cc in (c, rc):
+            r = blk.rel_graphs[cc]
+            ee = r.num_edges()
+            if ee and "_ID" in r.edata:
+                ids = np.asarray(r.edata["_ID"])[:ee]
+                assert not np.isin(ids, batch).any(), cc
