@@ -31,6 +31,7 @@ from dgl1_tpu.nn.conv import (
     GCN2Conv,
     PNAConv,
     HGTConv,
+    EdgeWeightNorm,
 )
 from dgl1_tpu.nn.linear import TypedLinear, HeteroLinear, HeteroEmbedding
 from dgl1_tpu.nn.explain import GNNExplainer

@@ -45,6 +45,7 @@ __all__ = [
     "GCN2Conv",
     "PNAConv",
     "HGTConv",
+    "EdgeWeightNorm",
 ]
 
 
@@ -120,6 +121,41 @@ class GraphConv(nn.Module):
         if self.activation is not None:
             rst = self.activation(rst)
         return rst
+
+
+class EdgeWeightNorm:
+    """Normalize scalar edge weights for weighted-GCN aggregation
+    (parity: ``python/dgl/nn/pytorch/conv/graphconv.py :: EdgeWeightNorm``).
+
+    norm='both':  c_ij = w_ij / sqrt(out_w(i) * in_w(j))
+    norm='right': c_ij = w_ij / in_w(j)
+
+    where in_w/out_w are the weighted in/out degrees. Stateless (no
+    parameters), so it is a plain callable rather than a flax module.
+    The reference raises on non-positive weights under norm='both'; that
+    check is data-dependent so it cannot run under jit — zero-weighted
+    degrees are clamped to 1 instead (isolated nodes contribute nothing
+    either way).
+    """
+
+    def __init__(self, norm: str = "both", eps: float = 0.0):
+        if norm not in ("both", "right"):
+            raise ValueError(f"invalid norm {norm!r}")
+        self.norm = norm
+        self.eps = eps
+
+    def __call__(self, g: Graph, edge_weight: jnp.ndarray) -> jnp.ndarray:
+        w = edge_weight
+        # Weighted in-degree per destination (copy_e + sum).
+        in_w = gspmm(g, "copy_rhs", "sum", None, w) + self.eps
+        src, dst = g.edges()
+        if self.norm == "right":
+            denom = jnp.where(in_w > 0, in_w, 1.0)
+            return w / denom[dst]
+        out_w = gspmm(g.reverse(copy_edata=False), "copy_rhs", "sum",
+                      None, w) + self.eps
+        prod = out_w[src] * in_w[dst]
+        return w / jnp.sqrt(jnp.where(prod > 0, prod, 1.0))
 
 
 class GATConv(nn.Module):

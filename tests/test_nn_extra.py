@@ -269,3 +269,42 @@ def test_hgt_conv_under_jit():
     out = jax.jit(lambda p, g, x: conv.apply(p, g, x, ntype, etype))(
         params, g, feat)
     assert out.shape == (14, 4)
+
+
+def test_edge_weight_norm_both_matches_dense():
+    g, _ = make(n=10, e=40, f=4, seed=3)
+    e = g.num_edges()
+    w = jnp.asarray(
+        np.random.default_rng(0).uniform(0.5, 2.0, size=e).astype(np.float32)
+    )
+    wp = jnp.zeros(g.num_edges_padded(), jnp.float32).at[:e].set(w)
+    src = np.asarray(g.src)[:e]
+    dst = np.asarray(g.dst)[:e]
+    n = g.num_nodes()
+    out_w = np.zeros(n, np.float32)
+    in_w = np.zeros(n, np.float32)
+    np.add.at(out_w, src, np.asarray(w))
+    np.add.at(in_w, dst, np.asarray(w))
+
+    got = nn.EdgeWeightNorm(norm="both")(g, wp)
+    want = np.asarray(w) / np.sqrt(out_w[src] * in_w[dst])
+    np.testing.assert_allclose(np.asarray(got)[:e], want, rtol=1e-5)
+
+    got_r = nn.EdgeWeightNorm(norm="right")(g, wp)
+    np.testing.assert_allclose(np.asarray(got_r)[:e],
+                               np.asarray(w) / in_w[dst], rtol=1e-5)
+
+
+def test_edge_weight_norm_feeds_graphconv():
+    g, feat = make(n=10, e=40, f=4, seed=5)
+    e = g.num_edges()
+    w = jnp.ones(g.num_edges_padded(), jnp.float32)
+    cw = nn.EdgeWeightNorm(norm="both")(g, w)
+    mod = nn.GraphConv(out_feats=3, norm="none")
+    params = mod.init(KEY, g, feat, edge_weight=cw)
+    out_w = mod.apply(params, g, feat, edge_weight=cw)
+    # With unit weights, EdgeWeightNorm reproduces symmetric GCN norm.
+    mod2 = nn.GraphConv(out_feats=3, norm="both")
+    out_sym = mod2.apply(params, g, feat)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_sym),
+                               rtol=1e-4, atol=1e-5)
