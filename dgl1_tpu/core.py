@@ -365,6 +365,33 @@ def apply_edges(g: Graph, func, edges="__ALL__"):
     return out
 
 
+def apply_nodes(g: Graph, func, v="__ALL__"):
+    """Compute a node-wise UDF and store into ``ndata`` (parity:
+    ``DGLHeteroGraph.apply_nodes``). ``func(NodeBatch) -> {name: value}``;
+    with a node subset ``v`` the UDF sees only those rows and the result
+    is row-written back (eager for subsets, jit-safe for '__ALL__')."""
+    all_nodes = isinstance(v, str) and v == "__ALL__"
+    if all_nodes:
+        nb = NodeBatch(g.dstdata, {}, jnp.arange(g.num_dst_nodes()))
+        out = func(nb)
+        g.dstdata.update(out)
+    else:
+        vj = jnp.asarray(np.asarray(v))
+        ndata = {k: jnp.take(val, vj, axis=0, mode="clip")
+                 for k, val in g.dstdata.items()}
+        out = func(NodeBatch(ndata, {}, vj))
+        for k, val in out.items():
+            if k in g.dstdata:
+                g.dstdata[k] = g.dstdata[k].at[vj].set(val)
+            else:
+                full = jnp.zeros((g.num_dst_nodes(),) + val.shape[1:],
+                                 val.dtype)
+                g.dstdata[k] = full.at[vj].set(val)
+    if len(out) == 1:
+        return next(iter(out.values()))
+    return out
+
+
 def send_and_recv(g: Graph, edges, mfunc, rfunc, afunc=None):
     """Message passing over an edge subset (eager-only; builds a subgraph).
 

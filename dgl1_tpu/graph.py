@@ -569,6 +569,15 @@ class Graph:
 
         return core.apply_edges(self, func, edges)
 
+    def apply_nodes(self, func, v="__ALL__"):
+        """Compute a node-wise UDF and store into ``ndata``.
+
+        Parity: ``DGLHeteroGraph.apply_nodes``.
+        """
+        from dgl1_tpu import core
+
+        return core.apply_nodes(self, func, v)
+
     def send_and_recv(self, edges, message_func, reduce_func, apply_node_func=None):
         from dgl1_tpu import core
 

@@ -193,3 +193,22 @@ def test_udf_reduce_compiled_degrees_and_dstdata():
     # zero-degree nodes: compiled path yields 0 (+bias via data) —
     # mean oracle also zero-fills, so add bias everywhere.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_apply_nodes_all_and_subset():
+    import numpy as np
+    import jax.numpy as jnp
+    import dgl1_tpu as dgl
+
+    g = dgl.rand_graph(8, 20, seed=0)
+    g.ndata["h"] = jnp.arange(8, dtype=jnp.float32)[:, None]
+
+    g.apply_nodes(lambda nb: {"h2": nb.data["h"] * 2.0})
+    np.testing.assert_allclose(np.asarray(g.ndata["h2"][:, 0]),
+                               np.arange(8) * 2.0)
+
+    v = jnp.asarray([1, 3, 5])
+    g.apply_nodes(lambda nb: {"h": nb.data["h"] + 100.0}, v)
+    want = np.arange(8, dtype=np.float32)
+    want[[1, 3, 5]] += 100.0
+    np.testing.assert_allclose(np.asarray(g.ndata["h"][:, 0]), want)
