@@ -368,15 +368,26 @@ def apply_edges(g: Graph, func, edges="__ALL__"):
 def apply_nodes(g: Graph, func, v="__ALL__"):
     """Compute a node-wise UDF and store into ``ndata`` (parity:
     ``DGLHeteroGraph.apply_nodes``). ``func(NodeBatch) -> {name: value}``;
-    with a node subset ``v`` the UDF sees only those rows and the result
-    is row-written back (eager for subsets, jit-safe for '__ALL__')."""
+    with a node subset ``v`` (int ids or a boolean mask) the UDF sees only
+    those rows and the result is row-written back (eager for subsets,
+    jit-safe for '__ALL__').
+
+    Return contract (divergence: the reference returns None): the UDF's
+    output dict, unwrapped to the bare array when it has exactly one
+    entry — matching this package's ``apply_edges``/``send_and_recv``
+    convention."""
     all_nodes = isinstance(v, str) and v == "__ALL__"
     if all_nodes:
         nb = NodeBatch(g.dstdata, {}, jnp.arange(g.num_dst_nodes()))
         out = func(nb)
         g.dstdata.update(out)
     else:
-        vj = jnp.asarray(np.asarray(v))
+        v_np = np.asarray(v)
+        if v_np.dtype == bool:
+            # A DGL-style boolean selector: convert to indices (jnp.take
+            # would silently treat it as 0/1 integer ids).
+            v_np = np.nonzero(v_np)[0]
+        vj = jnp.asarray(v_np)
         ndata = {k: jnp.take(val, vj, axis=0, mode="clip")
                  for k, val in g.dstdata.items()}
         out = func(NodeBatch(ndata, {}, vj))

@@ -132,10 +132,11 @@ class EdgeWeightNorm:
 
     where in_w/out_w are the weighted in/out degrees. Stateless (no
     parameters), so it is a plain callable rather than a flax module.
-    The reference raises on non-positive weights under norm='both'; that
-    check is data-dependent so it cannot run under jit — zero-weighted
-    degrees are clamped to 1 instead (isolated nodes contribute nothing
-    either way).
+    The reference raises DGLError on non-positive weights under
+    norm='both'; that check is data-dependent so it cannot run under jit
+    — it runs on the EAGER path (concrete ``edge_weight``), while traced
+    callers get the jit-safe clamp of zero-weighted degree products
+    (isolated nodes contribute nothing either way).
     """
 
     def __init__(self, norm: str = "both", eps: float = 0.0):
@@ -146,16 +147,29 @@ class EdgeWeightNorm:
 
     def __call__(self, g: Graph, edge_weight: jnp.ndarray) -> jnp.ndarray:
         w = edge_weight
+        if self.norm == "both" and not isinstance(
+                w, jax.core.Tracer):
+            import numpy as _np
+
+            real = _np.asarray(w)[: g.num_edges()]
+            if (real <= 0).any():
+                raise ValueError(
+                    "EdgeWeightNorm: non-positive edge weights are not "
+                    "allowed with norm='both' (reference parity)")
         # Weighted in-degree per destination (copy_e + sum).
         in_w = gspmm(g, "copy_rhs", "sum", None, w) + self.eps
         src, dst = g.edges()
         if self.norm == "right":
             denom = jnp.where(in_w > 0, in_w, 1.0)
-            return w / denom[dst]
-        out_w = gspmm(g.reverse(copy_edata=False), "copy_rhs", "sum",
-                      None, w) + self.eps
-        prod = out_w[src] * in_w[dst]
-        return w / jnp.sqrt(jnp.where(prod > 0, prod, 1.0))
+            out = w / denom[dst]
+        else:
+            out_w = gspmm(g.reverse(copy_edata=False), "copy_rhs", "sum",
+                          None, w) + self.eps
+            prod = out_w[src] * in_w[dst]
+            out = w / jnp.sqrt(jnp.where(prod > 0, prod, 1.0))
+        # Padded edge slots clamp-gather arbitrary degrees: zero them so
+        # the per-edge output is clean when inspected directly.
+        return jnp.where(g.edge_mask, out, 0.0)
 
 
 class GATConv(nn.Module):

@@ -29,6 +29,16 @@ from dgl1_tpu.parallel.sharded_ops import (
     make_sharded_gat_layer,
     halo_exchange,
 )
+from dgl1_tpu.parallel.hetero import (
+    PartitionedHeteroGraph,
+    build_partitioned_hetero,
+    hetero_partition_assignment,
+    hetero_edge_cut_fraction,
+    load_hetero_partition,
+    make_sharded_rgcn_layer,
+    partition_hetero_graph,
+    sharded_typed_gspmm,
+)
 from dgl1_tpu.parallel.dist_graph import DistGraph, DistTensor
 from dgl1_tpu.parallel.dist_dataloader import DistDataLoader, DistNodeDataLoader
 from dgl1_tpu.parallel.dist_context import initialize, exit_client
@@ -60,5 +70,13 @@ __all__ = [
     "initialize",
     "exit_client",
     "DistEmbedding",
+    "PartitionedHeteroGraph",
+    "build_partitioned_hetero",
+    "hetero_partition_assignment",
+    "hetero_edge_cut_fraction",
+    "load_hetero_partition",
+    "make_sharded_rgcn_layer",
+    "partition_hetero_graph",
+    "sharded_typed_gspmm",
 ]
 from dgl1_tpu.parallel.tp import make_tp_gcn_layer, shard_params_tp

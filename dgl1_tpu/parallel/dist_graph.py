@@ -90,14 +90,46 @@ class DistGraph:
     view), or from ``load_partition`` artifacts per host.
     """
 
-    def __init__(self, g: Graph, num_parts: int,
+    def __init__(self, g, num_parts: int,
                  part: Optional[np.ndarray] = None,
                  part_method: str = "greedy"):
+        from dgl1_tpu.heterograph import HeteroGraph
         from dgl1_tpu.parallel.partition import (
             greedy_partition_assignment,
             random_partition_assignment,
         )
 
+        if isinstance(g, HeteroGraph):
+            # Typed facade (parity: DistGraph over a DGLHeteroGraph):
+            # per-ntype books + DistTensors; partitioned() returns the
+            # typed halo plan.
+            from dgl1_tpu.parallel.hetero import (
+                hetero_partition_assignment)
+
+            if part is None:
+                part = hetero_partition_assignment(
+                    g, num_parts,
+                    part_method=("metis" if part_method == "greedy"
+                                 else part_method))
+            self.g = g
+            self.hetero = True
+            self.part = part
+            self.num_parts = num_parts
+            self.part_id = None
+            self._pg = None
+            self.books = {nt: GraphPartitionBook(part[nt], num_parts)
+                          for nt in g.ntypes}
+            self.book = None
+            self.ndata = {}
+            for nt in g.ntypes:
+                for k, v in g.nframes[nt].items():
+                    arr = np.asarray(v)
+                    shards = {p: arr[self.books[nt].partid2nids(p)]
+                              for p in range(num_parts)}
+                    self.ndata.setdefault(nt, {})[k] = DistTensor(
+                        self.books[nt], shards, name=f"{nt}/{k}")
+            return
+        self.hetero = False
         if part is None:
             if part_method == "random":
                 part = random_partition_assignment(g, num_parts)
@@ -141,6 +173,7 @@ class DistGraph:
                            formats=formats)
         part = np.load(out / "node_part.npy")
         obj = cls.__new__(cls)
+        obj.hetero = False
         obj.g = g
         obj.book = GraphPartitionBook(part, int(meta["num_parts"]))
         obj.part = part
@@ -153,21 +186,35 @@ class DistGraph:
         }
         return obj
 
-    def num_nodes(self) -> int:
+    def num_nodes(self, ntype: Optional[str] = None) -> int:
+        if getattr(self, "hetero", False):
+            return self.g.num_nodes(ntype)
         return self.g.num_nodes()
 
     def num_edges(self) -> int:
         return self.g.num_edges()
 
-    def get_partition_book(self) -> GraphPartitionBook:
+    def get_partition_book(self, ntype: Optional[str] = None):
+        if getattr(self, "hetero", False):
+            if ntype is None:
+                return self.books
+            return self.books[ntype]
         return self.book
 
-    def partitioned(self, **kw) -> PartitionedGraph:
-        """Device-resident halo-plan structure (cached)."""
+    def partitioned(self, **kw):
+        """Device-resident halo-plan structure (cached); typed plan
+        (:class:`PartitionedHeteroGraph`) for hetero facades."""
         if self._pg is None:
-            self._pg = build_partitioned_graph(
-                self.g, self.part, self.num_parts, **kw
-            )
+            if getattr(self, "hetero", False):
+                from dgl1_tpu.parallel.hetero import (
+                    build_partitioned_hetero)
+
+                self._pg = build_partitioned_hetero(
+                    self.g, self.part, self.num_parts, **kw)
+            else:
+                self._pg = build_partitioned_graph(
+                    self.g, self.part, self.num_parts, **kw
+                )
         return self._pg
 
     def local_graph(self, part_id: int) -> Graph:

@@ -32,6 +32,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_tiles(tiles_list, num_target):
+    """Stack per-part Pallas tile dicts, padding tile counts to the max
+    with no-op tiles aimed at a scratch row block past the real ones."""
+    from dgl1_tpu.graph import TILE_EDGES, TILE_ROWS
+
+    scratch_block = (num_target + TILE_ROWS - 1) // TILE_ROWS
+    n_tiles = max(t["rows"].shape[0] for t in tiles_list)
+    out = {k: [] for k in ("rows", "first", "lid", "gather",
+                           "block_mask")}
+    for t in tiles_list:
+        pad = n_tiles - t["rows"].shape[0]
+        out["rows"].append(np.concatenate(
+            [t["rows"], np.full(pad, scratch_block, np.int32)]))
+        out["first"].append(np.concatenate(
+            [t["first"], np.ones(pad, np.int32)]))
+        out["lid"].append(np.concatenate(
+            [t["lid"], np.full((pad, TILE_EDGES), -1, np.int32)]))
+        out["gather"].append(np.concatenate(
+            [t["gather"], np.zeros(pad * TILE_EDGES, np.int32)]))
+        out["block_mask"].append(t["block_mask"])
+    return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+
 _PG_ARRAY_FIELDS = (
     "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids",
     "tiles_fwd", "tiles_rev", "recv_pos", "slot_node", "bdense",
@@ -249,31 +272,11 @@ def build_partitioned_graph(
         m_part = max(_round_up(max(m_part, 1), pad_halo_multiple),
                      pad_halo_multiple)
 
-    from dgl1_tpu.graph import TILE_EDGES, TILE_ROWS, _build_tiles
+    from dgl1_tpu.graph import _build_tiles
 
     n_comb = n_loc + num_parts * m_halo
     # SpMM output space: owned rows, then per-owner partial-slot blocks.
     n_out = n_loc + num_parts * m_part
-
-    def _pad_tiles(tiles_list, num_target):
-        """Stack per-part tile dicts, padding tile counts to the max with
-        no-op tiles aimed at a scratch row block past the real ones."""
-        scratch_block = (num_target + TILE_ROWS - 1) // TILE_ROWS
-        n_tiles = max(t["rows"].shape[0] for t in tiles_list)
-        out = {k: [] for k in ("rows", "first", "lid", "gather",
-                               "block_mask")}
-        for t in tiles_list:
-            pad = n_tiles - t["rows"].shape[0]
-            out["rows"].append(np.concatenate(
-                [t["rows"], np.full(pad, scratch_block, np.int32)]))
-            out["first"].append(np.concatenate(
-                [t["first"], np.ones(pad, np.int32)]))
-            out["lid"].append(np.concatenate(
-                [t["lid"], np.full((pad, TILE_EDGES), -1, np.int32)]))
-            out["gather"].append(np.concatenate(
-                [t["gather"], np.zeros(pad * TILE_EDGES, np.int32)]))
-            out["block_mask"].append(t["block_mask"])
-        return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
 
     tiles_fwd_list, tiles_rev_list = [], []
     bdense_list = []

@@ -218,7 +218,22 @@ def partition_graph(
     fast path whenever data is host-local (SURVEY.md §3.5 kvstore pull).
     ``save_structure`` writes the full COO once so any host can sample
     any seed without forwarding (``DistGraph.from_partition`` reads it).
+
+    Heterographs dispatch to
+    :func:`dgl1_tpu.parallel.hetero.partition_hetero_graph` (parity: the
+    reference's ``partition_graph`` accepts DGLHeteroGraph and runs
+    ``PartitionWithHalo`` per type).
     """
+    from dgl1_tpu.heterograph import HeteroGraph
+
+    if isinstance(g, HeteroGraph):
+        from dgl1_tpu.parallel.hetero import partition_hetero_graph
+
+        return partition_hetero_graph(
+            g, graph_name, num_parts, out_path,
+            part_method=("metis" if part_method in ("metis", "greedy")
+                         else part_method),
+            balance_edges=balance_edges, seed=seed)
     if part_method == "random":
         part = random_partition_assignment(g, num_parts, seed)
     elif part_method == "greedy":
