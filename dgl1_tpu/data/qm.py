@@ -41,13 +41,57 @@ def _conformer_graph(n_atoms: int, rng, feat_dim: int = 0):
     return g, pos, z, w
 
 
+def load_qm7b_raw(path, num_molecules=None):
+    """Parse the ``qm7b.mat`` layout (parity: ``python/dgl/data/qm7b.py``):
+    ``X`` (M, 23, 23) Coulomb matrices, ``T`` (M, 14) targets. Edges =
+    nonzero off-diagonal Coulomb entries (weight in ``edata['w']``);
+    diagonal 0.5*Z^2.4 recovers the charge node feature; zero-padded
+    rows are absent atoms."""
+    import jax.numpy as jnp
+    from scipy.io import loadmat
+
+    from dgl1_tpu.graph import graph as _graph
+
+    mat = loadmat(path)
+    X = np.asarray(mat["X"], np.float32)
+    T = np.asarray(mat["T"], np.float32)
+    m = len(X) if num_molecules is None else min(len(X), num_molecules)
+    graphs = []
+    for i in range(m):
+        cm = X[i]
+        diag = np.diag(cm)
+        n = int(np.count_nonzero(diag))
+        cm = cm[:n, :n]
+        z = (2.0 * diag[:n]) ** (1.0 / 2.4)
+        s, d = np.nonzero(cm - np.diag(np.diag(cm)))
+        g = _graph((s.astype(np.int64), d.astype(np.int64)), num_nodes=n)
+        g.ndata["charge"] = jnp.asarray(z.astype(np.float32)[:, None])
+        g.edata["w"] = jnp.asarray(cm[s, d][:, None])
+        graphs.append(g)
+    return graphs, T[:m]
+
+
 class QM7bDataset:
     """Coulomb-matrix molecule regression, 14 targets (parity:
-    ``dgl.data.QM7bDataset``)."""
+    ``dgl.data.QM7bDataset``). A real ``qm7b.mat`` in ``raw_dir`` is
+    parsed when present; otherwise a synthetic fallback
+    (``is_synthetic=True``)."""
 
     num_tasks = 14
 
-    def __init__(self, num_molecules: int = 512, seed: int = 0):
+    def __init__(self, num_molecules: int = 512, seed: int = 0,
+                 raw_dir=None):
+        from pathlib import Path
+
+        from dgl1_tpu.data.base import data_dir
+
+        rd = Path(raw_dir) if raw_dir else data_dir() / "qm7b"
+        if (rd / "qm7b.mat").exists():
+            self.is_synthetic = False
+            self.graphs, self.labels = load_qm7b_raw(
+                rd / "qm7b.mat", num_molecules=num_molecules)
+            return
+        self.is_synthetic = True
         rng = np.random.default_rng(seed)
         self.graphs: List[Graph] = []
         labels = []
@@ -76,17 +120,73 @@ _QM9_KEYS = ["mu", "alpha", "homo", "lumo", "gap", "r2", "zpve", "U0",
              "U", "H", "G", "Cv"]
 
 
+def load_qm9_raw(path, label_keys: Sequence[str], cutoff: float = 5.0,
+                 num_molecules=None):
+    """Parse the ``qm9_eV.npz`` layout (parity: ``python/dgl/data/qm9.py``
+    download): keys ``N`` (atoms per molecule), ``R`` (sum(N), 3)
+    positions, ``Z`` (sum(N),) atomic numbers, plus one (M,) array per
+    property. Graphs are complete within ``cutoff`` distance (the
+    reference's edge rule), with ``pos``/``charge`` node data and
+    ``dist`` edge data."""
+    import jax.numpy as jnp
+
+    from dgl1_tpu.graph import graph as _graph
+
+    with np.load(path) as z:
+        counts = z["N"].astype(np.int64)
+        R = z["R"].astype(np.float32)
+        Z = z["Z"].astype(np.float32)
+        targets = np.stack([z[k].astype(np.float32) for k in label_keys],
+                           axis=1)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    m = len(counts) if num_molecules is None else min(
+        len(counts), num_molecules)
+    graphs, labels = [], []
+    for i in range(m):
+        lo, n = offsets[i], int(counts[i])
+        pos = R[lo: lo + n]
+        zch = Z[lo: lo + n]
+        us, vs = np.meshgrid(np.arange(n), np.arange(n))
+        mask = us != vs
+        s, d = us[mask].astype(np.int64), vs[mask].astype(np.int64)
+        r = np.linalg.norm(pos[s] - pos[d], axis=1)
+        keep = r < cutoff
+        s, d, r = s[keep], d[keep], r[keep]
+        g = _graph((s, d), num_nodes=n)
+        g.ndata["pos"] = jnp.asarray(pos)
+        g.ndata["charge"] = jnp.asarray(zch[:, None])
+        g.edata["dist"] = jnp.asarray(r.astype(np.float32)[:, None])
+        graphs.append(g)
+        labels.append(targets[i])
+    return graphs, np.asarray(labels, np.float32)
+
+
 class QM9Dataset:
     """QM9 molecule regression (parity: ``dgl.data.QM9Dataset``): select
-    targets via ``label_keys`` from the standard 12."""
+    targets via ``label_keys`` from the standard 12. A real
+    ``qm9_eV.npz`` in ``raw_dir`` is parsed when present; otherwise a
+    synthetic fallback (``is_synthetic=True``)."""
 
     def __init__(self, label_keys: Sequence[str] = ("mu",),
                  num_molecules: int = 512, cutoff: float = 5.0,
-                 seed: int = 0):
+                 seed: int = 0, raw_dir=None):
+        from pathlib import Path
+
+        from dgl1_tpu.data.base import data_dir
+
         unknown = set(label_keys) - set(_QM9_KEYS)
         if unknown:
             raise ValueError(f"unknown QM9 label keys {sorted(unknown)}")
         self.label_keys = list(label_keys)
+        rd = Path(raw_dir) if raw_dir else data_dir() / "qm9"
+        if (rd / "qm9_eV.npz").exists():
+            self.is_synthetic = False
+            self.graphs, self.labels = load_qm9_raw(
+                rd / "qm9_eV.npz", self.label_keys, cutoff=cutoff,
+                num_molecules=num_molecules)
+            return
+        self.is_synthetic = True
         rng = np.random.default_rng(seed)
         self.graphs: List[Graph] = []
         labels = []

@@ -1,17 +1,20 @@
-"""SST (Stanford Sentiment Treebank) — offline synthetic fallback.
+"""SST (Stanford Sentiment Treebank).
 
 Parity: ``python/dgl/data/tree.py :: SSTDataset`` (constituency trees,
 edges child -> parent, per-node 5-class sentiment labels, leaf nodes carry
-word ids, ``mask`` marks leaves). No network access here, so trees are
-generated synthetically with the same schema and a learnable signal: each
-vocabulary word carries a latent polarity; an interior node's sentiment is
-a noisy bounded sum of its children's — the compositional structure a
-Tree-LSTM exploits and a bag-of-words baseline cannot fully.
+word ids, ``mask`` marks leaves). Real PTB tree files
+(``{train,dev,test}.txt``) in ``raw_dir`` are parsed when present;
+otherwise trees are generated synthetically (``is_synthetic=True``) with
+the same schema and a learnable signal: each vocabulary word carries a
+latent polarity; an interior node's sentiment is a noisy bounded sum of
+its children's — the compositional structure a Tree-LSTM exploits and a
+bag-of-words baseline cannot fully.
 """
 
 from __future__ import annotations
 
-from typing import List
+from pathlib import Path
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -22,6 +25,94 @@ __all__ = ["SSTDataset"]
 PAD_WORD = -1
 
 
+def _parse_ptb_tree(line: str):
+    """One PTB s-expression ``(3 (2 It) (4 ...))`` -> (parents, labels,
+    words): node ids in first-open-paren order; ``words[i]`` is None for
+    interior nodes."""
+    parents, labels, words = [], [], []
+    stack = []  # open node ids
+    tok = ""
+    i = 0
+    n = len(line)
+    while i < n:
+        ch = line[i]
+        if ch == "(":
+            # New node: its label is the next whitespace-delimited token.
+            j = i + 1
+            while j < n and not line[j].isspace():
+                j += 1
+            nid = len(parents)
+            parents.append(stack[-1] if stack else -1)
+            labels.append(int(line[i + 1: j]))
+            words.append(None)
+            stack.append(nid)
+            i = j
+        elif ch == ")":
+            if tok:
+                words[stack[-1]] = tok
+                tok = ""
+            stack.pop()
+            i += 1
+        elif ch.isspace():
+            if tok:
+                words[stack[-1]] = tok
+                tok = ""
+            i += 1
+        else:
+            tok += ch
+            i += 1
+    return parents, labels, words
+
+
+def load_sst_raw(raw_dir, mode: str,
+                 vocab: Optional[Dict[str, int]] = None):
+    """Parse ``{mode}.txt`` PTB trees (parity: the reference's
+    ``trees/{train,dev,test}.txt`` layout). ``vocab``: word -> id; built
+    from this file when absent (token order of first appearance;
+    reference uses ``vocab.txt`` when shipped). Returns (trees, vocab)
+    with the reference schema: ``x`` word id (PAD for interior), ``y``
+    label, ``mask`` 1.0 for leaves, edges child -> parent."""
+    import jax.numpy as jnp
+
+    raw_dir = Path(raw_dir)
+    vocab_file = raw_dir / "vocab.txt"
+    if vocab is None:
+        if vocab_file.exists():
+            vocab = {}
+            with open(vocab_file) as f:
+                for line in f:
+                    w = line.strip()
+                    if w:
+                        vocab[w] = len(vocab)
+        else:
+            vocab = {}
+    trees = []
+    with open(raw_dir / f"{mode}.txt") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parents, labels, words = _parse_ptb_tree(line)
+            n = len(parents)
+            src = [i for i in range(n) if parents[i] >= 0]
+            dst = [parents[i] for i in src]
+            g = graph((np.asarray(src, np.int64),
+                       np.asarray(dst, np.int64)), num_nodes=n)
+            x = np.full(n, 0, np.int32)
+            mask = np.zeros(n, np.float32)
+            for i, w in enumerate(words):
+                if w is not None:
+                    if w not in vocab:
+                        vocab[w] = len(vocab)
+                    x[i] = vocab[w]
+                    mask[i] = 1.0
+            g.ndata["x"] = jnp.asarray(x)
+            g.ndata["y"] = jnp.asarray(np.asarray(labels, np.int32))
+            g.ndata["mask"] = jnp.asarray(mask)
+            trees.append(g)
+    return trees, vocab
+
+
 class SSTDataset:
     """Each item is a tree ``Graph`` with ``ndata['x']`` (int word id,
     0 for interior nodes), ``ndata['y']`` (int sentiment class) and
@@ -30,8 +121,20 @@ class SSTDataset:
     num_classes = 5
 
     def __init__(self, mode: str = "train", vocab_size: int = 1000,
-                 num_trees: int = None, seed: int = 0):
+                 num_trees: int = None, seed: int = 0,
+                 raw_dir: Optional[str] = None,
+                 vocab: Optional[Dict[str, int]] = None):
+        from dgl1_tpu.data.base import data_dir
+
         self.mode = mode
+        rd = Path(raw_dir) if raw_dir else data_dir() / "sst"
+        if (rd / f"{mode}.txt").exists():
+            self.is_synthetic = False
+            self.trees, self._vocab = load_sst_raw(rd, mode, vocab=vocab)
+            self.vocab_size = len(self._vocab)
+            return
+        self.is_synthetic = True
+        self._vocab = None
         self.vocab_size = vocab_size
         if num_trees is None:
             num_trees = {"train": 800, "dev": 100, "test": 100}.get(mode, 100)
@@ -46,6 +149,8 @@ class SSTDataset:
 
     @property
     def vocab(self):
+        if self._vocab is not None:
+            return self._vocab
         return {f"w{i}": i for i in range(self.vocab_size)}
 
     def _gen_tree(self, rng) -> Graph:

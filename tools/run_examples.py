@@ -1,0 +1,142 @@
+"""Example integration harness: run EVERY examples/*.py in a smoke config.
+
+Parity: the reference CI's ``tests/scripts/task_example_test.sh`` (runs
+selected examples end-to-end for a few epochs as integration tests,
+SURVEY.md §4) — here ALL examples run, each with its own built-in
+accuracy/R2/validity gate asserted, on CPU with tiny-but-gate-passing
+configurations.
+
+Usage:
+    python tools/run_examples.py            # run all (sequential)
+    python tools/run_examples.py --only gcn gat
+    python tools/run_examples.py --list
+
+Exit code 0 iff every example passed. This is part of the round's exit
+checklist (see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# name -> (args, timeout_s). Every entry must keep the example's internal
+# gates passing — these are integration tests, not just smoke imports.
+EXAMPLES = {
+    "train_gcn.py": (["--epochs", "60"], 300),
+    "train_gat.py": (["--epochs", "40"], 400),
+    "train_gcn2.py": (["--epochs", "60", "--layers", "4"], 400),
+    "train_citation_zoo.py": (["--epochs", "50"], 900),
+    "train_sage_minibatch.py": (["--epochs", "2"], 600),
+    "train_cluster_gcn.py": (["--epochs", "8"], 500),
+    "train_saint.py": (["--epochs", "5"], 500),
+    "train_sign.py": (["--epochs", "40"], 400),
+    "train_dgi.py": (["--epochs", "30", "--probe-epochs", "30"], 400),
+    "train_link_pred.py": (["--epochs", "3"], 400),
+    "train_hetero.py": (["--epochs", "40"], 400),
+    "train_hetero_link_pred.py": (["--epochs", "3"], 400),
+    "train_han.py": (["--epochs", "30"], 400),
+    "train_rgcn.py": (["--epochs", "40"], 400),
+    "train_rgcn_link_pred.py": (["--epochs", "5"], 500),
+    "train_rgcn_sampled.py": (["--epochs", "2"], 600),
+    "train_rgcn_dist.py": (["--parts", "2", "--epochs", "40"], 500),
+    "train_dist.py": (["--parts", "2", "--epochs", "20",
+                       "--nodes", "5000"], 400),
+    "train_dist_sampled.py": (["--parts", "2", "--epochs", "2",
+                               "--nodes", "3000"], 600),
+    "train_graph_classification.py": (["--epochs", "12"], 500),
+    "train_diffpool.py": (["--epochs", "12"], 400),
+    "train_ggnn.py": (["--epochs", "12"], 400),
+    "train_chem.py": (["--model", "mpnn", "--epochs", "8"], 500),
+    "train_lgnn.py": (["--epochs", "6"], 500),
+    "train_treelstm.py": (["--epochs", "5"], 500),
+    "train_pinsage.py": (["--steps", "60"], 400),
+    "train_metapath2vec.py": (["--epochs", "3"], 400),
+    "train_dgmg.py": (["--iters", "120", "--samples", "40"], 500),
+}
+
+# Examples that drive multi-device meshes need virtual CPU devices.
+NEEDS_DEVICES = {"train_dist.py", "train_dist_sampled.py",
+                 "train_rgcn_dist.py"}
+# train_dist_sampled spawns its own coordinator+workers (no --cpu flag).
+NO_CPU_FLAG = {"train_dist_sampled.py"}
+
+
+def run_one(name: str, args, timeout_s: int, verbose: bool = False):
+    cmd = [sys.executable, str(REPO / "examples" / name)] + list(args)
+    if name not in NO_CPU_FLAG:
+        cmd.append("--cpu")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    if name in NEEDS_DEVICES:
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8").strip()
+    t0 = time.perf_counter()
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s, env=env)
+        rc = p.returncode
+        out = p.stdout + p.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = -1
+        out = ((e.stdout or "") + (e.stderr or "")
+               + f"\n*** TIMEOUT after {timeout_s}s")
+    dt = time.perf_counter() - t0
+    return rc, dt, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="substring filters on example names")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print each example's output")
+    args = ap.parse_args()
+
+    names = sorted(EXAMPLES)
+    # Coverage guard: every examples/*.py must have a harness entry.
+    on_disk = sorted(p.name for p in (REPO / "examples").glob("*.py"))
+    missing = [n for n in on_disk if n not in EXAMPLES]
+    if missing:
+        print(f"FATAL: examples without a harness entry: {missing}")
+        return 2
+    if args.only:
+        names = [n for n in names
+                 if any(s in n for s in args.only)]
+    if args.list:
+        for n in names:
+            print(n, " ".join(EXAMPLES[n][0]))
+        return 0
+
+    failures = []
+    total_t0 = time.perf_counter()
+    for i, name in enumerate(names, 1):
+        ex_args, timeout_s = EXAMPLES[name]
+        rc, dt, out = run_one(name, ex_args, timeout_s, args.verbose)
+        status = "ok" if rc == 0 else f"FAIL rc={rc}"
+        print(f"[{i:2d}/{len(names)}] {name:36s} {status:10s} "
+              f"{dt:6.1f}s", flush=True)
+        if args.verbose or rc != 0:
+            tail = "\n".join(out.strip().splitlines()[-15:])
+            print("    " + tail.replace("\n", "\n    "), flush=True)
+        if rc != 0:
+            failures.append(name)
+    dt = time.perf_counter() - total_t0
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed "
+          f"in {dt / 60:.1f} min")
+    if failures:
+        print("FAILED:", " ".join(failures))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
