@@ -405,6 +405,32 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         x_desc = np.zeros((0,), dtype=ID_DTYPE)
         x_starts_p = np.zeros((0,), dtype=ID_DTYPE)
 
+    # ------------------------------------------------------------------
+    # Fused-backward descriptors (src direction): grad_u's dense-tier
+    # kernel can fold the compact tail-src stack rows into its own output
+    # pass (out_block = C_block @ ct, then += tail rows via descriptors)
+    # — killing the full-size (N, F) tail materialization + add that
+    # otherwise dominate the backward (profiled 2026-08-21,
+    # tools/profile_hub_bwd.py). Packed p = (src_row % DENSE_RB) *
+    # EXPAND_PACK + stacked_row, sorted by src row; per-DENSE_RB-block
+    # start offsets. Only valid when the stack index fits the packing.
+    # ------------------------------------------------------------------
+    n_src_rows_tail = int(sum(n for _, n in tail_meta_src))
+    if 0 < n_src_rows_tail < EXPAND_PACK and kd:
+        rv = full_tail["r_inv"].astype(np.int64)[:num_src]
+        gvalid = np.flatnonzero(rv < n_src_rows_tail)
+        gm = rv[gvalid]
+        g_blocks = n_src_pad // DENSE_RB
+        gb_starts = np.zeros((g_blocks + 1,), dtype=ID_DTYPE)
+        np.cumsum(np.bincount((gvalid // DENSE_RB).astype(np.int64),
+                              minlength=g_blocks), out=gb_starts[1:])
+        gb_desc = ((gvalid % DENSE_RB) * EXPAND_PACK + gm).astype(ID_DTYPE)
+        gb_desc = np.pad(gb_desc, (0, -len(gb_desc) % CHUNK))
+        gb_starts = np.pad(gb_starts, (0, -len(gb_starts) % CHUNK))
+    else:
+        gb_desc = np.zeros((0,), dtype=ID_DTYPE)
+        gb_starts = np.zeros((0,), dtype=ID_DTYPE)
+
     meta = HubMeta(
         n_full_f=len(full_fwd["in_id"]),
         n_full_b=len(full_bwd["in_id"]),
@@ -441,5 +467,6 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         "diag": diag, "diag_eid": diag_eid,
         "diag_edge_dst": diag_edge_dst,
         "x_desc": x_desc, "x_starts": x_starts_p,
+        "gb_desc": gb_desc, "gb_starts": gb_starts,
     }
     return meta, arrays

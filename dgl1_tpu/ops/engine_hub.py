@@ -212,6 +212,61 @@ def _dense_fwd_call(c, u_pad, dt=jnp.float32):
     )(c, u_pad)
 
 
+def _dense_bwd_fused_kernel(dt, starts_ref, desc_ref, c_ref, ct_ref,
+                            tail_ref, out_ref):
+    """grad_u row block = C_block @ ct, then += the block's compact
+    tail-src stack rows via descriptors (p = local_row * EXPAND_PACK +
+    stacked_row) — one HBM write pass replaces dense-out + full-size
+    tail expand + add (the backward's dominant XLA glue)."""
+    rb = pl.program_id(1)
+    out_ref[:] = jax.lax.dot_general(
+        c_ref[:].astype(dt), ct_ref[:].astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    start = starts_ref[rb]
+    end = starts_ref[rb + 1]
+
+    def body(i, carry):
+        p = desc_ref[i]
+        r = p // EXPAND_PACK
+        m = p - r * EXPAND_PACK
+        out_ref[pl.ds(r, 1), :] = (out_ref[pl.ds(r, 1), :]
+                                   + tail_ref[pl.ds(m, 1), :])
+        return carry
+
+    jax.lax.fori_loop(start, end, body, 0)
+
+
+def _dense_bwd_fused_call(c, ct_pad, tail2, gb_starts, gb_desc,
+                          dt=jnp.float32):
+    """tail2: (m_pad, f_pad) compact tail-src stack (f32). Returns the
+    combined (n_rows, f_pad) grad_u of dense tier + ELL tail."""
+    n_rows, kd = c.shape
+    f_pad = ct_pad.shape[1]
+    m_pad = tail2.shape[0]
+    return pl.pallas_call(
+        functools.partial(_dense_bwd_fused_kernel, dt),
+        grid=(f_pad // BLK, n_rows // DENSE_RB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((DENSE_RB, kd), lambda fb, t: (t, 0)),
+            pl.BlockSpec((kd, BLK), lambda fb, t: (0, fb)),
+            pl.BlockSpec((m_pad, BLK), lambda fb, t: (0, fb)),
+        ],
+        out_specs=pl.BlockSpec((DENSE_RB, BLK), lambda fb, t: (t, fb)),
+        out_shape=jax.ShapeDtypeStruct((n_rows, f_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rows * kd * f_pad,
+            bytes_accessed=c.size * c.dtype.itemsize
+            + n_rows * f_pad * 4 + tail2.size * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(gb_starts, gb_desc, c, ct_pad, tail2)
+
+
 def _dense_bwd_kernel(dt, c_ref, ct_ref, out_ref):
     """grad_u row block = C_block @ ct (C may be bf16; converted
     per-block in VMEM — an XLA-level astype would materialize the whole
@@ -546,13 +601,31 @@ def _bwd(static, res, ct):
     # ---- grad_u ----
     gu = jnp.zeros_like(u)
     if op != "copy_rhs":
-        gu_hub = jnp.zeros((static.num_src, ff), jnp.float32)
-        if op == "copy_lhs":
-            if m.n_dense:
-                ct_d = _pad_2d(ct_hubs[: m.n_dense * BLK].astype(
-                    jnp.float32), m.n_dense * BLK, f_pad)
-                gu_hub = gu_hub + _dense_bwd_call(
-                    hub["dense_c"], ct_d, dt)[: static.num_src, :ff]
+        # Fused dense+tail path (copy_lhs with a dense tier): the compact
+        # tail-src stack rides the dense backward kernel's own output
+        # pass via descriptors — no full-size (N, F) tail materialization
+        # and no separate add (the backward's dominant cost, profiled in
+        # tools/profile_hub_bwd.py).
+        n_src_rows = int(sum(n for _, n in m.tail_meta_src))
+        m_tail_pad = _round_up(max(n_src_rows, 1), 32)
+        gb_desc = hub.get("gb_desc")
+        fused = (op == "copy_lhs" and m.n_dense > 0
+                 and gb_desc is not None and gb_desc.shape[0] > 0
+                 and m_tail_pad * BLK * 4 <= _EXPAND_VMEM_BYTES)
+
+        gu2 = None
+        if fused:
+            ct_d = _pad_2d(ct_hubs[: m.n_dense * BLK].astype(
+                jnp.float32), m.n_dense * BLK, f_pad)
+            tail_stacked = ell_stack(
+                m.tail_meta_src, hub["r_idx"], hub["r_eid"], "copy_lhs",
+                "sum", ct, None)
+            tail2 = _pad_2d(
+                tail_stacked.reshape(tail_stacked.shape[0], ff).astype(
+                    jnp.float32), m_tail_pad, f_pad)
+            gu2 = _dense_bwd_fused_call(
+                hub["dense_c"], ct_d, tail2, hub["gb_starts"], gb_desc,
+                dt)[: static.num_src, :ff]
             if m.n_groups > m.n_dense:
                 lay = hub["part_bwd"]
                 ct_part = ct_pad[m.n_dense * BLK:]
@@ -560,27 +633,49 @@ def _bwd(static, res, ct):
                                   m.n_win, f_pad, dt)
                 win_rows = jnp.repeat(hub["win_mask_part"], BLK,
                                       total_repeat_length=m.n_win * BLK)
-                out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
-                gu_hub = gu_hub + out[: static.num_src, :ff]
-            tail_op = "copy_lhs"
-        else:  # mul
-            lay = hub["full_bwd"]
-            wt_b = _weights_t(e, static.he, lay["eid"])
-            r = _replication_r("mul", static.he, static.rep, f_pad)
-            out = _chunk_call("mul", lay, wt_b, r, ct_pad, m.n_win, f_pad,
-                              dt)
-            win_rows = jnp.repeat(hub["win_mask_full"], BLK,
-                                  total_repeat_length=m.n_win * BLK)
-            out = jnp.where(win_rows[:, None], out, jnp.zeros_like(out))
-            gu_hub = out[: static.num_src, :ff]
-            tail_op = "mul"
+                out = jnp.where(win_rows[:, None], out,
+                                jnp.zeros_like(out))
+                gu2 = gu2 + out[: static.num_src, :ff]
+        else:
+            gu_hub = jnp.zeros((static.num_src, ff), jnp.float32)
+            if op == "copy_lhs":
+                if m.n_dense:
+                    ct_d = _pad_2d(ct_hubs[: m.n_dense * BLK].astype(
+                        jnp.float32), m.n_dense * BLK, f_pad)
+                    gu_hub = gu_hub + _dense_bwd_call(
+                        hub["dense_c"], ct_d, dt)[: static.num_src, :ff]
+                if m.n_groups > m.n_dense:
+                    lay = hub["part_bwd"]
+                    ct_part = ct_pad[m.n_dense * BLK:]
+                    out = _chunk_call("plain", lay, None, None, ct_part,
+                                      m.n_win, f_pad, dt)
+                    win_rows = jnp.repeat(
+                        hub["win_mask_part"], BLK,
+                        total_repeat_length=m.n_win * BLK)
+                    out = jnp.where(win_rows[:, None], out,
+                                    jnp.zeros_like(out))
+                    gu_hub = gu_hub + out[: static.num_src, :ff]
+                tail_op = "copy_lhs"
+            else:  # mul
+                lay = hub["full_bwd"]
+                wt_b = _weights_t(e, static.he, lay["eid"])
+                r = _replication_r("mul", static.he, static.rep, f_pad)
+                out = _chunk_call("mul", lay, wt_b, r, ct_pad, m.n_win,
+                                  f_pad, dt)
+                win_rows = jnp.repeat(hub["win_mask_full"], BLK,
+                                      total_repeat_length=m.n_win * BLK)
+                out = jnp.where(win_rows[:, None], out,
+                                jnp.zeros_like(out))
+                gu_hub = out[: static.num_src, :ff]
+                tail_op = "mul"
 
-        tail_src_ell = {"idx": hub["r_idx"], "eid": hub["r_eid"],
-                        "inv_perm": hub["r_inv"]}
-        gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, tail_op, "sum",
-                             ct, e if tail_op == "mul" else None,
-                             static.num_src)
-        gu2 = gu_tail.reshape(static.num_src, ff) + gu_hub
+            tail_src_ell = {"idx": hub["r_idx"], "eid": hub["r_eid"],
+                            "inv_perm": hub["r_inv"]}
+            gu_tail = ell_reduce(m.tail_meta_src, tail_src_ell, tail_op,
+                                 "sum", ct,
+                                 e if tail_op == "mul" else None,
+                                 static.num_src)
+            gu2 = gu_tail.reshape(static.num_src, ff) + gu_hub
         if getattr(m, "has_diag", False):
             nd = static.num_dst
             if op == "copy_lhs":

@@ -59,6 +59,9 @@ EXAMPLES = {
     "train_pinsage.py": (["--steps", "60"], 400),
     "train_metapath2vec.py": (["--epochs", "3"], 400),
     "train_dgmg.py": (["--iters", "120", "--samples", "40"], 500),
+    "train_pointcloud.py": (["--epochs", "20"], 700),
+    "train_transformer.py": (["--steps", "400"], 500),
+    "train_gcmc.py": ([], 500),
 }
 
 # Examples that drive multi-device meshes need virtual CPU devices.
@@ -86,7 +89,12 @@ def run_one(name: str, args, timeout_s: int, verbose: bool = False):
         out = p.stdout + p.stderr
     except subprocess.TimeoutExpired as e:
         rc = -1
-        out = ((e.stdout or "") + (e.stderr or "")
+
+        def _s(b):
+            return (b.decode(errors="replace")
+                    if isinstance(b, bytes) else (b or ""))
+
+        out = (_s(e.stdout) + _s(e.stderr)
                + f"\n*** TIMEOUT after {timeout_s}s")
     dt = time.perf_counter() - t0
     return rc, dt, out
