@@ -249,14 +249,24 @@ def select_topk(g, k: int, weight: str, nodes=None, edge_dir: str = "in",
     w = np.asarray(g.edata[weight]).reshape(-1)[: g.num_edges()]
     if nodes is None:
         nodes = np.arange(num_rows)
-    keep = []
-    for v in np.asarray(nodes, dtype=np.int64):
-        lo, hi = int(indptr[v]), int(indptr[v + 1])
-        ids = eid[lo:hi]
-        if len(ids) > k:
-            order = np.argsort(w[ids])
-            ids = ids[order[:k]] if ascending else ids[order[-k:]]
-        keep.append(ids)
-    keep = (np.concatenate(keep) if keep
-            else np.zeros((0,), dtype=np.int64))
+    nodes = np.asarray(nodes, dtype=np.int64)
+    # Vectorized per-row top-k: one lexsort of the selected rows' edges
+    # by (row, weight), then keep each row's first/last k by rank — no
+    # per-node Python loop (PinSAGE-style pipelines call this per
+    # batch).
+    counts = (indptr[nodes + 1] - indptr[nodes]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return edge_subgraph(g, np.zeros((0,), np.int64),
+                             relabel_nodes=False)
+    owner = np.repeat(np.arange(len(nodes)), counts)
+    flat = (np.repeat(indptr[nodes], counts)
+            + (np.arange(total)
+               - np.repeat(np.cumsum(counts) - counts, counts)))
+    ids = eid[flat].astype(np.int64)
+    order = np.lexsort((w[ids], owner))
+    rank = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                        counts)
+    sel = rank < k if ascending else rank >= counts[owner] - k
+    keep = ids[order][sel]
     return edge_subgraph(g, np.sort(keep), relabel_nodes=False)

@@ -31,6 +31,34 @@ import numpy as np
 ICI_BW_EFF = 80e9  # bytes/s, conservative
 
 
+def sensitivity():
+    """Projection sensitivity over (edge-cut fraction, feature width):
+    how the >=80% north-star depends on partition quality, per width.
+
+    Model per chip per layer: t_comp = (E/k)/rate(F); comm rows are the
+    UPPER bound cut*E/k (one remote source row per cut edge — dedup of
+    shared halo sources only helps); t_comm = rows*F*4 / ICI_BW_EFF.
+    Efficiency (overlapped) = t1 / (k * max(t_comp, t_comm)). rate(F)
+    from the measured single-chip matrix (docs/PERF_NOTES.md).
+    """
+    rates = {32: 3.3e9, 128: 2.03e9, 512: 4.36e8}  # measured edges/s
+    e = (1 << 19) * 8
+    k = 8
+    print(json.dumps({"model": "eff = t1/(k*max(comp, comm))",
+                      "E": e, "k": k, "ici_bw": ICI_BW_EFF}))
+    for F, rate in rates.items():
+        t1 = e / rate
+        row = {"F": F}
+        for cut in (0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9):
+            t_comp = (e / k) / rate
+            t_comm = cut * (e / k) * F * 4 / ICI_BW_EFF
+            row[f"cut_{cut}"] = round(t1 / (k * max(t_comp, t_comm)), 3)
+        # Break-even cut: comm == comp.
+        row["breakeven_cut"] = round(
+            min((1 / rate) / (F * 4 / ICI_BW_EFF), 1.0), 3)
+        print(json.dumps(row), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=1 << 19)
@@ -140,4 +168,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sensitivity" in sys.argv:
+        sensitivity()
+    else:
+        main()
