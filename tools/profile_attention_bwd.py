@@ -1,0 +1,211 @@
+"""Stage-level profile of the fused attention BACKWARD (ops/attention).
+
+Round-3 target (VERDICT weak #1, attention half): fwd+bwd <= ~2x fwd
+(round-2: fwd 26.1 ms, fwd+bwd 66.7 ms at arxiv scale). Isolates the
+backward's stages: the fused chunk pass (gft/gel/gerp), the ger
+accumulation sweep, the compact-tail block, and the XLA glue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=169343)
+    p.add_argument("--deg", type=int, default=26)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--dim", type=int, default=32)
+    p.add_argument("--iters", default="5,25")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import dgl1_tpu as dgl  # noqa: F401
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+    from dgl1_tpu.ops import attention as A
+    from dgl1_tpu.ops.attention import gat_attention
+
+    n, h, d = args.nodes, args.heads, args.dim
+    it_lo, it_hi = (int(x) for x in args.iters.split(","))
+    g = powerlaw_graph(n, args.deg, seed=0)
+    m = g.hub_dst_meta
+    print(f"E={g.num_edges()} groups={m.n_groups} dense={m.n_dense} "
+          f"win={m.n_win} full_b_chunks={m.n_full_b}", flush=True)
+    g = jax.device_put(g)
+    jax.block_until_ready(jax.tree.leaves(g))
+    key = jax.random.PRNGKey(0)
+    el = jax.random.normal(key, (n, h))
+    er = jax.random.normal(key, (n, h))
+    ft = jax.random.normal(key, (n, h, d))
+
+    def slope(body):
+        totals = []
+        for iters in (it_lo, it_hi):
+            @jax.jit
+            def run(g, el, er, ft):
+                def step(i, carry):
+                    el_, er_, ft_ = carry
+                    o = body(g, el_, er_, ft_)
+                    eps = 1e-30 * jnp.sum(o)
+                    return (el_ + eps, er_, ft_)
+
+                return jax.lax.fori_loop(0, iters, step, (el, er, ft))
+
+            out = run(g, el, er, ft)
+            _ = float(out[0].reshape(-1)[0])
+            t0 = time.perf_counter()
+            out = run(g, el, er, ft)
+            _ = float(out[0].reshape(-1)[0])
+            totals.append(time.perf_counter() - t0)
+        return (totals[1] - totals[0]) / (it_hi - it_lo)
+
+    t_fwd = slope(lambda g, el, er, ft: gat_attention(g, el, er, ft))
+
+    def fwdbwd(g, el, er, ft):
+        def loss(el_, er_, ft_):
+            return jnp.sum(gat_attention(g, el_, er_, ft_) ** 2)
+
+        ge, gr, gf = jax.grad(loss, argnums=(0, 1, 2))(el, er, ft)
+        return ge + 1e-30 * (jnp.sum(gr) + jnp.sum(gf))
+
+    t_fb = slope(fwdbwd)
+
+    # ---- isolated backward stages (mirrors attention._bwd) ----
+    # Precompute forward residuals once.
+    hub = g.hub_dst
+    # Build residuals through the forward internals.
+    el2 = el.reshape(n, h)
+    er2 = er.reshape(n, h)
+    ft2 = ft.reshape(n, h * d)
+
+    f = h * d
+    f_pad = A._round_up(f, A.BLK)
+    rows_pad = hub["dense_c"].shape[0]
+
+    # Use the real forward to obtain (out, mz, den) shapes via vjp res:
+    # easiest faithful approach — call _attn_forward.
+    from dgl1_tpu.ops.attention import _Static
+
+    st = _Static(num_src=n, num_dst=n, h=h, d=d, slope=0.2,
+                 meta=m, attn_drop=0.0, prec="f32") \
+        if "attn_drop" in _Static._fields else None
+    if st is None:
+        print(json.dumps({"note": "static mismatch; stages skipped",
+                          "fwd_ms": round(t_fwd * 1e3, 2),
+                          "fwdbwd_ms": round(t_fb * 1e3, 2)}))
+        return
+
+    seed = jnp.zeros((1,), jnp.int32)
+    out, mz, den = A._attn_forward(st, hub, el2, er2, ft2, seed)
+    jax.block_until_ready(out)
+
+    def stage_slope(body):
+        totals = []
+        for iters in (it_lo, it_hi):
+            @jax.jit
+            def run(g, ct):
+                def step(i, c):
+                    r = body(g.hub_dst, c)
+                    return c + 1e-30 * jnp.sum(r)
+
+                return jax.lax.fori_loop(0, iters, step, ct)
+
+            o = run(g, out)
+            _ = float(o.reshape(-1)[0])
+            t0 = time.perf_counter()
+            o = run(g, out)
+            _ = float(o.reshape(-1)[0])
+            totals.append(time.perf_counter() - t0)
+        return (totals[1] - totals[0]) / (it_hi - it_lo)
+
+    def chunk_pass(hub_d, ct):
+        ct2 = ct.reshape(-1, f)
+        rho = jnp.sum(ct2.reshape(-1, h, d)
+                      * out.reshape(-1, h, d), axis=2)
+        el_pad = A._pad_2d(el2, rows_pad, A.BLK)
+        ft_pad = A._pad_2d(ft2, rows_pad, f_pad)
+        er_g = A._hub_rows_128(er2, hub_d["hub_ids"], m.n_groups)
+        mz_g = A._hub_rows_128(mz, hub_d["hub_ids"], m.n_groups)
+        den_g = A._hub_rows_128(den, hub_d["hub_ids"], m.n_groups)
+        rho_g = A._hub_rows_128(rho, hub_d["hub_ids"], m.n_groups)
+        ct_g = A._pad_2d(
+            jnp.take(ct2, hub_d["hub_ids"], axis=0, mode="fill",
+                     fill_value=0.0), m.n_groups * A.BLK, f_pad)
+        r = A._replication_r(h, d, f_pad)
+        gft, gel, gerp = A._attn_bwd_call(
+            0.2, True, hub_d["full_bwd"], el_pad, er_g, mz_g, den_g,
+            rho_g, ft_pad, ct_g, r, m.n_win, f_pad, jnp.float32, 0.0,
+            seed)
+        return gft + gel.sum() + gerp.sum()
+
+    t_chunk = stage_slope(chunk_pass)
+
+    def ger_sweep(hub_d, ct):
+        gerp = jnp.ones((m.n_full_b * A.BLK, A.BLK), jnp.float32) \
+            * ct[0, 0, 0]
+        return A._ger_reduce_call(hub_d["full_bwd"], gerp, m.n_groups)
+
+    t_ger = stage_slope(ger_sweep)
+
+    def tail_block(hub_d, ct):
+        ct2 = ct.reshape(-1, f)
+        rho = jnp.sum(ct2.reshape(-1, h, d)
+                      * out.reshape(-1, h, d), axis=2)
+        meta_d, meta_s, n_rows, tk, has_diag = A._atail(st, hub_d)
+        ts, td = tk["tail_src"], tk["tail_dst"]
+        p_t = A._tail_p(st, tk, el2, er2, mz)
+        den_t = jnp.take(den, td, axis=0, mode="fill", fill_value=1.0)
+        a_t = p_t / den_t
+        ft3 = ft2.reshape(-1, h, d)
+        ct3 = ct2.reshape(-1, h, d)
+        ft_ts = jnp.take(ft3, ts, axis=0, mode="fill", fill_value=0.0)
+        ct_td = jnp.take(ct3, td, axis=0, mode="fill", fill_value=0.0)
+        g_t = jnp.sum(ft_ts * ct_td, axis=2)
+        rho_td = jnp.take(rho, td, axis=0, mode="fill", fill_value=0.0)
+        el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
+        er_td = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
+        q_t = a_t * (g_t - rho_td) * A._dleaky(el_ts + er_td, 0.2)
+        rev = {"idx": tk["r_idx"], "eid": tk["r_eid_c"],
+               "inv_perm": tk["r_inv"]}
+        gft_tail = A.ell_reduce(meta_s, rev, "mul", "sum", ct3,
+                                a_t[:, :, None], n)
+        gel_tail = A.ell_reduce(meta_s, rev, "copy_rhs", "sum", None,
+                                q_t, n)
+        return gft_tail.reshape(n, f) + gel_tail.sum()
+
+    t_tail = stage_slope(tail_block)
+
+    def glue(hub_d, ct):
+        win_rows = jnp.repeat(hub_d["win_mask_full"], A.BLK,
+                              total_repeat_length=m.n_win * A.BLK)
+        x = jnp.zeros((m.n_win * A.BLK, f_pad)) + ct.reshape(-1)[0]
+        a = jnp.where(win_rows[:, None], x, 0.0)
+        b = jnp.where(win_rows[:, None], x, 0.0)
+        return (a[:n, :f] + x[:n, :f]) + (b[:n, :h] + x[:n, :h]).sum()
+
+    t_glue = stage_slope(glue)
+
+    print(json.dumps({
+        "fwd_ms": round(t_fwd * 1e3, 2),
+        "fwdbwd_ms": round(t_fb * 1e3, 2),
+        "bwd_ms": round((t_fb - t_fwd) * 1e3, 2),
+        "chunk_pass_ms": round(t_chunk * 1e3, 2),
+        "ger_sweep_ms": round(t_ger * 1e3, 2),
+        "tail_block_ms": round(t_tail * 1e3, 2),
+        "glue_ms": round(t_glue * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
