@@ -186,8 +186,45 @@ class DistGraph:
         }
         return obj
 
+    @classmethod
+    def from_hetero_partition(cls, out_path: str, graph_name: str,
+                              part_id: int) -> "DistGraph":
+        """Per-host typed view from :func:`partition_hetero_graph`
+        artifacts: the local [owned | halo] heterograph, per-ntype books
+        from the saved assignment, and per-ntype feature shards (owned
+        rows of this part). ``part_id`` is this host's partition."""
+        from dgl1_tpu.parallel.hetero import load_hetero_partition
+
+        lg, feats, book = load_hetero_partition(out_path, graph_name,
+                                                part_id)
+        part = book["part_assignment"]
+        num_parts = int(book["num_parts"])
+        obj = cls.__new__(cls)
+        obj.hetero = True
+        obj.g = lg
+        obj.part = part
+        obj.num_parts = num_parts
+        obj.part_id = int(part_id)
+        obj._pg = None
+        obj.books = {nt: GraphPartitionBook(part[nt], num_parts)
+                     for nt in book["ntypes"]}
+        obj.book = None
+        obj._global_num_nodes = dict(book["num_nodes"])
+        obj.ndata = {}
+        for nt, frame in feats.items():
+            for k, v in frame.items():
+                obj.ndata.setdefault(nt, {})[k] = DistTensor(
+                    obj.books[nt], {part_id: np.asarray(v)},
+                    name=f"{nt}/{k}")
+        return obj
+
     def num_nodes(self, ntype: Optional[str] = None) -> int:
         if getattr(self, "hetero", False):
+            counts = getattr(self, "_global_num_nodes", None)
+            if counts is not None:  # per-host view: local g != global
+                if ntype is None:
+                    return sum(counts.values())
+                return counts[ntype]
             return self.g.num_nodes(ntype)
         return self.g.num_nodes()
 
@@ -206,6 +243,13 @@ class DistGraph:
         (:class:`PartitionedHeteroGraph`) for hetero facades."""
         if self._pg is None:
             if getattr(self, "hetero", False):
+                if getattr(self, "_global_num_nodes", None) is not None:
+                    raise ValueError(
+                        "partitioned() needs the full heterograph; this "
+                        "is a per-host view (from_hetero_partition). "
+                        "Build the plan once from the full graph and "
+                        "ship it, or construct DistGraph(hg, k) in the "
+                        "pod-view process.")
                 from dgl1_tpu.parallel.hetero import (
                     build_partitioned_hetero)
 

@@ -247,3 +247,25 @@ def test_dist_graph_hetero_facade():
         np.testing.assert_allclose(
             np.asarray(phg.unshard_node_data(nt, out[nt])),
             np.asarray(ref[nt]), rtol=1e-4, atol=1e-4)
+
+
+def test_dist_graph_from_hetero_partition(tmp_path):
+    hg = make_hg(seed=10, np_=50, na=30, ni=10, e=150)
+    rng = np.random.default_rng(11)
+    hg.nframes["paper"]["feat"] = jnp.asarray(
+        rng.normal(size=(50, 3)).astype(np.float32))
+    partition_hetero_graph(hg, "hostview", 3, str(tmp_path),
+                           part_method="greedy")
+    dg = DistGraph.from_hetero_partition(str(tmp_path), "hostview", 1)
+    assert dg.hetero and dg.part_id == 1
+    assert dg.num_nodes("paper") == 50
+    assert dg.num_nodes() == 90
+    # The local shard serves exactly this part's owned paper rows.
+    own = dg.books["paper"].partid2nids(1)
+    np.testing.assert_allclose(
+        dg.ndata["paper"]["feat"][own],
+        np.asarray(hg.nframes["paper"]["feat"])[own])
+    # The per-host view cannot build a full halo plan.
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dg.partitioned()
