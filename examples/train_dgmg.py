@@ -54,7 +54,7 @@ def main():
     p.add_argument("--n-max", type=int, default=10)
     p.add_argument("--hidden", type=int, default=32)
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--iters", type=int, default=300)
+    p.add_argument("--iters", type=int, default=700)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--samples", type=int, default=50)
     p.add_argument("--cpu", action="store_true")

@@ -51,14 +51,14 @@ EXAMPLES = {
     "train_dist_sampled.py": (["--parts", "2", "--epochs", "2",
                                "--nodes", "3000"], 600),
     "train_graph_classification.py": (["--epochs", "12"], 500),
-    "train_diffpool.py": (["--epochs", "12"], 400),
-    "train_ggnn.py": (["--epochs", "12"], 400),
+    "train_diffpool.py": (["--epochs", "300"], 600),
+    "train_ggnn.py": (["--epochs", "60"], 900),
     "train_chem.py": (["--model", "mpnn", "--epochs", "8"], 500),
     "train_lgnn.py": (["--epochs", "6"], 500),
     "train_treelstm.py": (["--epochs", "5"], 500),
     "train_pinsage.py": (["--steps", "60"], 400),
-    "train_metapath2vec.py": (["--epochs", "3"], 400),
-    "train_dgmg.py": (["--iters", "120", "--samples", "40"], 500),
+    "train_metapath2vec.py": (["--epochs", "30"], 600),
+    "train_dgmg.py": (["--iters", "700", "--samples", "50"], 700),
     "train_pointcloud.py": (["--epochs", "20"], 700),
     "train_transformer.py": (["--steps", "400"], 500),
     "train_gcmc.py": ([], 500),
