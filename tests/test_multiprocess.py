@@ -92,8 +92,8 @@ def _run_workers(script_path, nproc, port, extra_args=(), timeout=420):
     return outs
 
 
-@pytest.mark.parametrize("nproc", [2, 4])
-def test_multiprocess_partitioned_matvec_and_grad(tmp_path, nproc):
+@pytest.mark.parametrize("nproc", [4])  # 4 covers 2; 2-proc dropped for
+def test_multiprocess_partitioned_matvec_and_grad(tmp_path, nproc):  # suite time
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     _run_workers(worker, nproc, port=str(12411 + nproc))

@@ -100,17 +100,19 @@ def test_treelstm_trains(cell):
         logp = jax.nn.log_softmax(logits)
         return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
 
-    l0 = float(loss_fn(params))
-    grads = jax.grad(loss_fn)(params)
+    # The model schedules the topo frontier host-side, so it is not
+    # jittable; keep eager but minimize re-traces (suite-time budget).
+    vg = jax.value_and_grad(loss_fn)
+    l0, grads = vg(params)
+    l0 = float(l0)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(grads))
     assert np.isfinite(l0) and total > 0
-    # A few SGD steps reduce the loss.
+    # Two SGD steps reduce the loss.
     lr = 0.5
-    p = params
-    for _ in range(5):
-        g_ = jax.grad(loss_fn)(p)
-        p = jax.tree.map(lambda a, b: a - lr * b, p, g_)
-    assert float(loss_fn(p)) < l0
+    p = jax.tree.map(lambda a, b: a - lr * b, params, grads)
+    l1, g_ = vg(p)
+    p = jax.tree.map(lambda a, b: a - lr * b, p, g_)
+    assert float(vg(p)[0]) < l0
 
 
 def test_treelstm_childsum_manual_one_node():

@@ -110,34 +110,40 @@ def main():
     out, mz, den = A._attn_forward(st, hub, el2, er2, ft2, seed)
     jax.block_until_ready(out)
 
+    # Residuals MUST be jit ARGUMENTS: closed-over device arrays bake
+    # into the HLO as constants and overflow the remote-compile path
+    # (PERF_NOTES landmine; re-tripped once on 2026-08-21).
+    res = {"out": out, "mz": mz, "den": den, "el2": el2, "er2": er2,
+           "ft2": ft2}
+
     def stage_slope(body):
         totals = []
         for iters in (it_lo, it_hi):
             @jax.jit
-            def run(g, ct):
+            def run(g, res, ct):
                 def step(i, c):
-                    r = body(g.hub_dst, c)
+                    r = body(g.hub_dst, res, c)
                     return c + 1e-30 * jnp.sum(r)
 
                 return jax.lax.fori_loop(0, iters, step, ct)
 
-            o = run(g, out)
+            o = run(g, res, out)
             _ = float(o.reshape(-1)[0])
             t0 = time.perf_counter()
-            o = run(g, out)
+            o = run(g, res, out)
             _ = float(o.reshape(-1)[0])
             totals.append(time.perf_counter() - t0)
         return (totals[1] - totals[0]) / (it_hi - it_lo)
 
-    def chunk_pass(hub_d, ct):
+    def chunk_pass(hub_d, res, ct):
         ct2 = ct.reshape(-1, f)
         rho = jnp.sum(ct2.reshape(-1, h, d)
-                      * out.reshape(-1, h, d), axis=2)
-        el_pad = A._pad_2d(el2, rows_pad, A.BLK)
-        ft_pad = A._pad_2d(ft2, rows_pad, f_pad)
-        er_g = A._hub_rows_128(er2, hub_d["hub_ids"], m.n_groups)
-        mz_g = A._hub_rows_128(mz, hub_d["hub_ids"], m.n_groups)
-        den_g = A._hub_rows_128(den, hub_d["hub_ids"], m.n_groups)
+                      * res["out"].reshape(-1, h, d), axis=2)
+        el_pad = A._pad_2d(res["el2"], rows_pad, A.BLK)
+        ft_pad = A._pad_2d(res["ft2"], rows_pad, f_pad)
+        er_g = A._hub_rows_128(res["er2"], hub_d["hub_ids"], m.n_groups)
+        mz_g = A._hub_rows_128(res["mz"], hub_d["hub_ids"], m.n_groups)
+        den_g = A._hub_rows_128(res["den"], hub_d["hub_ids"], m.n_groups)
         rho_g = A._hub_rows_128(rho, hub_d["hub_ids"], m.n_groups)
         ct_g = A._pad_2d(
             jnp.take(ct2, hub_d["hub_ids"], axis=0, mode="fill",
@@ -151,30 +157,33 @@ def main():
 
     t_chunk = stage_slope(chunk_pass)
 
-    def ger_sweep(hub_d, ct):
+    def ger_sweep(hub_d, res, ct):
         gerp = jnp.ones((m.n_full_b * A.BLK, A.BLK), jnp.float32) \
             * ct[0, 0, 0]
         return A._ger_reduce_call(hub_d["full_bwd"], gerp, m.n_groups)
 
     t_ger = stage_slope(ger_sweep)
 
-    def tail_block(hub_d, ct):
+    def tail_block(hub_d, res, ct):
         ct2 = ct.reshape(-1, f)
         rho = jnp.sum(ct2.reshape(-1, h, d)
-                      * out.reshape(-1, h, d), axis=2)
+                      * res["out"].reshape(-1, h, d), axis=2)
         meta_d, meta_s, n_rows, tk, has_diag = A._atail(st, hub_d)
         ts, td = tk["tail_src"], tk["tail_dst"]
-        p_t = A._tail_p(st, tk, el2, er2, mz)
-        den_t = jnp.take(den, td, axis=0, mode="fill", fill_value=1.0)
+        p_t = A._tail_p(st, tk, res["el2"], res["er2"], res["mz"])
+        den_t = jnp.take(res["den"], td, axis=0, mode="fill",
+                         fill_value=1.0)
         a_t = p_t / den_t
-        ft3 = ft2.reshape(-1, h, d)
+        ft3 = res["ft2"].reshape(-1, h, d)
         ct3 = ct2.reshape(-1, h, d)
         ft_ts = jnp.take(ft3, ts, axis=0, mode="fill", fill_value=0.0)
         ct_td = jnp.take(ct3, td, axis=0, mode="fill", fill_value=0.0)
         g_t = jnp.sum(ft_ts * ct_td, axis=2)
         rho_td = jnp.take(rho, td, axis=0, mode="fill", fill_value=0.0)
-        el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
-        er_td = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
+        el_ts = jnp.take(res["el2"], ts, axis=0, mode="fill",
+                         fill_value=0.0)
+        er_td = jnp.take(res["er2"], td, axis=0, mode="fill",
+                         fill_value=0.0)
         q_t = a_t * (g_t - rho_td) * A._dleaky(el_ts + er_td, 0.2)
         rev = {"idx": tk["r_idx"], "eid": tk["r_eid_c"],
                "inv_perm": tk["r_inv"]}
@@ -186,7 +195,7 @@ def main():
 
     t_tail = stage_slope(tail_block)
 
-    def glue(hub_d, ct):
+    def glue(hub_d, res, ct):
         win_rows = jnp.repeat(hub_d["win_mask_full"], A.BLK,
                               total_repeat_length=m.n_win * A.BLK)
         x = jnp.zeros((m.n_win * A.BLK, f_pad)) + ct.reshape(-1)[0]
