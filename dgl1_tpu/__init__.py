@@ -236,3 +236,17 @@ __all__ = [
     "parallel",
     "distributed",
 ]
+
+from dgl1_tpu.transform import merge, shortest_dist  # noqa: E402
+
+
+def apply_each(data, fn, *args, **kwargs):
+    """Apply ``fn`` to every value of a dict, or to a bare value
+    (parity: ``dgl.apply_each`` — the hetero-convenience map for
+    ``{ntype: tensor}`` dicts)."""
+    if isinstance(data, dict):
+        return {k: fn(v, *args, **kwargs) for k, v in data.items()}
+    return fn(data, *args, **kwargs)
+
+
+__all__ += ["merge", "shortest_dist", "apply_each"]

@@ -983,3 +983,87 @@ def random_walk_pe(g: Graph, k: int, eweight_name: Optional[str] = None):
         if j + 1 < k:
             M = M @ RW
     return jnp.asarray(pe.astype(np.float32))
+
+
+def shortest_dist(g: Graph, root=None, return_paths: bool = False):
+    """All-pairs (or single-source) unweighted shortest distances
+    (parity: ``dgl.shortest_dist``; used by graph-transformer distance
+    encodings). Host-side BFS via scipy.sparse.csgraph; unreachable
+    pairs get -1. ``return_paths`` additionally returns per-pair edge-id
+    paths padded with -1 (root mode only, parity subset)."""
+    import numpy as np
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import shortest_path
+
+    n = g.num_nodes()
+    e = g.num_edges()
+    src = np.asarray(g.src)[:e]
+    dst = np.asarray(g.dst)[:e]
+    adj = csr_matrix((np.ones(e), (src, dst)), shape=(n, n))
+    import jax.numpy as jnp
+
+    if root is None:
+        d = shortest_path(adj, method="D", unweighted=True)
+        out = np.where(np.isinf(d), -1, d).astype(np.int64)
+        if return_paths:
+            raise NotImplementedError(
+                "return_paths requires a root (parity subset)")
+        return jnp.asarray(out)
+    d, pred = shortest_path(adj, method="D", unweighted=True,
+                            indices=int(root), return_predecessors=True)
+    dist = np.where(np.isinf(d), -1, d).astype(np.int64)
+    if not return_paths:
+        return jnp.asarray(dist)
+    # Edge-id lookup for (u, v) pairs on the predecessor tree.
+    eid_of = {}
+    for i in range(e):
+        eid_of.setdefault((int(src[i]), int(dst[i])), i)
+    max_len = max(int(dist.max(initial=0)), 1)
+    paths = np.full((n, max_len), -1, np.int64)
+    for v in range(n):
+        if dist[v] <= 0:
+            continue
+        cur = v
+        hops = []
+        while pred[cur] >= 0:
+            hops.append(eid_of[(int(pred[cur]), int(cur))])
+            cur = int(pred[cur])
+        paths[v, : len(hops)] = hops[::-1]
+    return jnp.asarray(dist), jnp.asarray(paths)
+
+
+def merge(graphs):
+    """Merge graphs over a shared node space: node count = max, edges =
+    concatenation, edge data concatenated per key (parity:
+    ``dgl.merge``). Node data comes from the FIRST graph carrying each
+    key (the reference's precedence)."""
+    import numpy as np
+
+    n = max(g.num_nodes() for g in graphs)
+    srcs, dsts = [], []
+    for g in graphs:
+        e = g.num_edges()
+        srcs.append(np.asarray(g.src)[:e])
+        dsts.append(np.asarray(g.dst)[:e])
+    out = graph((np.concatenate(srcs), np.concatenate(dsts)),
+                num_nodes=n)
+    import jax.numpy as jnp
+
+    for g in graphs:
+        for k, v in g.ndata.items():
+            if k not in out.ndata and v.shape[0] == n:
+                out.ndata[k] = v
+    keys = set()
+    for g in graphs:
+        keys |= set(g.edata.keys())
+    for k in keys:
+        if all(k in g.edata for g in graphs):
+            vals = [jnp.asarray(g.edata[k])[: g.num_edges()]
+                    for g in graphs]
+            cat = jnp.concatenate(vals, axis=0)
+            pad = out.num_edges_padded() - cat.shape[0]
+            if pad:
+                cat = jnp.concatenate(
+                    [cat, jnp.zeros((pad,) + cat.shape[1:], cat.dtype)])
+            out.edata[k] = cat
+    return out

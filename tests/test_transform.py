@@ -168,3 +168,18 @@ def test_mutation_ops():
     assert 0 not in ids
     # Edge endpoints valid.
     assert s.max(initial=0) < 7 and d.max(initial=0) < 7
+
+
+def test_shortest_dist_and_merge_and_apply_each():
+    import numpy as np
+
+    g = dgl.graph(([0, 1, 2], [1, 2, 3]), num_nodes=5)
+    d = np.asarray(dgl.shortest_dist(g))
+    assert d[0, 3] == 3 and d[0, 4] == -1 and d[3, 0] == -1
+    dr, paths = dgl.shortest_dist(g, root=0, return_paths=True)
+    assert np.asarray(dr)[3] == 3
+    assert list(np.asarray(paths)[3]) == [0, 1, 2]
+    g2 = dgl.graph(([3], [4]), num_nodes=5)
+    m = dgl.merge([g, g2])
+    assert m.num_edges() == 4 and m.num_nodes() == 5
+    assert dgl.apply_each({"a": 1}, lambda x: x + 1) == {"a": 2}
