@@ -669,7 +669,16 @@ def _bwd(static, res, ct):
     # ---- tail (compact slot space; diag-stripped view when present) ----
     meta_d, meta_s, n_rows, tk, has_diag = _atail(static, hub)
     ts, td = tk["tail_src"], tk["tail_dst"]
-    p_t = _tail_p(static, tk, el2, er2, mz)
+    # Shared per-tail-edge gathers: p_t computed inline so el/er rows are
+    # gathered ONCE (the gather unit is row-rate-bound; _tail_p would
+    # re-gather the same rows — ~15% of the tail block, profiled
+    # 2026-08-21 tools/profile_attention_bwd.py).
+    el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
+    er_td = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
+    mz_td = jnp.take(mz, td, axis=0, mode="fill", fill_value=0.0)
+    s_t = el_ts + er_td
+    valid_t = (ts != SENT).reshape(-1, 1)
+    p_t = jnp.where(valid_t, jnp.exp(_leaky(s_t, slope) - mz_td), 0.0)
     den_t = jnp.take(den, td, axis=0, mode="fill", fill_value=1.0)
     a_t = p_t / den_t
     if static.attn_drop > 0.0:
@@ -686,9 +695,6 @@ def _bwd(static, res, ct):
     if m_t is not None:
         g_t = g_t * m_t
     rho_td = jnp.take(rho, td, axis=0, mode="fill", fill_value=0.0)
-    el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
-    er_td = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
-    s_t = el_ts + er_td
     q_t = a_t * (g_t - rho_td) * _dleaky(s_t, slope)
 
     rev = {"idx": tk["r_idx"], "eid": tk["r_eid_c"],
