@@ -669,17 +669,23 @@ def _bwd(static, res, ct):
     # ---- tail (compact slot space; diag-stripped view when present) ----
     meta_d, meta_s, n_rows, tk, has_diag = _atail(static, hub)
     ts, td = tk["tail_src"], tk["tail_dst"]
-    # Shared per-tail-edge gathers: p_t computed inline so el/er rows are
-    # gathered ONCE (the gather unit is row-rate-bound; _tail_p would
-    # re-gather the same rows — ~15% of the tail block, profiled
-    # 2026-08-21 tools/profile_attention_bwd.py).
+    # Batched per-tail-edge gathers: the tail is tiny (~0.3% of E at
+    # arxiv scale) but each jnp.take is a separate ~0.2ms gather launch
+    # on TPU — the tail block was launch-bound, not volume-bound
+    # (profiled 2026-08-21, tools/profile_attention_bwd.py). All
+    # dst-side (H)-wide tensors ride ONE concatenated gather; el rides
+    # one src-side gather.
     el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
-    er_td = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
-    mz_td = jnp.take(mz, td, axis=0, mode="fill", fill_value=0.0)
+    dst_pack = jnp.concatenate([er2, mz, den, rho], axis=1)  # (N, 4H)
+    packed = jnp.take(dst_pack, td, axis=0, mode="fill", fill_value=0.0)
+    er_td = packed[:, :h]
+    mz_td = packed[:, h: 2 * h]
+    den_t = jnp.where(packed[:, 2 * h: 3 * h] == 0.0, 1.0,
+                      packed[:, 2 * h: 3 * h])
+    rho_td = packed[:, 3 * h:]
     s_t = el_ts + er_td
     valid_t = (ts != SENT).reshape(-1, 1)
     p_t = jnp.where(valid_t, jnp.exp(_leaky(s_t, slope) - mz_td), 0.0)
-    den_t = jnp.take(den, td, axis=0, mode="fill", fill_value=1.0)
     a_t = p_t / den_t
     if static.attn_drop > 0.0:
         m_t = _tail_mask(static, tk["tail_eid"], seed)
@@ -694,7 +700,6 @@ def _bwd(static, res, ct):
     g_t = jnp.sum(ft_ts * ct_td, axis=2)  # (T_pad, h)
     if m_t is not None:
         g_t = g_t * m_t
-    rho_td = jnp.take(rho, td, axis=0, mode="fill", fill_value=0.0)
     q_t = a_t * (g_t - rho_td) * _dleaky(s_t, slope)
 
     rev = {"idx": tk["r_idx"], "eid": tk["r_eid_c"],
