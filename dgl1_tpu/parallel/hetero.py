@@ -684,3 +684,127 @@ def load_hetero_partition(out_path: str, graph_name: str, part_id: int):
         book["part_assignment"] = {nt: np.array(z[nt])
                                    for nt in book["ntypes"]}
     return lg, feats, book
+
+
+def sharded_typed_attention(
+    phg: PartitionedHeteroGraph,
+    el: Dict[CanonicalEtype, jnp.ndarray],
+    er: Dict[str, jnp.ndarray],
+    ft: Dict[CanonicalEtype, jnp.ndarray],
+    negative_slope: float = 0.2,
+    axis_name: str = "p",
+) -> Dict[str, jnp.ndarray]:
+    """Typed edge-softmax attention over the partitioned heterograph
+    (per-device view) — the hetero-GAT / HGT aggregation pattern:
+
+        out[d] = sum_{c, e in c: dst=d} softmax_d(z_e) * ft_c[src_e]
+        z_e    = leaky_relu(el_c[src_e] + er[ntype(d)][d])
+
+    with ONE softmax per destination across ALL its relations (the HGT
+    convention; ``HeteroGraphConv`` + per-relation ``edge_softmax``
+    normalizes per relation instead — callers wanting that can just call
+    this once per relation). Because every relation's edges live on the
+    destination's part, the cross-relation softmax is EXACT and local:
+    the per-dst max and sum accumulate across relations in node space,
+    and the only communication is the per-(etype) halo all_to_all of the
+    source tensors.
+
+    ``el``/``ft`` are keyed by canonical etype (each relation has its own
+    projection of its source type, the zoo convention); ``er`` by dst
+    ntype. Shapes: el[c] (n_loc[st], H), er[nt] (n_loc[nt], H),
+    ft[c] (n_loc[st], H, D). Returns {dsttype: (n_loc, H, D)}.
+    """
+    NEG = -1e30
+    # Halo-exchange the per-relation source tensors (el + ft ride one
+    # packed exchange per relation to halve launch count).
+    packed_c = {}
+    for c in phg.etypes:
+        st, _, dt = c
+        if c not in el:
+            continue
+        h, d = ft[c].shape[1], ft[c].shape[2]
+        pack = jnp.concatenate(
+            [el[c], ft[c].reshape(ft[c].shape[0], h * d)], axis=1)
+        packed_c[c] = hetero_halo_exchange(phg, st, pack, axis_name)
+
+    # Pass 1: per-dst running max across all relations (stop-grad).
+    m = {}
+    z_c = {}
+    for c, pack in packed_c.items():
+        st, _, dt = c
+        h = el[c].shape[1]
+        n_dst = phg.n_loc[dt]
+        esrc, edst = phg.esrc[c][0], phg.edst[c][0]
+        el_e = jnp.take(pack[:, :h], esrc, axis=0, mode="clip")
+        er_pad = jnp.concatenate(
+            [er[dt], jnp.zeros((1, h), er[dt].dtype)], axis=0)
+        er_e = jnp.take(er_pad, jnp.minimum(edst, n_dst), axis=0)
+        z = el_e + er_e
+        z = jnp.where(z >= 0, z, negative_slope * z)
+        valid = (edst < n_dst)[:, None]
+        z = jnp.where(valid, z, NEG)
+        z_c[c] = z
+        m_rel = jax.ops.segment_max(z, edst, num_segments=n_dst + 1,
+                                    indices_are_sorted=True)[:n_dst]
+        m[dt] = (m_rel if dt not in m else jnp.maximum(m[dt], m_rel))
+    m = {nt: jax.lax.stop_gradient(jnp.maximum(v, NEG))
+         for nt, v in m.items()}
+
+    # Pass 2: accumulate numerator/denominator across relations.
+    num, den = {}, {}
+    for c, pack in packed_c.items():
+        st, _, dt = c
+        h, d = ft[c].shape[1], ft[c].shape[2]
+        n_dst = phg.n_loc[dt]
+        esrc, edst = phg.esrc[c][0], phg.edst[c][0]
+        m_pad = jnp.concatenate(
+            [m[dt], jnp.zeros((1, h), m[dt].dtype)], axis=0)
+        m_e = jnp.take(m_pad, jnp.minimum(edst, n_dst), axis=0)
+        valid = (edst < n_dst)[:, None]
+        p = jnp.where(valid, jnp.exp(z_c[c] - m_e), 0.0)
+        ft_e = jnp.take(pack[:, h:], esrc, axis=0,
+                        mode="clip").reshape(-1, h, d)
+        n_rel = jax.ops.segment_sum(p[:, :, None] * ft_e, edst,
+                                    num_segments=n_dst + 1,
+                                    indices_are_sorted=True)[:n_dst]
+        d_rel = jax.ops.segment_sum(p, edst, num_segments=n_dst + 1,
+                                    indices_are_sorted=True)[:n_dst]
+        num[dt] = n_rel if dt not in num else num[dt] + n_rel
+        den[dt] = d_rel if dt not in den else den[dt] + d_rel
+    return {nt: num[nt] / jnp.maximum(den[nt], 1e-30)[:, :, None]
+            for nt in num}
+
+
+def make_sharded_hetero_attention(phg: PartitionedHeteroGraph,
+                                  mesh: Mesh,
+                                  negative_slope: float = 0.2,
+                                  axis_name: str = "p"):
+    """Jittable wrapper: inputs {c: (P, n_loc, H)} el, {nt: (P, n_loc, H)}
+    er, {c: (P, n_loc, H, D)} ft, sharded on the mesh axis; returns
+    {dsttype: (P, n_loc, H, D)}."""
+
+    def body(phg_local, el, er, ft):
+        out = sharded_typed_attention(
+            phg_local,
+            {c: v[0] for c, v in el.items()},
+            {nt: v[0] for nt, v in er.items()},
+            {c: v[0] for c, v in ft.items()},
+            negative_slope, axis_name)
+        return {nt: v[None] for nt, v in out.items()}
+
+    spec_pg = jax.tree.map(lambda _: PartitionSpec(axis_name), phg)
+
+    def run(el, er, ft):
+        in_specs = (
+            spec_pg,
+            jax.tree.map(lambda _: PartitionSpec(axis_name), el),
+            jax.tree.map(lambda _: PartitionSpec(axis_name), er),
+            jax.tree.map(lambda _: PartitionSpec(axis_name), ft),
+        )
+        dst_types = {c[2] for c in phg.etypes if c in el}
+        out_specs = {nt: PartitionSpec(axis_name) for nt in dst_types}
+        fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        return fn(phg, el, er, ft)
+
+    return run

@@ -269,3 +269,120 @@ def test_dist_graph_from_hetero_partition(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dg.partitioned()
+
+
+def test_sharded_typed_attention_matches_oracle():
+    """Cross-relation softmax attention (HGT convention) vs a
+    single-device dense oracle, values AND grads."""
+    from dgl1_tpu.parallel.hetero import make_sharded_hetero_attention
+
+    hg = make_hg(seed=12, np_=80, na=50, ni=16, e=350)
+    part = hetero_partition_assignment(hg, 4, part_method="greedy")
+    phg = build_partitioned_hetero(hg, part, 4)
+    rng = np.random.default_rng(13)
+    h, d = 2, 6
+    etypes = hg.canonical_etypes
+    el = {c: jnp.asarray(rng.normal(
+        size=(hg.num_nodes(c[0]), h)).astype(np.float32))
+        for c in etypes}
+    er = {nt: jnp.asarray(rng.normal(
+        size=(hg.num_nodes(nt), h)).astype(np.float32))
+        for nt in hg.ntypes}
+    ft = {c: jnp.asarray(rng.normal(
+        size=(hg.num_nodes(c[0]), h, d)).astype(np.float32))
+        for c in etypes}
+
+    def oracle(el, er, ft):
+        slope = 0.2
+        num = {nt: np.zeros((hg.num_nodes(nt), h, d)) for nt in hg.ntypes}
+        den = {nt: np.zeros((hg.num_nodes(nt), h)) for nt in hg.ntypes}
+        m = {nt: np.full((hg.num_nodes(nt), h), -1e30)
+             for nt in hg.ntypes}
+        zs = {}
+        for c in etypes:
+            st, _, dt = c
+            rel = hg[c]
+            e = rel.num_edges()
+            s = np.asarray(rel.src)[:e]
+            t = np.asarray(rel.dst)[:e]
+            z = np.asarray(el[c])[s] + np.asarray(er[dt])[t]
+            z = np.where(z >= 0, z, slope * z)
+            zs[c] = (s, t, z)
+            np.maximum.at(m[dt], t, z)
+        for c in etypes:
+            st, _, dt = c
+            s, t, z = zs[c]
+            p = np.exp(z - m[dt][t])
+            np.add.at(den[dt], t, p)
+            np.add.at(num[dt], t, p[:, :, None] * np.asarray(ft[c])[s])
+        return {nt: num[nt] / np.maximum(den[nt], 1e-30)[:, :, None]
+                for nt in hg.ntypes if den[nt].sum() > 0}
+
+    layer = make_sharded_hetero_attention(phg, mesh8(4))
+    el_s = {c: phg.shard_node_data(c[0], v) for c, v in el.items()}
+    er_s = {nt: phg.shard_node_data(nt, v) for nt, v in er.items()}
+    ft_s = {c: phg.shard_node_data(c[0], v) for c, v in ft.items()}
+    out = jax.jit(lambda a, b, c: layer(a, b, c))(el_s, er_s, ft_s)
+    ref = oracle(el, er, ft)
+    assert set(out) == set(ref)
+    for nt in ref:
+        got = np.asarray(phg.unshard_node_data(nt, out[nt]))
+        np.testing.assert_allclose(got, ref[nt], rtol=1e-4, atol=1e-5)
+
+    # Grads through the cross-relation softmax + halo transpose.
+    def loss_sharded(el_s, er_s, ft_s):
+        o = layer(el_s, er_s, ft_s)
+        return sum(jnp.sum(jnp.sin(v)) for v in o.values())
+
+    ge, gr, gf = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2)))(
+        el_s, er_s, ft_s)
+
+    def loss_ref(el, er, ft):
+        slope = 0.2
+        tot = 0.0
+        num = {nt: 0.0 for nt in hg.ntypes}
+        den = {nt: 0.0 for nt in hg.ntypes}
+        m = {}
+        zs = {}
+        for c in etypes:
+            st, _, dt = c
+            rel = hg[c]
+            e = rel.num_edges()
+            s = np.asarray(rel.src)[:e]
+            t = np.asarray(rel.dst)[:e]
+            z = el[c][s] + er[dt][t]
+            z = jnp.where(z >= 0, z, slope * z)
+            zs[c] = (s, t, z)
+            mr = jax.ops.segment_max(z, t,
+                                     num_segments=hg.num_nodes(dt))
+            m[dt] = mr if dt not in m or isinstance(m.get(dt), float) \
+                else jnp.maximum(m[dt], mr)
+        m = {nt: jax.lax.stop_gradient(jnp.maximum(v, -1e30))
+             for nt, v in m.items()}
+        for c in etypes:
+            st, _, dt = c
+            s, t, z = zs[c]
+            p = jnp.exp(z - m[dt][t])
+            den[dt] = den[dt] + jax.ops.segment_sum(
+                p, t, num_segments=hg.num_nodes(dt))
+            num[dt] = num[dt] + jax.ops.segment_sum(
+                p[:, :, None] * ft[c][s], t,
+                num_segments=hg.num_nodes(dt))
+        for nt in hg.ntypes:
+            if not isinstance(den[nt], float):
+                o = num[nt] / jnp.maximum(den[nt], 1e-30)[:, :, None]
+                tot = tot + jnp.sum(jnp.sin(o))
+        return tot
+
+    ge_r, gr_r, gf_r = jax.grad(loss_ref, argnums=(0, 1, 2))(el, er, ft)
+    for c in etypes:
+        np.testing.assert_allclose(
+            np.asarray(phg.unshard_node_data(c[0], ge[c])),
+            np.asarray(ge_r[c]), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(phg.unshard_node_data(c[0], gf[c])),
+            np.asarray(gf_r[c]), rtol=1e-3, atol=1e-4)
+    for nt in hg.ntypes:
+        np.testing.assert_allclose(
+            np.asarray(phg.unshard_node_data(nt, gr[nt])),
+            np.asarray(gr_r[nt]), rtol=1e-3, atol=1e-4)
