@@ -31,6 +31,8 @@ from dgl1_tpu.parallel.sharded_ops import (
 )
 from dgl1_tpu.parallel.hetero import (
     PartitionedHeteroGraph,
+    make_sharded_hetero_attention,
+    sharded_typed_attention,
     build_partitioned_hetero,
     hetero_partition_assignment,
     hetero_edge_cut_fraction,
@@ -78,5 +80,7 @@ __all__ = [
     "make_sharded_rgcn_layer",
     "partition_hetero_graph",
     "sharded_typed_gspmm",
+    "sharded_typed_attention",
+    "make_sharded_hetero_attention",
 ]
 from dgl1_tpu.parallel.tp import make_tp_gcn_layer, shard_params_tp
