@@ -255,10 +255,15 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         dense_c[:num_src] = np.bincount(
             flat, minlength=num_src * kd
         ).astype(np.float32).reshape(num_src, kd)
-        # Counts are tiny integers (edge multiplicities): store bf16 to
-        # halve the dominant HBM stream of the dense-tier matmul (exact
-        # for integers <= 256; the kernel accumulates in f32).
-        if dense_c.max(initial=0.0) <= 256:
+        # Counts are tiny integers (edge multiplicities): store int8 to
+        # QUARTER the dominant HBM stream of the dense-tier matmul
+        # (exact for multiplicities <= 127; the kernel casts per block
+        # in VMEM and accumulates in f32 — verified on v5e 2026-08-21).
+        # bf16 covers the 128..256 range; f32 beyond.
+        cmax = dense_c.max(initial=0.0)
+        if cmax <= 127:
+            dense_c = dense_c.astype(np.int8)
+        elif cmax <= 256:
             import ml_dtypes
 
             dense_c = dense_c.astype(ml_dtypes.bfloat16)
