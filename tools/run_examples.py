@@ -62,11 +62,13 @@ EXAMPLES = {
     "train_pointcloud.py": (["--epochs", "20"], 700),
     "train_transformer.py": (["--steps", "400"], 500),
     "train_gcmc.py": ([], 500),
+    "train_rgcn_dist_sampled.py": (["--parts", "4",
+                                    "--epochs", "4"], 700),
 }
 
 # Examples that drive multi-device meshes need virtual CPU devices.
 NEEDS_DEVICES = {"train_dist.py", "train_dist_sampled.py",
-                 "train_rgcn_dist.py"}
+                 "train_rgcn_dist.py", "train_rgcn_dist_sampled.py"}
 # train_dist_sampled spawns its own coordinator+workers (no --cpu flag).
 NO_CPU_FLAG = {"train_dist_sampled.py"}
 
