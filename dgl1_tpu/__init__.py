@@ -144,6 +144,8 @@ from dgl1_tpu.core import (
     prop_nodes,
     prop_edges,
     prop_nodes_topo,
+    prop_nodes_topo_compiled,
+    topo_schedule,
     prop_nodes_bfs,
     prop_edges_dfs,
     pull,

@@ -556,6 +556,164 @@ def prop_nodes_topo(g: Graph, message_func, reduce_func, reverse=False,
                       message_func, reduce_func, apply_node_func)
 
 
+class _FillDataView(dict):
+    """Dict-like gather view with OOB-fill-zero semantics (the compiled
+    topo path's mailbox contract: padded slots are zero)."""
+
+    def __init__(self, data: Dict, index):
+        super().__init__()
+        self._data = data
+        self._index = index
+
+    def __getitem__(self, key):
+        x = self._data[key]
+        if self._index is None:
+            return x
+        return jnp.take(x, self._index, axis=0, mode="fill",
+                        fill_value=0)
+
+    def keys(self):
+        return self._data.keys()
+
+    def __contains__(self, key):
+        return key in self._data
+
+
+def topo_schedule(g: Graph, reverse: bool = False,
+                  pad_levels: int = None, pad_width: int = None,
+                  pad_k: int = None):
+    """Static (L, W, K) topological schedule for
+    :func:`prop_nodes_topo_compiled`.
+
+    Host-side preprocessing (numpy; compute once per graph structure,
+    outside jit): levels from the topological frontier generator, every
+    level padded to the max frontier width ``W``, every node's mailbox
+    padded to the max in-degree ``K``. ``pad_*`` round the dimensions up
+    so several graphs share one compiled program (the static-shape
+    design stance — the eager ``prop_nodes_topo`` re-dispatches one
+    host-scheduled pull per frontier instead).
+
+    Returns a dict of numpy arrays: ``ids`` (L, W) node ids (sentinel
+    N), ``msrc``/``meid`` (L, W, K) mailbox source node / edge ids
+    (sentinel = num_src / 0), ``mmask`` (L, W, K), ``deg`` (L, W).
+    """
+    from dgl1_tpu import traversal
+
+    gg = g.reverse(copy_edata=True) if reverse else g
+    fronts = [np.asarray(f, dtype=np.int64)
+              for f in traversal.topological_nodes_generator(gg)]
+    n_dst = gg.num_dst_nodes()
+    n_src = gg.num_src_nodes()
+    indptr = np.asarray(gg.csc_indptr)[: n_dst + 1]
+    srcs = np.asarray(gg.csc_src)
+    eids = np.asarray(gg.csc_eid)
+    deg_all = np.diff(indptr)
+
+    L = len(fronts)
+    W = max((len(f) for f in fronts), default=1)
+    K = int(deg_all.max(initial=1))
+    if pad_levels is not None:
+        L = max(L, pad_levels)
+    if pad_width is not None:
+        W = -(-W // pad_width) * pad_width
+    if pad_k is not None:
+        K = -(-K // pad_k) * pad_k
+
+    ids = np.full((L, W), n_dst, np.int32)
+    msrc = np.full((L, W, K), n_src, np.int32)
+    meid = np.zeros((L, W, K), np.int32)
+    mmask = np.zeros((L, W, K), bool)
+    deg = np.zeros((L, W), np.int32)
+    for lvl, f in enumerate(fronts):
+        ids[lvl, : len(f)] = f
+        deg[lvl, : len(f)] = deg_all[f]
+        counts = deg_all[f]
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        owner = np.repeat(np.arange(len(f)), counts)
+        slot = (np.arange(total)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        flat = np.repeat(indptr[f], counts) + slot
+        msrc[lvl, owner, slot] = srcs[flat]
+        meid[lvl, owner, slot] = eids[flat]
+        mmask[lvl, owner, slot] = True
+    return {"ids": ids, "msrc": msrc, "meid": meid, "mmask": mmask,
+            "deg": deg}
+
+
+def prop_nodes_topo_compiled(g: Graph, schedule, message_func,
+                             reduce_func, apply_node_func=None):
+    """Jit-safe topological propagation over a static schedule.
+
+    The TPU-native replacement for the eager frontier loop (the
+    reference drives Tree-LSTM through one host round-trip per level;
+    SURVEY.md §7 stance #2): levels unroll into ONE traced program of
+    identical static-shape steps — per level, the mailbox is a (W, K)
+    fill-zero gather from the running frames, the reduce/apply UDFs see
+    the standard padded-mailbox :class:`NodeBatch` contract, and
+    writebacks are sentinel-routed ``.at[].set(mode='drop')``. Reduce
+    fields only land on nodes with in-edges; ``apply_node_func`` on
+    every real frontier node (eager-``pull`` parity).
+
+    ``schedule`` comes from :func:`topo_schedule` (host-side, computed
+    outside jit; pass its arrays through the jit boundary as regular
+    inputs — shapes are static per (L, W, K) bucket).
+    """
+    ids_a = jnp.asarray(schedule["ids"])
+    msrc_a = jnp.asarray(schedule["msrc"])
+    meid_a = jnp.asarray(schedule["meid"])
+    mmask_a = jnp.asarray(schedule["mmask"])
+    deg_a = jnp.asarray(schedule["deg"])
+    L, W, K = schedule["msrc"].shape
+    n = g.num_dst_nodes()
+
+    frames = dict(g.dstdata)
+    for lvl in range(L):
+        ids = ids_a[lvl]
+        msrc = msrc_a[lvl].reshape(-1)
+        meid = meid_a[lvl].reshape(-1)
+        mmask = mmask_a[lvl]
+        degs = deg_a[lvl]
+        nmask = ids < n
+
+        # Message UDF over the (W*K) mailbox slots.
+        eb = EdgeBatch.__new__(EdgeBatch)
+        eb.src = _FillDataView(frames, msrc)
+        eb.dst = _FillDataView(frames, jnp.repeat(ids, K))
+        eb.data = _FillDataView(g.edata, meid)
+        eb._g = g
+        msgs = message_func(eb)
+        flat_mask = mmask.reshape(-1)
+        mailbox = {}
+        for k, v in msgs.items():
+            v = jnp.where(
+                flat_mask.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0)
+            mailbox[k] = v.reshape((W, K) + v.shape[1:])
+
+        nb = NodeBatch(_FillDataView(frames, ids), mailbox, ids,
+                       mailbox_mask=mmask, degrees=degs)
+        red = reduce_func(nb)
+        wids_r = jnp.where(nmask & (degs > 0), ids, n)
+        for k, v in red.items():
+            base = frames.get(k)
+            if base is None:
+                base = jnp.zeros((n,) + v.shape[1:], v.dtype)
+            frames[k] = base.at[wids_r].set(v, mode="drop")
+
+        if apply_node_func is not None:
+            out = apply_node_func(
+                NodeBatch(_FillDataView(frames, ids), {}, ids))
+            wids = jnp.where(nmask, ids, n)
+            for k, v in out.items():
+                base = frames.get(k)
+                if base is None:
+                    base = jnp.zeros((n,) + v.shape[1:], v.dtype)
+                frames[k] = base.at[wids].set(v, mode="drop")
+    g.dstdata.update(frames)
+    return g
+
+
 def prop_nodes_bfs(g: Graph, source, message_func, reduce_func,
                    apply_node_func=None):
     """Propagate along BFS frontiers from ``source`` (parity:

@@ -111,9 +111,15 @@ class TreeLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, tokens, token_mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True, schedule=None):
         """``tokens``: (N,) int vocab ids (0 for interior nodes).
-        ``token_mask``: (N,) 1.0 for leaf/word nodes, 0.0 otherwise."""
+        ``token_mask``: (N,) 1.0 for leaf/word nodes, 0.0 otherwise.
+
+        ``schedule``: a static topological schedule from
+        ``dgl.topo_schedule(g)`` — switches the recurrence to the
+        COMPILED level loop (one traced program, jit-safe; compute the
+        schedule outside jit). Without it the eager host-scheduled
+        frontier loop runs (reference parity)."""
         from dgl1_tpu import core
 
         if self.cell_type == "childsum":
@@ -137,8 +143,13 @@ class TreeLSTM(nn.Module):
         _ = cell.U_f(jnp.zeros((1, (self.n_ary if self.cell_type == "nary"
                                     else 1) * self.h_size)))
         _ = cell.b_iou
-        core.prop_nodes_topo(g, cell.message_func, cell.reduce_func,
-                             apply_node_func=cell.apply_node_func)
+        if schedule is not None:
+            core.prop_nodes_topo_compiled(
+                g, schedule, cell.message_func, cell.reduce_func,
+                apply_node_func=cell.apply_node_func)
+        else:
+            core.prop_nodes_topo(g, cell.message_func, cell.reduce_func,
+                                 apply_node_func=cell.apply_node_func)
         h = g.ndata.pop("h")
         g.ndata.pop("c", None)
         g.ndata.pop("iou", None)

@@ -161,3 +161,42 @@ def test_treelstm_childsum_manual_one_node():
 
     got = np.asarray(model.apply(params, g, toks, mask))[2]
     assert np.allclose(got, want, atol=1e-5), (got, want)
+
+
+def test_compiled_topo_matches_eager():
+    """prop_nodes_topo_compiled == the eager frontier loop on values and
+    grads, for both cells, under jit."""
+    from dgl1_tpu.data import SSTDataset
+    from dgl1_tpu.models import TreeLSTM
+
+    ds = SSTDataset("train", num_trees=6, seed=3)
+    bg = dgl.batch([ds[i] for i in range(6)])
+    toks = jnp.asarray(np.asarray(bg.ndata["x"], np.int32))
+    mask = jnp.asarray(np.asarray(bg.ndata["mask"], np.float32))
+    sched = dgl.topo_schedule(bg)
+    for cell in ("childsum", "nary"):
+        model = TreeLSTM(num_vocab=ds.vocab_size, x_size=8, h_size=8,
+                         num_classes=5, cell_type=cell)
+        params = model.init(jax.random.PRNGKey(0), bg, toks, mask)
+        ref = model.apply(params, bg, toks, mask)
+        got = jax.jit(lambda p, g, t, m, s: model.apply(
+            p, g, t, m, schedule=s))(params, bg, toks, mask, sched)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        g1 = jax.grad(lambda p: jnp.sum(model.apply(
+            p, bg, toks, mask, schedule=sched) ** 2))(params)
+        g0 = jax.grad(lambda p: jnp.sum(model.apply(
+            p, bg, toks, mask) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_topo_schedule_padding_buckets():
+    """pad_* options round (L, W, K) so graphs share compiled programs."""
+    g = dgl.graph(([0, 1, 2], [2, 2, 3]), num_nodes=4)
+    s = dgl.topo_schedule(g, pad_levels=8, pad_width=16, pad_k=4)
+    assert s["ids"].shape == (8, 16)
+    assert s["msrc"].shape == (8, 16, 4)
+    # Sentinel rows are inert: ids == N for padding.
+    assert (s["ids"][3:] == 4).all()
