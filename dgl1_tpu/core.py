@@ -658,7 +658,10 @@ def prop_nodes_topo_compiled(g: Graph, schedule, message_func,
 
     ``schedule`` comes from :func:`topo_schedule` (host-side, computed
     outside jit; pass its arrays through the jit boundary as regular
-    inputs — shapes are static per (L, W, K) bucket).
+    inputs — shapes are static per (L, W, K) bucket). A
+    ``topo_schedule(g, reverse=True)`` schedule propagates against edge
+    direction with NO graph reversal here — the schedule carries the
+    structure; this function only reads ``g.dstdata``/``g.edata``.
     """
     ids_a = jnp.asarray(schedule["ids"])
     msrc_a = jnp.asarray(schedule["msrc"])
