@@ -500,6 +500,12 @@ def make_sharded_rgcn_layer(phg: PartitionedHeteroGraph, mesh: Mesh,
     psum'd by the shard_map transpose automatically).
     """
 
+    if mesh.shape[axis_name] != phg.num_parts:
+        raise ValueError(
+            f"mesh axis {axis_name!r} has size {mesh.shape[axis_name]} "
+            f"but the plan has {phg.num_parts} parts — did you forget "
+            "XLA_FLAGS=--xla_force_host_platform_device_count?")
+
     def body(phg_local, feats, weights, self_weights):
         f = {nt: x[0] for nt, x in feats.items()}
         agg = sharded_typed_gspmm(phg_local, f, weights, axis_name)
@@ -782,6 +788,12 @@ def make_sharded_hetero_attention(phg: PartitionedHeteroGraph,
     """Jittable wrapper: inputs {c: (P, n_loc, H)} el, {nt: (P, n_loc, H)}
     er, {c: (P, n_loc, H, D)} ft, sharded on the mesh axis; returns
     {dsttype: (P, n_loc, H, D)}."""
+
+    if mesh.shape[axis_name] != phg.num_parts:
+        raise ValueError(
+            f"mesh axis {axis_name!r} has size {mesh.shape[axis_name]} "
+            f"but the plan has {phg.num_parts} parts — did you forget "
+            "XLA_FLAGS=--xla_force_host_platform_device_count?")
 
     def body(phg_local, el, er, ft):
         out = sharded_typed_attention(

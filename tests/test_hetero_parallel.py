@@ -386,3 +386,34 @@ def test_sharded_typed_attention_matches_oracle():
         np.testing.assert_allclose(
             np.asarray(phg.unshard_node_data(nt, gr[nt])),
             np.asarray(gr_r[nt]), rtol=1e-3, atol=1e-4)
+
+
+def test_hetero_empty_relation_and_isolated_dsttype():
+    """A relation with zero edges and a dst type fed only by it must
+    build and run (static padding covers both)."""
+    hg = heterograph({
+        ("a", "r1", "b"): (np.array([0, 1, 2]), np.array([0, 1, 0])),
+        ("a", "r2", "c"): (np.zeros(0, np.int64), np.zeros(0, np.int64)),
+    }, num_nodes_dict={"a": 4, "b": 2, "c": 3})
+    part = hetero_partition_assignment(hg, 2, part_method="random")
+    phg = build_partitioned_hetero(hg, part, 2)
+    layer = make_sharded_rgcn_layer(phg, mesh8(2), norm="none")
+    feats = {nt: jnp.ones((hg.num_nodes(nt), 4)) for nt in hg.ntypes}
+    w = {c: jnp.ones((4, 4)) for c in hg.canonical_etypes}
+    x = {nt: phg.shard_node_data(nt, feats[nt]) for nt in hg.ntypes}
+    out = layer(x, w)
+    ref_b = np.asarray(dgl.ops.copy_u_sum(
+        hg[("a", "r1", "b")], feats["a"] @ w[("a", "r1", "b")]))
+    np.testing.assert_allclose(
+        np.asarray(phg.unshard_node_data("b", out["b"])), ref_b,
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(phg.unshard_node_data("c", out["c"])), 0.0)
+
+
+def test_mesh_size_mismatch_raises():
+    hg = make_hg(seed=20, np_=30, na=20, ni=8, e=60)
+    part = hetero_partition_assignment(hg, 4, part_method="random")
+    phg = build_partitioned_hetero(hg, part, 4)
+    with pytest.raises(ValueError, match="mesh axis"):
+        make_sharded_rgcn_layer(phg, mesh8(2))
