@@ -258,8 +258,7 @@ def load_gin_raw(path, self_loop: bool = False,
         toks = f.read().split()
     it = iter(toks)
     num_graphs = int(next(it))
-    raw, tags_all, labels = [], [], []
-    max_tag = max_deg = 0
+    raw, labels = [], []
     for _ in range(num_graphs):
         n = int(next(it))
         labels.append(int(next(it)))
@@ -277,15 +276,20 @@ def load_gin_raw(path, self_loop: bool = False,
         if self_loop:
             g = add_self_loop(g)
         deg = np.asarray(g.in_degrees())
-        max_deg = max(max_deg, int(deg.max(initial=0)))
-        max_tag = max(max_tag, max(tags))
-        raw.append((g, np.asarray(tags), deg))
+        raw.append((g, np.asarray(tags, np.int64), deg))
+    # Reference gindt.py remaps raw tags/degrees to CONTIGUOUS indices
+    # (sparse tag sets otherwise inflate the one-hot dim with dead
+    # columns); empty-node graphs contribute nothing to the universe.
+    universe = np.unique(np.concatenate(
+        [(deg if degree_as_nlabel else tags)
+         for _, tags, deg in raw] + [np.zeros(0, np.int64)]))
+    dim = max(len(universe), 1)
     graphs = []
-    dim = (max_deg if degree_as_nlabel else max_tag) + 1
     for g, tags, deg in raw:
-        key = deg if degree_as_nlabel else tags
+        key = np.searchsorted(universe, deg if degree_as_nlabel else tags)
         onehot = np.zeros((g.num_nodes(), dim), np.float32)
-        onehot[np.arange(g.num_nodes()), key] = 1.0
+        if g.num_nodes():
+            onehot[np.arange(g.num_nodes()), key] = 1.0
         g.ndata["attr"] = jnp.asarray(onehot)
         g.ndata["label"] = jnp.asarray(key.astype(np.int64))
         graphs.append(g)

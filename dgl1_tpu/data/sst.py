@@ -76,6 +76,7 @@ def load_sst_raw(raw_dir, mode: str,
 
     raw_dir = Path(raw_dir)
     vocab_file = raw_dir / "vocab.txt"
+    frozen = vocab is not None and len(vocab) > 0
     if vocab is None:
         if vocab_file.exists():
             vocab = {}
@@ -84,6 +85,7 @@ def load_sst_raw(raw_dir, mode: str,
                     w = line.strip()
                     if w:
                         vocab[w] = len(vocab)
+            frozen = True  # the shipped vocab covers every split
         else:
             vocab = {}
     trees = []
@@ -103,6 +105,13 @@ def load_sst_raw(raw_dir, mode: str,
             for i, w in enumerate(words):
                 if w is not None:
                     if w not in vocab:
+                        if frozen:
+                            # OOV under a shared/shipped vocab folds to id
+                            # 0 (UNK) instead of growing past the train
+                            # vocab (embedding tables are sized from it).
+                            x[i] = 0
+                            mask[i] = 1.0
+                            continue
                         vocab[w] = len(vocab)
                     x[i] = vocab[w]
                     mask[i] = 1.0
@@ -130,6 +139,13 @@ class SSTDataset:
         rd = Path(raw_dir) if raw_dir else data_dir() / "sst"
         if (rd / f"{mode}.txt").exists():
             self.is_synthetic = False
+            if (vocab is None and mode != "train"
+                    and not (rd / "vocab.txt").exists()
+                    and (rd / "train.txt").exists()):
+                # Auto-share the train split's vocab: per-split
+                # first-appearance maps disagree across files, and test
+                # ids could exceed the train vocab size (ADVICE r3).
+                _, vocab = load_sst_raw(rd, "train")
             self.trees, self._vocab = load_sst_raw(rd, mode, vocab=vocab)
             self.vocab_size = len(self._vocab)
             return

@@ -497,8 +497,41 @@ class Graph:
             return mat.asformat(scipy_fmt)
         return jnp.asarray(mat.todense())
 
+    def incidence_matrix(self, typestr: str = "both", scipy_fmt=None):
+        """Node-edge incidence matrix (parity:
+        ``DGLGraph.incidence_matrix`` / ``python/dgl/heterograph.py``):
+        shape (N, E); ``'in'``: M[v, e] = 1 iff v is e's destination;
+        ``'out'``: M[u, e] = 1 iff u is e's source; ``'both'``:
+        M[u, e] = -1, M[v, e] = 1, and 0 for self-loops. ``scipy_fmt``
+        as in :meth:`adjacency_matrix`."""
+        from scipy import sparse as sp
+
+        e = self.num_real_edges()
+        src = np.asarray(self.src)[:e]
+        dst = np.asarray(self.dst)[:e]
+        eids = np.arange(e)
+        n = self.num_nodes()
+        if typestr == "in":
+            rows, cols, vals = dst, eids, np.ones(e, np.float32)
+        elif typestr == "out":
+            rows, cols, vals = src, eids, np.ones(e, np.float32)
+        elif typestr == "both":
+            non_loop = src != dst
+            rows = np.concatenate([src[non_loop], dst[non_loop]])
+            cols = np.concatenate([eids[non_loop], eids[non_loop]])
+            vals = np.concatenate([
+                -np.ones(int(non_loop.sum()), np.float32),
+                np.ones(int(non_loop.sum()), np.float32)])
+        else:
+            raise ValueError(f"unknown incidence typestr {typestr!r}")
+        mat = sp.coo_matrix((vals, (rows, cols)), shape=(n, e))
+        if scipy_fmt is not None:
+            return mat.asformat(scipy_fmt)
+        return jnp.asarray(mat.todense())
+
     # DGL aliases.
     adj = adjacency_matrix
+    inc = incidence_matrix
 
     # ------------------------------------------------------------------
     # Structure transforms that are pure pytree rewires (zero copy)

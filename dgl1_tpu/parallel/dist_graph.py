@@ -92,7 +92,7 @@ class DistGraph:
 
     def __init__(self, g, num_parts: int,
                  part: Optional[np.ndarray] = None,
-                 part_method: str = "greedy"):
+                 part_method: Optional[str] = None):
         from dgl1_tpu.heterograph import HeteroGraph
         from dgl1_tpu.parallel.partition import (
             greedy_partition_assignment,
@@ -107,10 +107,11 @@ class DistGraph:
                 hetero_partition_assignment)
 
             if part is None:
+                # None = per-facade default ('metis' for hetero, 'greedy'
+                # for homo); an EXPLICIT method is honored as given.
                 part = hetero_partition_assignment(
                     g, num_parts,
-                    part_method=("metis" if part_method == "greedy"
-                                 else part_method))
+                    part_method=part_method or "metis")
             self.g = g
             self.hetero = True
             self.part = part
@@ -133,8 +134,15 @@ class DistGraph:
         if part is None:
             if part_method == "random":
                 part = random_partition_assignment(g, num_parts)
-            else:
+            elif part_method == "metis":
+                from dgl1_tpu.parallel.partition import (
+                    metis_partition_assignment)
+
+                part = metis_partition_assignment(g, num_parts)
+            elif part_method in (None, "greedy"):
                 part = greedy_partition_assignment(g, num_parts)
+            else:
+                raise ValueError(f"unknown part_method {part_method!r}")
         self.g = g
         self.book = GraphPartitionBook(part, num_parts)
         self.part = np.asarray(part)
@@ -210,6 +218,7 @@ class DistGraph:
                      for nt in book["ntypes"]}
         obj.book = None
         obj._global_num_nodes = dict(book["num_nodes"])
+        obj._global_num_edges = dict(book["num_edges"])
         obj.ndata = {}
         for nt, frame in feats.items():
             for k, v in frame.items():
@@ -228,7 +237,26 @@ class DistGraph:
             return self.g.num_nodes(ntype)
         return self.g.num_nodes()
 
-    def num_edges(self) -> int:
+    def num_edges(self, etype=None) -> int:
+        """Global edge totals — same scope as :meth:`num_nodes` (a
+        per-host hetero view reports the GLOBAL counts persisted in the
+        partition book, not the local [owned|halo] graph's)."""
+        counts = getattr(self, "_global_num_edges", None)
+        if counts is not None:
+            if etype is None:
+                return sum(counts.values())
+            if isinstance(etype, tuple):
+                etype = "/".join(etype)
+            if etype in counts:
+                return counts[etype]
+            # Bare relation name: match the middle component.
+            hits = [v for k, v in counts.items()
+                    if k.split("/")[1] == etype]
+            if len(hits) != 1:
+                raise KeyError(f"etype {etype!r} is absent or ambiguous")
+            return hits[0]
+        if etype is not None and getattr(self, "hetero", False):
+            return self.g[etype].num_edges()
         return self.g.num_edges()
 
     def get_partition_book(self, ntype: Optional[str] = None):

@@ -814,7 +814,8 @@ def laplacian_lambda_max(g: Graph):
             (np.ones(len(src)), (src, dst)), shape=(n, n)
         )
         deg = np.asarray(adj.sum(axis=1)).ravel()
-        inv_sqrt = np.where(deg > 0, deg ** -0.5, 0.0)
+        with np.errstate(divide="ignore"):
+            inv_sqrt = np.where(deg > 0, deg ** -0.5, 0.0)
         dmat = sp.diags(inv_sqrt)
         lap = sp.eye(n) - dmat @ adj @ dmat
         if n <= 64:
@@ -947,7 +948,8 @@ def laplacian_pe(g: Graph, k: int, padding: bool = False):
     A = sp.coo_matrix((np.ones(len(src)), (dst, src)), shape=(n, n))
     A = ((A + A.T) > 0).astype(np.float64)  # undirected, simple
     deg = np.asarray(A.sum(1)).ravel()
-    dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    with np.errstate(divide="ignore"):  # isolated nodes: masked anyway
+        dinv = np.where(deg > 0, deg ** -0.5, 0.0)
     L = sp.eye(n) - sp.diags(dinv) @ A @ sp.diags(dinv)
     kk = min(k + 1, n)
     if n < 40 or kk >= n - 1:
@@ -1051,19 +1053,38 @@ def merge(graphs):
 
     for g in graphs:
         for k, v in g.ndata.items():
-            if k not in out.ndata and v.shape[0] == n:
+            if k in out.ndata:
+                continue
+            if v.shape[0] == n:
                 out.ndata[k] = v
+            else:
+                # Shorter node-data tensors (a smaller member graph) are
+                # zero-filled up to the merged node count instead of being
+                # silently dropped (the reference materializes every key).
+                v = jnp.asarray(v)
+                out.ndata[k] = jnp.concatenate(
+                    [v, jnp.zeros((n - v.shape[0],) + v.shape[1:],
+                                  v.dtype)], axis=0)
     keys = set()
     for g in graphs:
         keys |= set(g.edata.keys())
-    for k in keys:
-        if all(k in g.edata for g in graphs):
-            vals = [jnp.asarray(g.edata[k])[: g.num_edges()]
-                    for g in graphs]
-            cat = jnp.concatenate(vals, axis=0)
-            pad = out.num_edges_padded() - cat.shape[0]
-            if pad:
-                cat = jnp.concatenate(
-                    [cat, jnp.zeros((pad,) + cat.shape[1:], cat.dtype)])
-            out.edata[k] = cat
+    for k in sorted(keys):
+        # Graphs missing the key contribute zero rows for their edges
+        # (the reference zero-fills via the frame scheme rather than
+        # dropping the key).
+        ref = next(jnp.asarray(g.edata[k]) for g in graphs
+                   if k in g.edata)
+        vals = []
+        for g in graphs:
+            e = g.num_edges()
+            if k in g.edata:
+                vals.append(jnp.asarray(g.edata[k])[:e])
+            else:
+                vals.append(jnp.zeros((e,) + ref.shape[1:], ref.dtype))
+        cat = jnp.concatenate(vals, axis=0)
+        pad = out.num_edges_padded() - cat.shape[0]
+        if pad:
+            cat = jnp.concatenate(
+                [cat, jnp.zeros((pad,) + cat.shape[1:], cat.dtype)])
+        out.edata[k] = cat
     return out

@@ -47,7 +47,8 @@ def main():
     from dgl1_tpu.models import TreeLSTM
 
     train_set = SSTDataset("train")
-    test_set = SSTDataset("test")
+    # Share the train vocab: embedding tables are sized from it (ADVICE r3).
+    test_set = SSTDataset("test", vocab=train_set._vocab)
     print(f"[data] SST(synthetic): {len(train_set)} train / "
           f"{len(test_set)} test trees, vocab {train_set.vocab_size}")
 

@@ -270,3 +270,100 @@ def test_batch_unbatch_heterograph():
         np.asarray(parts[0].nodes["u"].data["h"]), 1.0)
     np.testing.assert_allclose(
         np.asarray(parts[1].nodes["u"].data["h"]), 2.0)
+
+
+def test_incidence_matrix():
+    # 0->1, 1->2, 2->2 (self-loop)
+    g = dgl.graph((np.array([0, 1, 2]), np.array([1, 2, 2])), num_nodes=3)
+    m_in = np.asarray(g.incidence_matrix("in"))
+    np.testing.assert_allclose(
+        m_in, [[0, 0, 0], [1, 0, 0], [0, 1, 1]])
+    m_out = np.asarray(g.incidence_matrix("out"))
+    np.testing.assert_allclose(
+        m_out, [[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    m_both = np.asarray(g.incidence_matrix("both"))
+    # Self-loop column is all zero; non-loops: -1 at src, +1 at dst.
+    np.testing.assert_allclose(
+        m_both, [[-1, 0, 0], [1, -1, 0], [0, 1, 0]])
+    sp_m = g.incidence_matrix("in", scipy_fmt="csr")
+    assert sp_m.shape == (3, 3) and sp_m.nnz == 3
+    assert np.asarray(g.inc("out")).shape == (3, 3)
+
+
+def test_merge_zero_fills_missing_data():
+    g1 = dgl.graph((np.array([0]), np.array([1])), num_nodes=2)
+    g2 = dgl.graph((np.array([1]), np.array([0])), num_nodes=3)
+    g1.edata["w"] = jnp.asarray([[1.0, 2.0]])
+    g2.edata["v"] = jnp.asarray([7.0])
+    g1.ndata["h"] = jnp.ones((2, 4))  # short: zero-filled to 3 rows
+    merged = dgl.merge([g1, g2])
+    e = merged.num_edges()
+    assert e == 2
+    # g2 lacks 'w' -> zero rows for its edges (not a dropped key).
+    np.testing.assert_allclose(
+        np.asarray(merged.edata["w"])[:e], [[1.0, 2.0], [0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(merged.edata["v"])[:e],
+                               [0.0, 7.0])
+    np.testing.assert_allclose(np.asarray(merged.ndata["h"]),
+                               [[1] * 4, [1] * 4, [0] * 4])
+
+
+def test_gin_raw_sparse_tag_remap(tmp_path):
+    from dgl1_tpu.data.ppi_tu import load_gin_raw
+
+    # Tags {0, 7, 9}: contiguous remap -> dim 3, not 10.
+    txt = "2\n3 0\n0 1 1\n7 1 2\n9 1 0\n2 1\n7 1 1\n7 1 0\n"
+    p = tmp_path / "TOY.txt"
+    p.write_text(txt)
+    graphs, labels, dim = load_gin_raw(p, degree_as_nlabel=False)
+    assert dim == 3
+    np.testing.assert_array_equal(np.asarray(graphs[0].ndata["label"]),
+                                  [0, 1, 2])
+    np.testing.assert_array_equal(np.asarray(graphs[1].ndata["label"]),
+                                  [1, 1])
+    attr = np.asarray(graphs[0].ndata["attr"])
+    assert attr.shape == (3, 3)
+    np.testing.assert_allclose(attr.sum(1), 1.0)
+
+
+def test_sst_vocab_shared_across_splits(tmp_path):
+    from dgl1_tpu.data.sst import SSTDataset
+
+    (tmp_path / "train.txt").write_text(
+        "(3 (2 alpha) (4 beta))\n(1 (2 gamma) (0 alpha))\n")
+    # 'delta' is OOV under the shared train vocab -> folds to id 0.
+    (tmp_path / "test.txt").write_text("(4 (3 beta) (2 delta))\n")
+    tr = SSTDataset("train", raw_dir=tmp_path)
+    te = SSTDataset("test", raw_dir=tmp_path)
+    assert not tr.is_synthetic and not te.is_synthetic
+    assert te.vocab_size == tr.vocab_size == 3
+    xs = np.asarray(te.trees[0].ndata["x"])
+    mask = np.asarray(te.trees[0].ndata["mask"])
+    leaf_ids = xs[mask > 0]
+    assert set(leaf_ids.tolist()) <= set(range(tr.vocab_size))
+    assert tr.vocab["beta"] in leaf_ids  # shared id, not per-split
+    # Explicit vocab threading matches the auto-shared path.
+    te2 = SSTDataset("test", raw_dir=tmp_path, vocab=tr._vocab)
+    np.testing.assert_array_equal(
+        np.asarray(te2.trees[0].ndata["x"]), xs)
+
+
+def test_dist_graph_part_method_and_global_num_edges(tmp_path):
+    from dgl1_tpu.parallel import DistGraph
+    from dgl1_tpu.parallel.hetero import partition_hetero_graph
+
+    hg = dgl.heterograph({
+        ("u", "r", "v"): (np.arange(8) % 4, (np.arange(8) * 3) % 6),
+        ("v", "s", "u"): (np.arange(6) % 6, np.arange(6) % 4),
+    }, num_nodes_dict={"u": 4, "v": 6})
+    partition_hetero_graph(hg, "toy", 2, str(tmp_path))
+    view = DistGraph.from_hetero_partition(str(tmp_path), "toy", 0)
+    # Global scope for BOTH facade counters (ADVICE r3).
+    assert view.num_nodes() == 10
+    assert view.num_edges() == 14
+    assert view.num_edges("r") == 8
+    assert view.num_edges(("v", "s", "u")) == 6
+
+    # Explicit 'greedy' on a heterograph is honored (sentinel default).
+    d1 = DistGraph(hg, 2, part_method="greedy")
+    assert set(d1.part.keys()) == {"u", "v"}
