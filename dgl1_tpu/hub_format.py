@@ -117,6 +117,105 @@ def _chunk_descriptors(n_chunks_per_run: np.ndarray, run_starts: np.ndarray,
     return chunk_out, chunk_in, first
 
 
+def _inflate_ell(meta, arrays, forced_meta):
+    """Pad an ELL layout to a FORCED bucket structure (cross-part static
+    geometry for the sharded hub path): for each forced bucket (k, N_k),
+    the part's natural rows at rung k come first, then empty rows
+    (idx = SENT -> OOB fill-0 gathers). ``inv_perm`` is remapped to the
+    inflated row positions; rows past the natural stack (zero-degree
+    sentinel) map to the inflated total."""
+    forced_meta = tuple(forced_meta)
+    if tuple(meta) == forced_meta:
+        return tuple(meta), arrays
+    nat = {int(k): int(n) for k, n in meta}
+    # Validate containment: every natural bucket must appear in forced
+    # with at least its row count.
+    forced = {int(k): int(n) for k, n in forced_meta}
+    for k, n in nat.items():
+        if forced.get(k, 0) < n:
+            raise ValueError(
+                f"forced ELL meta {forced_meta} cannot hold natural "
+                f"bucket ({k}, {n})")
+    old_total = sum(n for _, n in meta)
+    new_total = sum(n for _, n in forced_meta)
+    idx_parts, eid_parts = [], []
+    # Position remap: old stacked row -> new stacked row; per-bucket flat
+    # slot offsets (buckets have different widths, so flat offsets are
+    # cumulative n_l * k_l, not row_start * k).
+    pos_map = np.full((old_total + 1,), new_total, dtype=np.int64)
+    old_row_start, old_flat_start = {}, {}
+    rs = fs = 0
+    for k, n in meta:
+        old_row_start[int(k)] = rs
+        old_flat_start[int(k)] = fs
+        rs += n
+        fs += n * int(k)
+    new_s = 0
+    for k, n_forced in forced_meta:
+        k = int(k)
+        n_nat = nat.get(k, 0)
+        if n_nat:
+            ofs = old_flat_start[k]
+            ors = old_row_start[k]
+            idx_parts.append(arrays["idx"][ofs: ofs + n_nat * k])
+            eid_parts.append(arrays["eid"][ofs: ofs + n_nat * k])
+            pos_map[ors: ors + n_nat] = new_s + np.arange(n_nat)
+        pad_rows = n_forced - n_nat
+        if pad_rows:
+            idx_parts.append(np.full((pad_rows * k,), SENT, ID_DTYPE))
+            eid_parts.append(np.zeros((pad_rows * k,), ID_DTYPE))
+        new_s += n_forced
+    inv = arrays["inv_perm"].astype(np.int64)
+    inv = np.minimum(inv, old_total)
+    new_inv = pos_map[inv].astype(ID_DTYPE)
+    out = dict(arrays)
+    out["idx"] = (np.concatenate(idx_parts) if idx_parts
+                  else np.zeros((0,), ID_DTYPE))
+    out["eid"] = (np.concatenate(eid_parts) if eid_parts
+                  else np.zeros((0,), ID_DTYPE))
+    out["inv_perm"] = new_inv
+    return forced_meta, out
+
+
+def union_ell_meta(metas):
+    """Smallest common forced bucket structure: per rung k, the max row
+    count any part uses at exactly k (rows only ever pad wider, never
+    move rungs, so containment holds per part)."""
+    ks = sorted({int(k) for m in metas for k, _ in m})
+    return tuple(
+        (k, max((int(n) for m in metas for kk, n in m if int(kk) == k),
+                default=0))
+        for k in ks)
+
+
+def _pad_chunk_layout(lay, target: int, bwd: bool):
+    """Pad a chunk layout to ``target`` chunks with no-op chunks (empty
+    slots -> zero one-hots; first=0, out_id=0 -> accumulate zero into
+    block 0). Output blocks no real chunk initializes hold garbage; the
+    consumers never reference them (win_mask on the backward, per-part
+    descriptors/t_inv on the forward)."""
+    n = lay["in_id"].shape[0]
+    if n > target:
+        raise ValueError(f"chunk count {n} exceeds forced target {target}")
+    if n == target:
+        return lay
+    pad = target - n
+    out = dict(lay)
+    for k, fill in (("a", -1), ("b", -1), ("eid", 0)):
+        out[k] = np.concatenate(
+            [lay[k], np.full((pad * CHUNK,), fill, ID_DTYPE)])
+    for k in ("in_id", "out_id", "first"):
+        out[k] = np.concatenate([lay[k], np.zeros((pad,), ID_DTYPE)])
+    if bwd and "gperm" in lay:
+        out["gperm"] = np.concatenate(
+            [lay["gperm"], np.arange(n, target, dtype=ID_DTYPE)])
+        out["gout"] = np.concatenate(
+            [lay["gout"], np.zeros((pad,), ID_DTYPE)])
+        out["gfirst"] = np.concatenate(
+            [lay["gfirst"], np.zeros((pad,), ID_DTYPE)])
+    return out
+
+
 def _chunk_layouts(h_src, h_slot, h_eid, n_win: int, group_offset: int):
     """Build fwd (group-major) and bwd (window-major) chunk layouts for
     one edge subset. Output group ids are shifted by ``group_offset`` so
@@ -172,13 +271,32 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
                      num_src: int, num_dst: int, num_edges: int,
                      num_padded: int, build_ell,
                      min_group_edges: Optional[int] = None,
-                     dense_floor: Optional[int] = None):
+                     dense_floor: Optional[int] = None,
+                     force: Optional[dict] = None,
+                     allow_empty: bool = False,
+                     gb_always: bool = False):
     """Build the three-tier hub layout. Returns (HubMeta, arrays) or
     (None, None) when no hub group clears the density bar (the engine
     then declines and dispatch falls through to ELL).
 
     ``build_ell`` is ``graph._build_ell`` (injected to avoid a circular
     import); it is reused for the tail in both reduce directions.
+
+    ``force`` pins the layout's STATIC geometry to cross-part union
+    values so per-partition layouts stack on a leading mesh axis and
+    trace to ONE shard_map program (the sharded hub path,
+    ``parallel/hub_shard.py``): keys ``n_groups``/``n_dense`` (this
+    part's own groups keep slots [0, own_nd*BLK) for the dense tier and
+    shift to [n_dense*BLK, ...) for the chunked tier — a gap of empty
+    SENT slots absorbs the difference), ``tail_meta_dst``/
+    ``tail_meta_src`` (ELL buckets inflated via :func:`_inflate_ell`),
+    ``n_full_f``/``n_full_b``/``n_part_f``/``n_part_b`` (chunk-count
+    padding), ``t_pad``, ``x_desc_len``, ``gb_desc_len``,
+    ``dense_dtype``, ``has_diag``, ``covered``. ``allow_empty`` builds
+    an all-tail layout instead of returning None (parts of a sharded
+    graph whose local degree distribution has no hub). ``gb_always``
+    computes the fused-backward descriptors even without a dense tier
+    (geometry measurement pass).
     """
     deg = np.diff(csc_indptr[: num_dst + 1]).astype(np.int64)
     n_win = -(-num_src // BLK)
@@ -204,19 +322,37 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
             break
         group_edge_counts.append(group_edges)
         n_groups += 1
-    if n_groups == 0:
+    if n_groups == 0 and not (allow_empty or force is not None):
         return None, None
     n_dense = 0
     while (n_dense < min(n_groups, MAX_DENSE_GROUPS)
            and group_edge_counts[n_dense] >= dense_floor):
         n_dense += 1
 
-    k_slots = n_groups * BLK
-    hub_rows = order_by_deg[:k_slots]
+    # Effective (static) group geometry: this part's own counts, or the
+    # forced cross-part union. Own dense groups keep slots
+    # [0, own_nd*BLK); own chunked groups shift up to start at ND*BLK —
+    # the gap in between is empty SENT slots (no rows, no edges).
+    own_nd, own_ng = n_dense, n_groups
+    if force is not None:
+        NG, ND = int(force["n_groups"]), int(force["n_dense"])
+        if own_nd > ND or own_ng - own_nd > NG - ND:
+            raise ValueError("forced group geometry smaller than natural")
+    else:
+        NG, ND = own_ng, own_nd
+    n_groups, n_dense = NG, ND
+
+    k_slots = NG * BLK
+    rows_all = order_by_deg[: own_ng * BLK]
+    rows_d = rows_all[: own_nd * BLK]
+    rows_c = rows_all[own_nd * BLK:]
     hub_ids = np.full((k_slots,), SENT, dtype=ID_DTYPE)
-    hub_ids[: hub_rows.size] = hub_rows
+    hub_ids[: rows_d.size] = rows_d
+    hub_ids[ND * BLK: ND * BLK + rows_c.size] = rows_c
     slot_of_row = np.full((num_dst,), SENT, dtype=ID_DTYPE)
-    slot_of_row[hub_rows] = np.arange(hub_rows.size, dtype=ID_DTYPE)
+    slot_of_row[rows_d] = np.arange(rows_d.size, dtype=ID_DTYPE)
+    slot_of_row[rows_c] = ND * BLK + np.arange(rows_c.size,
+                                               dtype=ID_DTYPE)
 
     # ------------------------------------------------------------------
     # Split edges: hub set (dense/chunked) vs tail (ELL). csc arrays are
@@ -242,6 +378,11 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         h_src[in_part], h_slot[in_part], h_eid[in_part], n_win,
         group_offset=n_dense,
     )
+    if force is not None:
+        full_fwd = _pad_chunk_layout(full_fwd, force["n_full_f"], False)
+        full_bwd = _pad_chunk_layout(full_bwd, force["n_full_b"], True)
+        part_fwd = _pad_chunk_layout(part_fwd, force["n_part_f"], False)
+        part_bwd = _pad_chunk_layout(part_bwd, force["n_part_b"], True)
 
     # Dense tier count matrix: C[s, k] = multiplicity of edge s -> hub_k.
     # Rows padded to DENSE_RB so the Pallas reduce kernel streams whole
@@ -260,15 +401,20 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         # (exact for multiplicities <= 127; the kernel casts per block
         # in VMEM and accumulates in f32 — verified on v5e 2026-08-21).
         # bf16 covers the 128..256 range; f32 beyond.
-        cmax = dense_c.max(initial=0.0)
-        if cmax <= 127:
-            dense_c = dense_c.astype(np.int8)
-        elif cmax <= 256:
-            import ml_dtypes
+        if force is not None and "dense_dtype" in force:
+            dense_c = dense_c.astype(force["dense_dtype"])
+        else:
+            cmax = dense_c.max(initial=0.0)
+            if cmax <= 127:
+                dense_c = dense_c.astype(np.int8)
+            elif cmax <= 256:
+                import ml_dtypes
 
-            dense_c = dense_c.astype(ml_dtypes.bfloat16)
+                dense_c = dense_c.astype(ml_dtypes.bfloat16)
     else:
-        dense_c = np.zeros((n_src_pad, 0), dtype=np.float32)
+        dt0 = (force.get("dense_dtype", np.float32)
+               if force is not None else np.float32)
+        dense_c = np.zeros((n_src_pad, 0), dtype=dt0)
 
     # Edge-id -> full-layout fwd slot (for grad_e extraction).
     edge_to_fslot = np.full((num_padded,), SENT, dtype=ID_DTYPE)
@@ -305,6 +451,11 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
             r_indptr, t_dst[r_order], t_eid[r_order], num_src, n_tail,
             min_slots=tail_min_slots,
         )
+        if force is not None:
+            tail_meta_dst, tail_dst_ell = _inflate_ell(
+                tail_meta_dst, tail_dst_ell, force["tail_meta_dst"])
+            tail_meta_src, tail_src_ell = _inflate_ell(
+                tail_meta_src, tail_src_ell, force["tail_meta_src"])
 
         # Merge permutation: non-hub rows read the tail ELL stack; hub
         # rows read the dense/chunked result appended right after it;
@@ -320,6 +471,10 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
 
         # Compact tail edge endpoints (for grad_e without full-E gathers).
         t_pad = max(-(-max(n_tail, 1) // CHUNK) * CHUNK, CHUNK)
+        if force is not None:
+            if force["t_pad"] < t_pad:
+                raise ValueError("forced t_pad smaller than natural")
+            t_pad = force["t_pad"]
         tail_src_c = np.full((t_pad,), SENT, dtype=ID_DTYPE)
         tail_dst_c = np.full((t_pad,), SENT, dtype=ID_DTYPE)
         tail_src_c[:n_tail] = t_src
@@ -409,6 +564,11 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     else:  # packing would overflow; engine falls back to jnp.take
         x_desc = np.zeros((0,), dtype=ID_DTYPE)
         x_starts_p = np.zeros((0,), dtype=ID_DTYPE)
+    if force is not None and n_merge_rows < EXPAND_PACK:
+        if force["x_desc_len"] < len(x_desc):
+            raise ValueError("forced x_desc_len smaller than natural")
+        # Entries past the final x_starts value are never read.
+        x_desc = np.pad(x_desc, (0, force["x_desc_len"] - len(x_desc)))
 
     # ------------------------------------------------------------------
     # Fused-backward descriptors (src direction): grad_u's dense-tier
@@ -421,7 +581,7 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     # start offsets. Only valid when the stack index fits the packing.
     # ------------------------------------------------------------------
     n_src_rows_tail = int(sum(n for _, n in tail_meta_src))
-    if 0 < n_src_rows_tail < EXPAND_PACK and kd:
+    if 0 < n_src_rows_tail < EXPAND_PACK and (kd or gb_always):
         rv = full_tail["r_inv"].astype(np.int64)[:num_src]
         gvalid = np.flatnonzero(rv < n_src_rows_tail)
         gm = rv[gvalid]
@@ -435,7 +595,13 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
     else:
         gb_desc = np.zeros((0,), dtype=ID_DTYPE)
         gb_starts = np.zeros((0,), dtype=ID_DTYPE)
+    if force is not None and len(gb_starts):
+        if force["gb_desc_len"] < len(gb_desc):
+            raise ValueError("forced gb_desc_len smaller than natural")
+        gb_desc = np.pad(gb_desc, (0, force["gb_desc_len"] - len(gb_desc)))
 
+    if force is not None:
+        has_diag = bool(force.get("has_diag", has_diag))
     meta = HubMeta(
         n_full_f=len(full_fwd["in_id"]),
         n_full_b=len(full_bwd["in_id"]),
@@ -447,7 +613,8 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         tail_meta_dst=tuple(tail_meta_dst),
         tail_meta_src=tuple(tail_meta_src),
         n_tail_rows=n_tail_rows,
-        covered=int(is_hub.sum()),
+        covered=int(force["covered"]) if force is not None
+        else int(is_hub.sum()),
         has_diag=has_diag,
     )
     arrays = {

@@ -564,7 +564,11 @@ def _hub_forward(static, hub, u, e):
     # expand when `merged` fits in VMEM (sequential HBM writes), else the
     # XLA gather.
     m_pad = _round_up(merged.shape[0], 32)
-    if (hub["x_desc"].shape[0] > 0
+    # Meta-derived gate (not array emptiness): the sharded build pads
+    # zero-size descriptor arrays so they stack/shard, which must not
+    # flip this decision (parallel/hub_shard.py).
+    if (m.n_tail_rows + m.n_groups * BLK < EXPAND_PACK
+            and hub["x_desc"].shape[0] > 0
             and m_pad * BLK * merged.dtype.itemsize <= _EXPAND_VMEM_BYTES):
         merged2 = _pad_2d(merged.reshape(merged.shape[0], ff), m_pad, f_pad)
         out2 = _expand_call(merged2, hub["x_starts"], hub["x_desc"],
@@ -610,6 +614,7 @@ def _bwd(static, res, ct):
         m_tail_pad = _round_up(max(n_src_rows, 1), 32)
         gb_desc = hub.get("gb_desc")
         fused = (op == "copy_lhs" and m.n_dense > 0
+                 and 0 < n_src_rows < EXPAND_PACK
                  and gb_desc is not None and gb_desc.shape[0] > 0
                  and m_tail_pad * BLK * 4 <= _EXPAND_VMEM_BYTES)
 

@@ -57,10 +57,10 @@ def _pad_tiles(tiles_list, num_target):
 
 _PG_ARRAY_FIELDS = (
     "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids",
-    "tiles_fwd", "tiles_rev", "recv_pos", "slot_node", "bdense",
+    "tiles_fwd", "tiles_rev", "recv_pos", "slot_node", "bdense", "hub",
 )
 _PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes",
-                     "m_part")
+                     "m_part", "hub_meta")
 
 
 class PartitionedGraph:
@@ -86,7 +86,8 @@ class PartitionedGraph:
     def __init__(self, *, edst, esrc, send_idx, in_deg, out_deg, node_mask,
                  orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes,
                  tiles_fwd=None, tiles_rev=None, recv_pos=None,
-                 slot_node=None, m_part=0, bdense=None):
+                 slot_node=None, m_part=0, bdense=None, hub=None,
+                 hub_meta=None):
         self.edst = edst
         self.esrc = esrc
         self.send_idx = send_idx
@@ -106,6 +107,12 @@ class PartitionedGraph:
         # the dense tier of the local SpMM; tiles_fwd/rev then cover only
         # the leftover (tail) edges.
         self.bdense = bdense
+        # Per-part hub-dense layouts (cross-part unified geometry, see
+        # parallel/hub_shard.py): the flagship MXU SpMM engine inside
+        # the sharded local reduce. hub_meta is the shared static
+        # HubMeta (pytree aux).
+        self.hub = hub
+        self.hub_meta = hub_meta
         # Vertex-cut (split-destination) extras — None/0 in pure halo
         # mode. recv_pos (P, n_loc, P): receive-buffer position of the
         # partial each sender holds for an owned node (sentinel = OOB);
@@ -206,6 +213,8 @@ def build_partitioned_graph(
     edge_owner: Optional[np.ndarray] = None,
     tiles: bool = True,
     bdense: bool = False,
+    hub=False,
+    hub_dense_floor: Optional[int] = None,
 ) -> PartitionedGraph:
     """Build the device-resident partitioned structure from an assignment.
 
@@ -280,6 +289,7 @@ def build_partitioned_graph(
 
     tiles_fwd_list, tiles_rev_list = [], []
     bdense_list = []
+    hub_edges_list = []
     if bdense and not tiles:
         raise ValueError("bdense=True requires tiles=True (the tail path)")
 
@@ -351,6 +361,8 @@ def build_partitioned_graph(
         order = np.argsort(ldst, kind="stable")
         edst[p, : len(eids)] = ldst[order]
         esrc[p, : len(eids)] = esrc_p[order]
+        if hub:
+            hub_edges_list.append((esrc_p.copy(), ldst.copy()))
 
         t_src, t_dst = esrc_p, ldst
         if bdense:
@@ -421,7 +433,18 @@ def build_partitioned_graph(
         bdense_stacked = {k: jnp.asarray(np.stack(v))
                           for k, v in out.items()}
 
+    hub_meta = hub_stacked = None
+    if hub:
+        from dgl1_tpu.parallel.hub_shard import build_partitioned_hub
+
+        hub_meta, hub_stacked = build_partitioned_hub(
+            hub_edges_list, n_comb, n_out, e_loc,
+            min_group_edges=(None if hub is True else int(hub)),
+            dense_floor=hub_dense_floor)
+
     return PartitionedGraph(
+        hub=hub_stacked,
+        hub_meta=hub_meta,
         bdense=bdense_stacked,
         tiles_fwd=tiles_fwd,
         tiles_rev=tiles_rev,

@@ -1,0 +1,166 @@
+"""Per-partition hub-dense layouts with cross-part unified geometry.
+
+The flagship single-chip SpMM engine (``ops/engine_hub.py``: dense
+count-matrix MXU tier + chunked one-hot MXU tier + ELL tail, 2.2-4.2G
+edges/s on power-law graphs) historically did not run inside the
+partitioned/sharded path — ``parallel/sharded_ops.py`` reduced local
+edges with Pallas tiles, which sit near the ~215M rows/s gather wall.
+This module closes that gap (round-4 VERDICT #1): each partition's local
+edge set (source space = [owned | halo slots], destination space =
+[owned | partial slots]) is just a bipartite graph, so the existing hub
+planner applies per part; the only new problem is SPMD — ``shard_map``
+traces ONE program for every device, so the layouts' *static* geometry
+(group counts, chunk counts, ELL bucket metas, descriptor lengths) must
+be identical across parts. A two-pass build handles that: pass 1 builds
+each part naturally and measures its geometry; the union of those
+geometries is forced back into pass 2 (``hub_format.build_hub_format``'s
+``force`` parameter), which pads every part to the shared shape with
+no-op chunks, SENT slots and empty ELL rows.
+
+Reference anchor: ``src/array/cuda/spmm.cu`` is the reference's hot SpMM
+in BOTH single- and multi-GPU modes (SURVEY §2.1 g-SpMM row, §2.3
+graph-partition row); here the same single-chip engine serves both.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgl1_tpu import hub_format as hf
+
+__all__ = ["build_partitioned_hub"]
+
+_DT_RANK = {"int8": 0, "bfloat16": 1, "float32": 2}
+
+
+def _widest_dtype(dtypes):
+    best = "int8"
+    for dt in dtypes:
+        name = np.dtype(dt).name
+        if _DT_RANK.get(name, 2) > _DT_RANK[best]:
+            best = name
+    import ml_dtypes
+
+    return {"int8": np.int8, "bfloat16": ml_dtypes.bfloat16,
+            "float32": np.float32}[best]
+
+
+def _stack_tree(dicts: List[dict]):
+    """Stack a list of structurally identical (possibly nested) dicts of
+    numpy arrays into one dict of jnp arrays with a leading P axis.
+
+    Zero-size leaves (e.g. empty tail/descriptor arrays when every local
+    edge is hub-covered) are padded to a minimal nonzero size first:
+    XLA refuses to lay a 0-sized residual out as P('p')-sharded, which
+    trips shard_map's output-spec match in the backward pass. The engine
+    never keys behavior on these paddings — its expand/fused gates are
+    meta-derived (``engine_hub``)."""
+    out = {}
+    for k in dicts[0]:
+        vals = [d[k] for d in dicts]
+        if isinstance(vals[0], dict):
+            out[k] = _stack_tree(vals)
+            continue
+        shapes = {v.shape for v in vals}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"hub layout field {k!r} has non-uniform shapes "
+                f"{shapes} across parts (geometry unification bug)")
+        if vals[0].size == 0:
+            shp = vals[0].shape
+            new_shp = tuple(max(s, hf.CHUNK if vals[0].ndim == 1 else 8)
+                            for s in shp)
+            vals = [np.zeros(new_shp, v.dtype) for v in vals]
+        out[k] = jnp.asarray(np.stack(vals))
+    return out
+
+
+def build_partitioned_hub(
+    edges_per_part: List[Tuple[np.ndarray, np.ndarray]],
+    num_src: int,
+    num_dst: int,
+    num_padded: int,
+    min_group_edges: Optional[int] = None,
+    dense_floor: Optional[int] = None,
+) -> Tuple[Optional[hf.HubMeta], Optional[dict]]:
+    """Build per-part hub layouts sharing ONE static geometry.
+
+    ``edges_per_part``: per part, (esrc, ldst) int arrays of the REAL
+    local edges — esrc in the combined [owned | halo] source space
+    (``num_src`` ids), ldst in the output [owned | partial] space
+    (``num_dst`` ids). ``num_padded``: the static per-part edge-slot
+    count (``e_loc``) the edge-indexed descriptor arrays are sized to.
+
+    Returns (meta, stacked) where ``stacked`` holds every layout array
+    with a leading P axis, ready to shard over the mesh, or (None, None)
+    when no part's local degree distribution clears the hub bar (the
+    caller falls back to tiles/bdense).
+    """
+    from dgl1_tpu.graph import _build_ell
+
+    csc = []
+    naturals = []
+    for esrc, ldst in edges_per_part:
+        esrc = np.asarray(esrc, np.int64)
+        ldst = np.asarray(ldst, np.int64)
+        order = np.argsort(ldst, kind="stable")
+        s, d = esrc[order], ldst[order]
+        eid = order.astype(np.int64)
+        cnt = (np.bincount(d, minlength=num_dst) if len(d)
+               else np.zeros((num_dst,), np.int64))
+        indptr = np.zeros((num_dst + 1,), np.int64)
+        np.cumsum(cnt, out=indptr[1:])
+        csc.append((indptr, s, eid, d))
+        m, a = hf.build_hub_format(
+            indptr, s, eid, d, num_src, num_dst, len(s), num_padded,
+            _build_ell, min_group_edges=min_group_edges,
+            dense_floor=dense_floor, allow_empty=True, gb_always=True)
+        naturals.append((m, a))
+
+    if all(m.n_groups == 0 for m, _ in naturals):
+        return None, None
+
+    # Group geometry: dense groups occupy slots [0, ND*BLK), chunked
+    # groups [ND*BLK, NG*BLK) — so NG must hold the widest CHUNKED span
+    # on top of the widest dense span (a part with 1 chunked + 0 dense
+    # groups and a part with 0 chunked + 1 dense need NG=2, ND=1).
+    nd = max(m.n_dense for m, _ in naturals)
+    nc = max(m.n_groups - m.n_dense for m, _ in naturals)
+    force = {
+        "n_groups": nd + nc,
+        "n_dense": nd,
+        "n_full_f": max(m.n_full_f for m, _ in naturals),
+        "n_full_b": max(m.n_full_b for m, _ in naturals),
+        "n_part_f": max(m.n_part_f for m, _ in naturals),
+        "n_part_b": max(m.n_part_b for m, _ in naturals),
+        "tail_meta_dst": hf.union_ell_meta(
+            [m.tail_meta_dst for m, _ in naturals]),
+        "tail_meta_src": hf.union_ell_meta(
+            [m.tail_meta_src for m, _ in naturals]),
+        "t_pad": max(a["tail_src"].shape[0] for _, a in naturals),
+        "x_desc_len": max(a["x_desc"].shape[0] for _, a in naturals),
+        "gb_desc_len": max(a["gb_desc"].shape[0] for _, a in naturals),
+        "dense_dtype": _widest_dtype(
+            [a["dense_c"].dtype for m, a in naturals if m.n_dense > 0]
+            or [np.int8]),
+        "has_diag": any(m.has_diag for m, _ in naturals),
+        "covered": sum(m.covered for m, _ in naturals),
+    }
+
+    metas, arrays = [], []
+    for (indptr, s, eid, d), _ in zip(csc, naturals):
+        m, a = hf.build_hub_format(
+            indptr, s, eid, d, num_src, num_dst, len(s), num_padded,
+            _build_ell, min_group_edges=min_group_edges,
+            dense_floor=dense_floor, force=force)
+        metas.append(m)
+        arrays.append(a)
+    if any(m != metas[0] for m in metas[1:]):
+        raise AssertionError(
+            "forced hub metas diverged across parts: "
+            + "; ".join(repr(m) for m in metas))
+    return metas[0], _stack_tree(arrays)

@@ -194,6 +194,42 @@ def make_local_spmm_bdense(n_loc: int, n_comb: int):
     return fn
 
 
+def _hub_local_spmm(pg: PartitionedGraph, combined: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Local reduce through the flagship hub-dense engine (per-device
+    view): the SAME custom-vjp op as the single-chip path — forward
+    reduces the combined [owned | halo] table into the [owned | partial]
+    output rows, backward reduces the cotangent into the combined space
+    (the all_to_all transpose then returns halo cotangents to owners).
+    Per-part layouts share one static geometry (parallel/hub_shard.py),
+    so shard_map traces a single program."""
+    from dgl1_tpu.ops.engine_hub import _Static, _gspmm_hub_sum
+    from dgl1_tpu.ops.precision import get_matmul_precision
+
+    n_out = pg.n_loc + pg.num_parts * pg.m_part
+    n_comb = pg.n_loc + pg.num_parts * pg.m_halo
+    out_feat = tuple(combined.shape[1:])
+    static = _Static(
+        op="copy_lhs",
+        num_src=n_comb,
+        num_dst=n_out,
+        has_e=False,
+        he=1,
+        rep=int(np.prod(out_feat)) if out_feat else 1,
+        u_feat=out_feat,
+        e_feat=(),
+        out_feat=out_feat,
+        meta=pg.hub_meta,
+        prec=get_matmul_precision(),
+    )
+    hub_local = jax.tree.map(lambda v: v[0], pg.hub)
+    # Derive the (unused) e placeholder from a sharded input: a fresh
+    # jnp.zeros constant would land in the custom-vjp residuals with
+    # replicated sharding and fail shard_map's output-spec match.
+    e_dummy = combined[:1, :1] * 0.0
+    return _gspmm_hub_sum(static, hub_local, combined, e_dummy)
+
+
 def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
     """Per-device segment-sum over this device's edges.
 
@@ -205,6 +241,8 @@ def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
     n_out, dropped by scatter OOB semantics).
     """
     n_out = pg.n_loc + pg.num_parts * pg.m_part
+    if pg.hub is not None:
+        return _hub_local_spmm(pg, combined)
     if pg.bdense is not None:
         n_comb = pg.n_loc + pg.num_parts * pg.m_halo
         fn = make_local_spmm_bdense(n_out, n_comb)

@@ -506,3 +506,93 @@ def test_node_edge_split():
     owner = np.array([0, 1, 0, 1, 1])
     es = edge_split(np.arange(5), owner=owner, rank=1)
     np.testing.assert_array_equal(es, [1, 3, 4])
+
+
+def _powerlawish(n, e, seed=0):
+    """Hub-heavy random graph: Zipf-ish dst concentration."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=e)
+    # ~60% of edges into the top few destinations, rest uniform.
+    hub_e = int(0.6 * e)
+    hubs = rng.integers(0, max(n // 50, 1), size=hub_e)
+    rest = rng.integers(0, n, size=e - hub_e)
+    dst = np.concatenate([hubs, rest])
+    return dgl.graph((src, dst), num_nodes=n)
+
+
+@pytest.mark.parametrize("mode", ["halo", "vcut"])
+def test_sharded_hub_matvec_matches(mode):
+    """The flagship hub engine inside the partitioned local SpMM
+    (round-4 VERDICT #1): values AND grads must match the single-device
+    oracle, in both destination-owner (halo) and split-destination
+    (vertex-cut) edge placement."""
+    from dgl1_tpu.parallel.halo import vertex_cut_edge_owner
+
+    g = _powerlawish(96, 2200, seed=7)
+    part = random_partition_assignment(g, NUM_DEVICES, seed=0)
+    kw = dict(hub=32, hub_dense_floor=64)
+    if mode == "vcut":
+        kw["edge_owner"] = vertex_cut_edge_owner(
+            g, part, NUM_DEVICES, threshold=40)
+    pg = build_partitioned_graph(g, part, NUM_DEVICES, **kw)
+    assert pg.hub is not None and pg.hub_meta is not None
+    assert pg.hub_meta.n_groups >= 1
+    feat = jnp.asarray(
+        np.random.default_rng(1).normal(size=(96, 16)).astype(np.float32))
+
+    deg_out = np.maximum(np.asarray(g.out_degrees()), 1) ** -0.5
+    deg_in = np.maximum(np.asarray(g.in_degrees()), 1) ** -0.5
+    ref = deg_in[:, None] * np.asarray(
+        dgl.ops.copy_u_sum(g, feat * deg_out[:, None]))
+
+    mesh = mesh8()
+    matvec = make_sharded_gcn_matvec(pg, mesh)
+    x = pg.shard_node_data(feat)
+    y = jax.jit(matvec)(x)
+    got = np.asarray(pg.unshard_node_data(y))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # Grads through the hub custom-vjp + all_to_all transpose.
+    def loss_sharded(x):
+        return jnp.sum(jnp.sin(matvec(x)))
+
+    gx = jax.grad(loss_sharded)(x)
+    got_g = np.asarray(pg.unshard_node_data(gx))
+
+    deg_out_j = jnp.asarray(deg_out.astype(np.float32))
+    deg_in_j = jnp.asarray(deg_in.astype(np.float32))
+
+    def loss_ref(xf):
+        y = deg_in_j[:, None] * dgl.ops.copy_u_sum(
+            g, xf * deg_out_j[:, None])
+        return jnp.sum(jnp.sin(y))
+
+    ref_g = np.asarray(jax.grad(loss_ref)(feat))
+    np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hub_mixed_part_sizes():
+    """Geometry unification: one part hub-heavy, others nearly empty
+    (no natural hub groups) must still stack and match the oracle."""
+    n = 64
+    rng = np.random.default_rng(3)
+    # All hub edges into nodes 0..3 (one part), few edges elsewhere.
+    src = rng.integers(0, n, size=1500)
+    dst = rng.integers(0, 4, size=1500)
+    src2 = rng.integers(0, n, size=40)
+    dst2 = rng.integers(4, n, size=40)
+    g = dgl.graph((np.concatenate([src, src2]),
+                   np.concatenate([dst, dst2])), num_nodes=n)
+    part = (np.arange(n) // (n // NUM_DEVICES)).astype(np.int32)
+    pg = build_partitioned_graph(g, part, NUM_DEVICES, hub=16,
+                                 hub_dense_floor=32)
+    assert pg.hub is not None
+    feat = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    deg_out = np.maximum(np.asarray(g.out_degrees()), 1) ** -0.5
+    deg_in = np.maximum(np.asarray(g.in_degrees()), 1) ** -0.5
+    ref = deg_in[:, None] * np.asarray(
+        dgl.ops.copy_u_sum(g, feat * deg_out[:, None]))
+    matvec = make_sharded_gcn_matvec(pg, mesh8())
+    y = jax.jit(matvec)(pg.shard_node_data(feat))
+    got = np.asarray(pg.unshard_node_data(y))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

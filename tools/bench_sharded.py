@@ -1,0 +1,158 @@
+"""Real-chip timings for the sharded (partitioned) SpMM paths at mesh=1.
+
+VERDICT r3 #1/#7: the multi-chip sharded code paths must not forfeit the
+flagship single-chip rate. At mesh size 1 the partitioned program is the
+same math as the unsharded engine plus the halo machinery (a no-op
+all_to_all, the combined-space concat, sentinel padding), so its rate
+directly measures the sharding overhead. Target: hub-engine sharded
+fwd within ~15-20% of the unsharded bench.py headline.
+
+Run on the TPU box:  python tools/bench_sharded.py [--n 19] [--feat 128]
+Prints one JSON line per (path, direction) cell.
+
+Methodology: chained iterations inside one jitted fori_loop, two-point
+slope between iteration counts (docs/PERF_NOTES.md 2026-08-19 — the
+remote tunnel adds a fixed ~30-45 ms dispatch+fetch roundtrip per call).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=19, help="log2 num nodes")
+    ap.add_argument("--deg", type=int, default=8)
+    ap.add_argument("--feat", type=int, default=128)
+    ap.add_argument("--paths", default="hub,tiles,vcut,unsharded")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+    from dgl1_tpu.parallel.halo import (build_partitioned_graph,
+                                        vertex_cut_edge_owner)
+    from dgl1_tpu.parallel.sharded_ops import halo_exchange, sharded_gspmm
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    n = 1 << (args.n if on_tpu else args.n - 6)
+    iters_lo, iters_hi = (10, 60) if on_tpu else (1, 3)
+    f = args.feat
+
+    g = powerlaw_graph(n, args.deg, seed=0)
+    e = g.num_edges()
+    part = np.zeros(n, np.int32)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("p",))
+
+    feat = jax.random.normal(jax.random.PRNGKey(0), (1, n, f), jnp.float32)
+
+    def build(kind):
+        if kind == "hub":
+            return build_partitioned_graph(g, part, 1, tiles=False,
+                                           hub=True)
+        if kind == "tiles":
+            return build_partitioned_graph(g, part, 1, tiles=True)
+        if kind == "vcut":
+            eo = vertex_cut_edge_owner(g, part, 1)
+            return build_partitioned_graph(g, part, 1, tiles=False,
+                                           hub=True, edge_owner=eo)
+        raise ValueError(kind)
+
+    def run_cell(kind, direction):
+        if kind == "unsharded":
+            gg = jax.device_put(g)
+            jax.block_until_ready(jax.tree.leaves(gg))
+            x0 = feat[0]
+
+            def make(iters):
+                @jax.jit
+                def run(gg, x):
+                    def body(i, x):
+                        if direction == "fwd":
+                            return dgl.ops.gspmm(
+                                gg, "copy_lhs", "sum", x, None) * 0.1
+                        gr = jax.grad(lambda xx: jnp.sum(dgl.ops.gspmm(
+                            gg, "copy_lhs", "sum", xx, None) ** 2))(x)
+                        return x - 1e-12 * gr
+
+                    return jax.lax.fori_loop(0, iters, body, x)
+
+                return run
+
+            def timed(run):
+                _ = float(run(gg, x0)[0, 0])
+                t0 = time.perf_counter()
+                _ = float(run(gg, x0)[0, 0])
+                return time.perf_counter() - t0
+
+            t_lo = timed(make(iters_lo))
+            t_hi = timed(make(iters_hi))
+            return (t_hi - t_lo) / (iters_hi - iters_lo)
+
+        pg = build(kind)
+        if kind in ("hub", "vcut"):
+            assert pg.hub_meta is not None, "hub layout did not build"
+        pg = jax.device_put(pg)
+        jax.block_until_ready(
+            [l for l in jax.tree.leaves(pg) if hasattr(l, "block_until_ready")])
+
+        spec_pg = jax.tree.map(lambda _: P("p"), pg)
+
+        def body_fn(pg_l, x):
+            def one(xx):
+                return sharded_gspmm(pg_l, xx, "p")[: pg_l.n_loc]
+
+            if direction == "fwd":
+                return (one(x[0]) * 0.1)[None]
+            gr = jax.grad(lambda xx: jnp.sum(one(xx) ** 2))(x[0])
+            return (x[0] - 1e-12 * gr)[None]
+
+        def make(iters):
+            inner = jax.shard_map(
+                body_fn, mesh=mesh, in_specs=(spec_pg, P("p")),
+                out_specs=P("p"), check_vma=False)
+
+            @jax.jit
+            def run(pg, x):
+                def body(i, x):
+                    return inner(pg, x)
+
+                return jax.lax.fori_loop(0, iters, body, x)
+
+            return run
+
+        def timed(run):
+            _ = float(run(pg, feat)[0, 0, 0])
+            t0 = time.perf_counter()
+            _ = float(run(pg, feat)[0, 0, 0])
+            return time.perf_counter() - t0
+
+        t_lo = timed(make(iters_lo))
+        t_hi = timed(make(iters_hi))
+        return (t_hi - t_lo) / (iters_hi - iters_lo)
+
+    for kind in args.paths.split(","):
+        for direction in ("fwd", "fwdbwd"):
+            t0 = time.perf_counter()
+            dt = run_cell(kind, direction)
+            print(json.dumps({
+                "path": kind, "dir": direction,
+                "ms_per_iter": round(dt * 1e3, 3),
+                "edges_per_s": round(e / dt, 1),
+                "gedges_per_s": round(e / dt / 1e9, 3),
+                "wall_s": round(time.perf_counter() - t0, 1),
+                "cfg": f"N={n} E={e} F={f} mesh=1 {backend}",
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,8 +7,9 @@ accuracy/R2/validity gate asserted, on CPU with tiny-but-gate-passing
 configurations.
 
 Usage:
-    python tools/run_examples.py            # run all (sequential)
+    python tools/run_examples.py            # run all (--jobs 2 default)
     python tools/run_examples.py --only gcn gat
+    python tools/run_examples.py --jobs 1   # sequential
     python tools/run_examples.py --list
 
 Exit code 0 iff every example passed. This is part of the round's exit
@@ -109,6 +110,9 @@ def main():
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--verbose", action="store_true",
                     help="print each example's output")
+    ap.add_argument("--jobs", type=int, default=2,
+                    help="concurrent example subprocesses (examples are "
+                         "independent; 2 saturates the dev box)")
     args = ap.parse_args()
 
     names = sorted(EXAMPLES)
@@ -128,17 +132,27 @@ def main():
 
     failures = []
     total_t0 = time.perf_counter()
-    for i, name in enumerate(names, 1):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def job(name):
         ex_args, timeout_s = EXAMPLES[name]
-        rc, dt, out = run_one(name, ex_args, timeout_s, args.verbose)
-        status = "ok" if rc == 0 else f"FAIL rc={rc}"
-        print(f"[{i:2d}/{len(names)}] {name:36s} {status:10s} "
-              f"{dt:6.1f}s", flush=True)
-        if args.verbose or rc != 0:
-            tail = "\n".join(out.strip().splitlines()[-15:])
-            print("    " + tail.replace("\n", "\n    "), flush=True)
-        if rc != 0:
-            failures.append(name)
+        return name, run_one(name, ex_args, timeout_s, args.verbose)
+
+    done = 0
+    with ThreadPoolExecutor(max_workers=max(args.jobs, 1)) as pool:
+        # Longest-first submission order packs the pool better; results
+        # print as they complete.
+        order = sorted(names, key=lambda n: -EXAMPLES[n][1])
+        for name, (rc, dt, out) in pool.map(job, order):
+            done += 1
+            status = "ok" if rc == 0 else f"FAIL rc={rc}"
+            print(f"[{done:2d}/{len(names)}] {name:36s} {status:10s} "
+                  f"{dt:6.1f}s", flush=True)
+            if args.verbose or rc != 0:
+                tail = "\n".join(out.strip().splitlines()[-15:])
+                print("    " + tail.replace("\n", "\n    "), flush=True)
+            if rc != 0:
+                failures.append(name)
     dt = time.perf_counter() - total_t0
     print(f"\n{len(names) - len(failures)}/{len(names)} passed "
           f"in {dt / 60:.1f} min")
