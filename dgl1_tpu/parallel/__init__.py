@@ -82,5 +82,7 @@ __all__ = [
     "sharded_typed_gspmm",
     "sharded_typed_attention",
     "make_sharded_hetero_attention",
+    "ShardedFeatureStore",
 ]
 from dgl1_tpu.parallel.tp import make_tp_gcn_layer, shard_params_tp
+from dgl1_tpu.parallel.kvstore import ShardedFeatureStore  # noqa: E402

@@ -60,7 +60,7 @@ _PG_ARRAY_FIELDS = (
     "tiles_fwd", "tiles_rev", "recv_pos", "slot_node", "bdense", "hub",
 )
 _PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes",
-                     "m_part", "hub_meta")
+                     "m_part", "hub_meta", "hub_rows")
 
 
 class PartitionedGraph:
@@ -87,7 +87,7 @@ class PartitionedGraph:
                  orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes,
                  tiles_fwd=None, tiles_rev=None, recv_pos=None,
                  slot_node=None, m_part=0, bdense=None, hub=None,
-                 hub_meta=None):
+                 hub_meta=None, hub_rows=0):
         self.edst = edst
         self.esrc = esrc
         self.send_idx = send_idx
@@ -113,6 +113,12 @@ class PartitionedGraph:
         # HubMeta (pytree aux).
         self.hub = hub
         self.hub_meta = hub_meta
+        # Combined-layout row count R = round_up(max(n_comb, n_out),
+        # DENSE_RB): the hub layouts are built with num_src = num_dst =
+        # R so activations can stay in ONE padded [owned | halo | pad]
+        # layout across layers (no concat/pad copy passes — see
+        # sharded_ops.sharded_gspmm_combined).
+        self.hub_rows = int(hub_rows)
         # Vertex-cut (split-destination) extras — None/0 in pure halo
         # mode. recv_pos (P, n_loc, P): receive-buffer position of the
         # partial each sender holds for an owned node (sentinel = OOB);
@@ -150,6 +156,21 @@ class PartitionedGraph:
             mask = self.node_mask.reshape((-1,) + (1,) * (data.ndim - 1))
             out = out * mask.astype(out.dtype)
         return out.reshape((self.num_parts, self.n_loc) + data.shape[1:])
+
+    def shard_node_data_combined(self, data) -> jnp.ndarray:
+        """(N, *f) global node data -> (P, R, *f) combined-layout blocks
+        (R = hub_rows; halo/pad rows zero — the first halo update fills
+        the slots)."""
+        if not self.hub_rows:
+            raise ValueError("combined layout requires hub=... at build")
+        x = self.shard_node_data(data)
+        pad = self.hub_rows - self.n_loc
+        return jnp.pad(
+            x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+
+    def unshard_node_data_combined(self, data) -> jnp.ndarray:
+        """(P, R, *f) combined-layout -> (N, *f) global (owned rows)."""
+        return self.unshard_node_data(data[:, : self.n_loc])
 
     def unshard_node_data(self, data) -> jnp.ndarray:
         """(P, n_loc, *f) -> (N, *f) global layout."""
@@ -434,17 +455,21 @@ def build_partitioned_graph(
                           for k, v in out.items()}
 
     hub_meta = hub_stacked = None
+    hub_rows = 0
     if hub:
+        from dgl1_tpu.hub_format import DENSE_RB
         from dgl1_tpu.parallel.hub_shard import build_partitioned_hub
 
+        hub_rows = _round_up(max(n_comb, n_out), DENSE_RB)
         hub_meta, hub_stacked = build_partitioned_hub(
-            hub_edges_list, n_comb, n_out, e_loc,
+            hub_edges_list, hub_rows, hub_rows, e_loc,
             min_group_edges=(None if hub is True else int(hub)),
             dense_floor=hub_dense_floor)
 
     return PartitionedGraph(
         hub=hub_stacked,
         hub_meta=hub_meta,
+        hub_rows=hub_rows if hub_stacked is not None else 0,
         bdense=bdense_stacked,
         tiles_fwd=tiles_fwd,
         tiles_rev=tiles_rev,

@@ -199,6 +199,7 @@ def partition_graph(
     seed: int = 0,
     save_global_feats: bool = True,
     save_structure: bool = True,
+    save_part_feats: bool = True,
 ) -> np.ndarray:
     """Partition + persist (parity: ``dgl.distributed.partition_graph``).
 
@@ -280,6 +281,15 @@ def partition_graph(
             for k, v in g.ndata.items()
         }
         np.savez_compressed(pdir / "node_feat.npz", **feats)
+        if save_part_feats and feats:
+            # Raw mmap-able shards for the KVStore-parity pull service
+            # (parallel/kvstore.py): features beyond one host's storage
+            # stay partition-sharded; remote rows are pulled by book.
+            from dgl1_tpu.parallel.kvstore import (
+                write_part_feature_shards)
+
+            part_feat_meta = write_part_feature_shards(
+                out, graph_name, p, feats)
         node_map.append(own_nodes)
         edge_map.append(own_edges)
 
@@ -293,6 +303,8 @@ def partition_graph(
         "node_map": [m.tolist() if len(m) < 100000 else None
                      for m in node_map],
     }
+    if save_part_feats and g.ndata:
+        book["part_feats"] = part_feat_meta
     if save_global_feats and g.ndata:
         fdir = out / f"{graph_name}_feat"
         fdir.mkdir(exist_ok=True)

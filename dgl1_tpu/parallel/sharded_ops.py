@@ -194,6 +194,123 @@ def make_local_spmm_bdense(n_loc: int, n_comb: int):
     return fn
 
 
+def _hub_static(pg: PartitionedGraph, out_feat):
+    """The hub engine's static descriptor for the combined-layout call:
+    num_src = num_dst = R (pg.hub_rows), so forward and backward are
+    both (R, F) -> (R, F) with NO pad or slice copy passes."""
+    from dgl1_tpu.ops.engine_hub import _Static
+    from dgl1_tpu.ops.precision import get_matmul_precision
+
+    return _Static(
+        op="copy_lhs",
+        num_src=pg.hub_rows,
+        num_dst=pg.hub_rows,
+        has_e=False,
+        he=1,
+        rep=int(np.prod(out_feat)) if out_feat else 1,
+        u_feat=tuple(out_feat),
+        e_feat=(),
+        out_feat=tuple(out_feat),
+        meta=pg.hub_meta,
+        prec=get_matmul_precision(),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _halo_update_c(axis_name: str, n_loc: int, send_idx, x):
+    """In-place halo slot refresh with a hand-written transpose.
+
+    AD of the take/all_to_all/dynamic_update_slice composition spends
+    ~3 full (R, F) HBM passes (zeroing the overwritten region as a
+    masked copy, a fresh zero buffer for the gather transpose, and the
+    final add). The custom backward does the same math with one SMALL
+    region write + one small scatter-add: route the halo-region
+    cotangent back through the all_to_all (its own transpose), zero
+    ONLY the halo rows of ct, and add the returned blocks into the send
+    rows. Measured mesh=1 bench-graph fwd+bwd 6.8 -> ~5.5 ms."""
+    sbuf = jnp.take(x, send_idx, axis=0, mode="clip")
+    rbuf = jax.lax.all_to_all(sbuf, axis_name, split_axis=0,
+                              concat_axis=0)
+    halo = rbuf.reshape((-1,) + x.shape[1:])
+    return jax.lax.dynamic_update_slice(
+        x, halo, (n_loc,) + (0,) * (x.ndim - 1))
+
+
+def _huc_fwd(axis_name, n_loc, send_idx, x):
+    return _halo_update_c(axis_name, n_loc, send_idx, x), (send_idx,)
+
+
+def _huc_bwd(axis_name, n_loc, res, ct):
+    (send_idx,) = res
+    P_, m_halo = send_idx.shape
+    feat = ct.shape[1:]
+    ct_halo = jax.lax.dynamic_slice(
+        ct, (n_loc,) + (0,) * len(feat), (P_ * m_halo,) + feat)
+    back = jax.lax.all_to_all(
+        ct_halo.reshape((P_, m_halo) + feat), axis_name,
+        split_axis=0, concat_axis=0).reshape((P_ * m_halo,) + feat)
+    g = jax.lax.dynamic_update_slice(
+        ct, jnp.zeros_like(ct_halo), (n_loc,) + (0,) * len(feat))
+    # Unused send slots default to row 0 and carry zero cotangent
+    # (their halo slots feed no edges), so the add is safe.
+    g = g.at[send_idx.reshape(-1)].add(back)
+    return (np.zeros(send_idx.shape, dtype=jax.dtypes.float0), g)
+
+
+_halo_update_c.defvjp(_huc_fwd, _huc_bwd)
+
+
+def halo_update_combined(pg: PartitionedGraph, x_comb: jnp.ndarray,
+                         axis_name: str = "p") -> jnp.ndarray:
+    """Refresh the halo slots of a combined-layout activation in place.
+
+    ``x_comb``: (R, F) per-device block in the canonical
+    [owned | halo slots | pad] layout (R = pg.hub_rows). The owned rows
+    feed the send gather; one all_to_all delivers fresh halo values,
+    written back with a dynamic_update_slice — XLA performs it in place
+    when the buffer is free, so the big activation is never copied
+    (the copy-free property the concat-based :func:`halo_exchange`
+    lacks). Backward is hand-written (one small region write, no full
+    passes)."""
+    return _halo_update_c(axis_name, pg.n_loc, pg.send_idx[0], x_comb)
+
+
+def sharded_gspmm_combined(pg: PartitionedGraph, x_comb: jnp.ndarray,
+                           axis_name: str = "p") -> jnp.ndarray:
+    """copy_u + sum in the combined layout (per-device view): halo
+    update in place, then the flagship hub engine maps (R, F) -> (R, F)
+    directly. Output rows: [0, n_loc) owned results; in vertex-cut mode
+    the partial slots are exchanged and folded before returning; all
+    rows >= n_loc of the RESULT are zeros (the next layer's halo update
+    overwrites its slots). Requires a hub build
+    (``build_partitioned_graph(..., hub=...)``)."""
+    from dgl1_tpu.ops.engine_hub import _gspmm_hub_sum
+
+    if pg.hub is None:
+        raise ValueError("combined layout requires hub=... at build")
+    x2 = halo_update_combined(pg, x_comb, axis_name)
+    static = _hub_static(pg, tuple(x_comb.shape[1:]))
+    hub_local = jax.tree.map(lambda v: v[0], pg.hub)
+    e_dummy = x2[:1, :1] * 0.0
+    y = _gspmm_hub_sum(static, hub_local, x2, e_dummy)
+    if pg.m_part == 0:
+        return y
+    n_loc, m_part, P_ = pg.n_loc, pg.m_part, pg.num_parts
+    out_own = jax.lax.dynamic_slice(
+        y, (0,) * y.ndim, (n_loc,) + y.shape[1:])
+    pbuf = jax.lax.dynamic_slice(
+        y, (n_loc,) + (0,) * (y.ndim - 1),
+        (P_ * m_part,) + y.shape[1:]).reshape(
+            (P_, m_part) + y.shape[1:])
+    rbuf = jax.lax.all_to_all(pbuf, axis_name, split_axis=0,
+                              concat_axis=0)
+    recv_flat = rbuf.reshape((-1,) + y.shape[1:])
+    merged = partial_merge(pg.recv_pos[0], pg.slot_node[0], out_own,
+                           recv_flat)
+    pad = jnp.zeros((pg.hub_rows - n_loc,) + y.shape[1:], y.dtype)
+    return jnp.concatenate([merged, pad], axis=0)
+
+
 def _hub_local_spmm(pg: PartitionedGraph, combined: jnp.ndarray
                     ) -> jnp.ndarray:
     """Local reduce through the flagship hub-dense engine (per-device
@@ -203,31 +320,23 @@ def _hub_local_spmm(pg: PartitionedGraph, combined: jnp.ndarray
     (the all_to_all transpose then returns halo cotangents to owners).
     Per-part layouts share one static geometry (parallel/hub_shard.py),
     so shard_map traces a single program."""
-    from dgl1_tpu.ops.engine_hub import _Static, _gspmm_hub_sum
-    from dgl1_tpu.ops.precision import get_matmul_precision
+    from dgl1_tpu.ops.engine_hub import _gspmm_hub_sum
 
     n_out = pg.n_loc + pg.num_parts * pg.m_part
-    n_comb = pg.n_loc + pg.num_parts * pg.m_halo
-    out_feat = tuple(combined.shape[1:])
-    static = _Static(
-        op="copy_lhs",
-        num_src=n_comb,
-        num_dst=n_out,
-        has_e=False,
-        he=1,
-        rep=int(np.prod(out_feat)) if out_feat else 1,
-        u_feat=out_feat,
-        e_feat=(),
-        out_feat=out_feat,
-        meta=pg.hub_meta,
-        prec=get_matmul_precision(),
-    )
+    static = _hub_static(pg, tuple(combined.shape[1:]))
     hub_local = jax.tree.map(lambda v: v[0], pg.hub)
+    # Lift the (n_comb, F) combined table into the R-row layout the hub
+    # format is built in (one copy — callers that keep activations in
+    # the combined layout end-to-end avoid it: sharded_gspmm_combined).
+    x_pad = jnp.pad(
+        combined,
+        ((0, pg.hub_rows - combined.shape[0]),)
+        + ((0, 0),) * (combined.ndim - 1))
     # Derive the (unused) e placeholder from a sharded input: a fresh
     # jnp.zeros constant would land in the custom-vjp residuals with
     # replicated sharding and fail shard_map's output-spec match.
-    e_dummy = combined[:1, :1] * 0.0
-    return _gspmm_hub_sum(static, hub_local, combined, e_dummy)
+    e_dummy = x_pad[:1, :1] * 0.0
+    return _gspmm_hub_sum(static, hub_local, x_pad, e_dummy)[:n_out]
 
 
 def local_spmm_sum(pg: PartitionedGraph, combined: jnp.ndarray) -> jnp.ndarray:
@@ -350,6 +459,40 @@ def sharded_gspmm(pg: PartitionedGraph, feat_local: jnp.ndarray,
     recv_flat = rbuf.reshape((-1,) + y.shape[1:])
     return partial_merge(pg.recv_pos[0], pg.slot_node[0], out_own,
                          recv_flat)
+
+
+def make_sharded_gcn_matvec_combined(pg: PartitionedGraph, mesh: Mesh,
+                                     axis_name: str = "p"):
+    """Combined-layout ``y = D^-1/2 A D^-1/2 x`` over the mesh: x/y are
+    (P, R, F) with R = pg.hub_rows — activations stay in the padded
+    [owned | halo | pad] layout across layers so no per-layer
+    concat/pad copy passes exist (sharding overhead is just the tiny
+    halo all_to_all + in-place slot update). Owned rows are [0, n_loc);
+    all other rows of y are zero."""
+    if pg.hub is None:
+        raise ValueError("combined layout requires hub=... at build")
+    R = pg.hub_rows
+
+    def body(pg_local, x):
+        norm_out = jnp.where(pg_local.out_deg[0] > 0,
+                             pg_local.out_deg[0], 1.0) ** -0.5
+        norm_in = jnp.where(pg_local.in_deg[0] > 0,
+                            pg_local.in_deg[0], 1.0) ** -0.5
+        pad = R - norm_out.shape[0]
+        norm_out = jnp.pad(norm_out, (0, pad))
+        norm_in = jnp.pad(norm_in, (0, pad), constant_values=0.0)
+        h = x[0] * norm_out[:, None]
+        agg = sharded_gspmm_combined(pg_local, h, axis_name)
+        return (agg * norm_in[:, None])[None]
+
+    spec_pg = jax.tree.map(lambda _: P(axis_name), pg)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_pg, P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return functools.partial(fn, pg)
 
 
 def make_sharded_gcn_matvec(pg: PartitionedGraph, mesh: Mesh,

@@ -38,6 +38,12 @@ def build_args():
     p.add_argument("--worker", action="store_true")
     p.add_argument("--part-id", type=int, default=0)
     p.add_argument("--coordinator", type=str, default="127.0.0.1:12531")
+    p.add_argument("--sharded-store", action="store_true",
+                   help="pull features through the KVStore-parity "
+                        "SHARDED store (each process maps only its own "
+                        "partition's rows; remote rows over sockets) "
+                        "instead of the replicated mmap")
+    p.add_argument("--store-port-base", type=int, default=29410)
     return p
 
 
@@ -88,6 +94,39 @@ def worker(args):
 
     pid = args.part_id
     dist_g = DistGraph.from_partition(args.out, "dist_sampled", pid)
+    store = None
+    if args.sharded_store:
+        # KVStore-parity sharded feature access: this process maps ONLY
+        # its own partition's feature rows; remote rows are pulled from
+        # the owning peer over the thin host socket service
+        # (dgl1_tpu/parallel/kvstore.py — python/dgl/distributed/
+        # kvstore.py parity). Features beyond one host's storage run in
+        # exactly this mode.
+        from dgl1_tpu.parallel.kvstore import ShardedFeatureStore
+
+        addrs = [("127.0.0.1", args.store_port_base + p)
+                 for p in range(args.parts)]
+        store = ShardedFeatureStore(args.out, "dist_sampled", pid,
+                                    dist_g.part, addrs=addrs, serve=True)
+        assert store.local_rows < dist_g.num_nodes(), \
+            "sharded store must not hold the full matrix"
+
+        class _StoreField:
+            def __init__(self, field):
+                self.field = field
+
+            def __getitem__(self, nids):
+                import numpy as _np
+
+                return store.pull(self.field, _np.asarray(nids))
+
+        for fld in list(dist_g.ndata):
+            dist_g.ndata[fld] = _StoreField(fld)
+        # All feature servers must be listening before any pull.
+        from jax.experimental import multihost_utils as _mhu
+        import jax.numpy as _jnp
+
+        _mhu.process_allgather(_jnp.asarray([pid]))
     # This host's seeds: the training nodes among its owned partition.
     own = dist_g.book.partid2nids(pid)
     train_mask = dist_g.ndata["train_mask"][own].reshape(-1).astype(bool)
@@ -172,6 +211,19 @@ def worker(args):
     local = np.asarray([correct, total], np.int64)
     agg = np.asarray(multihost_utils.process_allgather(
         jnp.asarray(local))).reshape(args.parts, 2).sum(axis=0)
+    if store is not None:
+        st = store.stats()
+        # The gate: remote rows really crossed the socket (sampled
+        # neighborhoods span partitions), and the shard stayed partial.
+        remote_all = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([st["remote_rows"]], np.int32))).sum()
+        assert remote_all > 0, "no remote pulls — store not exercised"
+        if pid == 0:
+            print(f"[worker0] sharded store: local_rows="
+                  f"{store.local_rows}/{dist_g.num_nodes()}, pulls "
+                  f"local={st['local_rows']} remote={st['remote_rows']} "
+                  f"(all-proc remote={int(remote_all)})", flush=True)
+        store.close()
     if pid == 0:
         print(f"[worker0] test acc {agg[0] / max(agg[1], 1):.4f} "
               f"({int(agg[1])} test nodes across {args.parts} parts)",
@@ -191,7 +243,10 @@ def launch(args):
                "--hidden", str(args.hidden), "--fanout", args.fanout,
                "--batch-size", str(args.batch_size), "--epochs",
                str(args.epochs), "--lr", str(args.lr), "--out", args.out,
-               "--coordinator", args.coordinator]
+               "--coordinator", args.coordinator,
+               "--store-port-base", str(args.store_port_base)]
+        if args.sharded_store:
+            cmd.append("--sharded-store")
         procs.append(subprocess.Popen(cmd, env=env))
     rc = [p.wait() for p in procs]
     if any(rc):

@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--n", type=int, default=19, help="log2 num nodes")
     ap.add_argument("--deg", type=int, default=8)
     ap.add_argument("--feat", type=int, default=128)
-    ap.add_argument("--paths", default="hub,tiles,vcut,unsharded")
+    ap.add_argument("--paths", default="hubc,hub,vcut,unsharded")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +40,9 @@ def main():
     from dgl1_tpu.data.synthetic import powerlaw_graph
     from dgl1_tpu.parallel.halo import (build_partitioned_graph,
                                         vertex_cut_edge_owner)
-    from dgl1_tpu.parallel.sharded_ops import halo_exchange, sharded_gspmm
+    from dgl1_tpu.parallel.sharded_ops import (halo_exchange,
+                                               sharded_gspmm,
+                                               sharded_gspmm_combined)
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
@@ -56,7 +58,7 @@ def main():
     feat = jax.random.normal(jax.random.PRNGKey(0), (1, n, f), jnp.float32)
 
     def build(kind):
-        if kind == "hub":
+        if kind in ("hub", "hubc"):
             return build_partitioned_graph(g, part, 1, tiles=False,
                                            hub=True)
         if kind == "tiles":
@@ -99,16 +101,24 @@ def main():
             return (t_hi - t_lo) / (iters_hi - iters_lo)
 
         pg = build(kind)
-        if kind in ("hub", "vcut"):
+        if kind in ("hub", "hubc", "vcut"):
             assert pg.hub_meta is not None, "hub layout did not build"
         pg = jax.device_put(pg)
         jax.block_until_ready(
             [l for l in jax.tree.leaves(pg) if hasattr(l, "block_until_ready")])
 
         spec_pg = jax.tree.map(lambda _: P("p"), pg)
+        combined = kind == "hubc"
+        xin = feat
+        if combined:
+            xin = jnp.pad(feat, ((0, 0), (0, pg.hub_rows - n), (0, 0)))
 
         def body_fn(pg_l, x):
             def one(xx):
+                if combined:
+                    # Activations stay in the [owned|halo|pad] layout:
+                    # no concat/pad copy passes anywhere in the chain.
+                    return sharded_gspmm_combined(pg_l, xx, "p")
                 return sharded_gspmm(pg_l, xx, "p")[: pg_l.n_loc]
 
             if direction == "fwd":
@@ -131,9 +141,9 @@ def main():
             return run
 
         def timed(run):
-            _ = float(run(pg, feat)[0, 0, 0])
+            _ = float(run(pg, xin)[0, 0, 0])
             t0 = time.perf_counter()
-            _ = float(run(pg, feat)[0, 0, 0])
+            _ = float(run(pg, xin)[0, 0, 0])
             return time.perf_counter() - t0
 
         t_lo = timed(make(iters_lo))

@@ -50,7 +50,7 @@ EXAMPLES = {
     "train_dist.py": (["--parts", "2", "--epochs", "20",
                        "--nodes", "5000"], 400),
     "train_dist_sampled.py": (["--parts", "2", "--epochs", "2",
-                               "--nodes", "3000"], 600),
+                               "--nodes", "3000", "--sharded-store"], 600),
     "train_graph_classification.py": (["--epochs", "12"], 500),
     "train_diffpool.py": (["--epochs", "300"], 600),
     "train_ggnn.py": (["--epochs", "60"], 900),
