@@ -60,7 +60,7 @@ _PG_ARRAY_FIELDS = (
     "tiles_fwd", "tiles_rev", "recv_pos", "slot_node", "bdense", "hub",
 )
 _PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes",
-                     "m_part", "hub_meta", "hub_rows")
+                     "m_part", "hub_meta", "hub_rows", "halo_dtype")
 
 
 class PartitionedGraph:
@@ -87,7 +87,7 @@ class PartitionedGraph:
                  orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes,
                  tiles_fwd=None, tiles_rev=None, recv_pos=None,
                  slot_node=None, m_part=0, bdense=None, hub=None,
-                 hub_meta=None, hub_rows=0):
+                 hub_meta=None, hub_rows=0, halo_dtype="f32"):
         self.edst = edst
         self.esrc = esrc
         self.send_idx = send_idx
@@ -119,6 +119,12 @@ class PartitionedGraph:
         # layout across layers (no concat/pad copy passes — see
         # sharded_ops.sharded_gspmm_combined).
         self.hub_rows = int(hub_rows)
+        # Wire format of the halo all_to_all payload: "f32" (exact) or
+        # "bf16" (halves ICI bytes -> shifts the comm/compute break-even
+        # cut from ~7.7%% to ~15%% at F=128; feature rounding ~4e-3
+        # relative, model-level accuracy deltas measured in
+        # docs/PERF_NOTES.md round 4).
+        self.halo_dtype = str(halo_dtype)
         # Vertex-cut (split-destination) extras — None/0 in pure halo
         # mode. recv_pos (P, n_loc, P): receive-buffer position of the
         # partial each sender holds for an owned node (sentinel = OOB);
@@ -236,6 +242,7 @@ def build_partitioned_graph(
     bdense: bool = False,
     hub=False,
     hub_dense_floor: Optional[int] = None,
+    halo_dtype: str = "f32",
 ) -> PartitionedGraph:
     """Build the device-resident partitioned structure from an assignment.
 
@@ -470,6 +477,7 @@ def build_partitioned_graph(
         hub=hub_stacked,
         hub_meta=hub_meta,
         hub_rows=hub_rows if hub_stacked is not None else 0,
+        halo_dtype=halo_dtype,
         bdense=bdense_stacked,
         tiles_fwd=tiles_fwd,
         tiles_rev=tiles_rev,

@@ -47,9 +47,12 @@ def halo_exchange(pg: PartitionedGraph, feat_local: jnp.ndarray,
     """
     send_idx = pg.send_idx  # inside shard_map: (1, P, m_halo)
     sbuf = jnp.take(feat_local, send_idx[0], axis=0, mode="clip")
+    if pg.halo_dtype == "bf16" and sbuf.dtype == jnp.float32:
+        sbuf = sbuf.astype(jnp.bfloat16)  # halve the ICI payload
     # (P, m_halo, F) -> exchanged -> (P, m_halo, F) where [q] is from q.
     rbuf = jax.lax.all_to_all(sbuf, axis_name, split_axis=0, concat_axis=0)
-    halo = rbuf.reshape((-1,) + feat_local.shape[1:])
+    halo = rbuf.reshape((-1,) + feat_local.shape[1:]).astype(
+        feat_local.dtype)
     return jnp.concatenate([feat_local, halo], axis=0)
 
 
@@ -216,8 +219,9 @@ def _hub_static(pg: PartitionedGraph, out_feat):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _halo_update_c(axis_name: str, n_loc: int, send_idx, x):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _halo_update_c(axis_name: str, n_loc: int, wire_bf16: bool,
+                   send_idx, x):
     """In-place halo slot refresh with a hand-written transpose.
 
     AD of the take/all_to_all/dynamic_update_slice composition spends
@@ -229,26 +233,33 @@ def _halo_update_c(axis_name: str, n_loc: int, send_idx, x):
     ONLY the halo rows of ct, and add the returned blocks into the send
     rows. Measured mesh=1 bench-graph fwd+bwd 6.8 -> ~5.5 ms."""
     sbuf = jnp.take(x, send_idx, axis=0, mode="clip")
+    if wire_bf16 and sbuf.dtype == jnp.float32:
+        sbuf = sbuf.astype(jnp.bfloat16)  # halve the ICI payload
     rbuf = jax.lax.all_to_all(sbuf, axis_name, split_axis=0,
                               concat_axis=0)
-    halo = rbuf.reshape((-1,) + x.shape[1:])
+    halo = rbuf.reshape((-1,) + x.shape[1:]).astype(x.dtype)
     return jax.lax.dynamic_update_slice(
         x, halo, (n_loc,) + (0,) * (x.ndim - 1))
 
 
-def _huc_fwd(axis_name, n_loc, send_idx, x):
-    return _halo_update_c(axis_name, n_loc, send_idx, x), (send_idx,)
+def _huc_fwd(axis_name, n_loc, wire_bf16, send_idx, x):
+    return (_halo_update_c(axis_name, n_loc, wire_bf16, send_idx, x),
+            (send_idx,))
 
 
-def _huc_bwd(axis_name, n_loc, res, ct):
+def _huc_bwd(axis_name, n_loc, wire_bf16, res, ct):
     (send_idx,) = res
     P_, m_halo = send_idx.shape
     feat = ct.shape[1:]
     ct_halo = jax.lax.dynamic_slice(
         ct, (n_loc,) + (0,) * len(feat), (P_ * m_halo,) + feat)
+    ct_wire = ct_halo
+    if wire_bf16 and ct_wire.dtype == jnp.float32:
+        ct_wire = ct_wire.astype(jnp.bfloat16)  # symmetric compression
     back = jax.lax.all_to_all(
-        ct_halo.reshape((P_, m_halo) + feat), axis_name,
-        split_axis=0, concat_axis=0).reshape((P_ * m_halo,) + feat)
+        ct_wire.reshape((P_, m_halo) + feat), axis_name,
+        split_axis=0, concat_axis=0).reshape(
+            (P_ * m_halo,) + feat).astype(ct.dtype)
     g = jax.lax.dynamic_update_slice(
         ct, jnp.zeros_like(ct_halo), (n_loc,) + (0,) * len(feat))
     # Unused send slots default to row 0 and carry zero cotangent
@@ -272,7 +283,9 @@ def halo_update_combined(pg: PartitionedGraph, x_comb: jnp.ndarray,
     (the copy-free property the concat-based :func:`halo_exchange`
     lacks). Backward is hand-written (one small region write, no full
     passes)."""
-    return _halo_update_c(axis_name, pg.n_loc, pg.send_idx[0], x_comb)
+    return _halo_update_c(axis_name, pg.n_loc,
+                          pg.halo_dtype == "bf16", pg.send_idx[0],
+                          x_comb)
 
 
 def sharded_gspmm_combined(pg: PartitionedGraph, x_comb: jnp.ndarray,

@@ -21,6 +21,10 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--parts", type=int, default=8)
+    p.add_argument("--halo-dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="halo all_to_all wire format (bf16 halves ICI "
+                        "bytes; accuracy delta measured in PERF_NOTES r4)")
     p.add_argument("--nodes", type=int, default=20000)
     p.add_argument("--avg-degree", type=float, default=8.0)
     p.add_argument("--feat-dim", type=int, default=64)
@@ -70,7 +74,8 @@ def main():
         part = random_partition_assignment(g, args.parts)
     print(f"[partition] {args.parts} parts, edge cut "
           f"{edge_cut_fraction(g, part):.3f}")
-    pg = build_partitioned_graph(g, part, args.parts)
+    pg = build_partitioned_graph(g, part, args.parts,
+                                 halo_dtype=args.halo_dtype)
     print(f"[partition] n_loc={pg.n_loc} e_loc={pg.e_loc} "
           f"m_halo={pg.m_halo}")
 

@@ -659,3 +659,28 @@ def test_sharded_hub_combined_layout_matches(mode):
 
     ref_g = np.asarray(jax.grad(loss_ref)(feat))
     np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hub_bf16_halo_wire():
+    """bf16 halo wire format (ICI payload compression): values within
+    bf16 rounding of the f32 oracle, grads finite and close."""
+    g = _powerlawish(96, 2200, seed=11)
+    part = random_partition_assignment(g, NUM_DEVICES, seed=3)
+    pg = build_partitioned_graph(g, part, NUM_DEVICES, hub=32,
+                                 hub_dense_floor=64, halo_dtype="bf16")
+    assert pg.halo_dtype == "bf16"
+    feat = jnp.asarray(
+        np.random.default_rng(7).normal(size=(96, 16)).astype(np.float32))
+    deg_out = np.maximum(np.asarray(g.out_degrees()), 1) ** -0.5
+    deg_in = np.maximum(np.asarray(g.in_degrees()), 1) ** -0.5
+    ref = deg_in[:, None] * np.asarray(
+        dgl.ops.copy_u_sum(g, feat * deg_out[:, None]))
+    mv = make_sharded_gcn_matvec(pg, mesh8())
+    x = pg.shard_node_data(feat)
+    y = jax.jit(mv)(x)
+    got = np.asarray(pg.unshard_node_data(y))
+    # Only CUT-edge contributions round (~4e-3 relative); owned-edge
+    # aggregation is exact.
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    gx = jax.grad(lambda x: jnp.sum(jnp.sin(mv(x))))(x)
+    assert np.isfinite(np.asarray(gx)).all()

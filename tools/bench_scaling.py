@@ -32,30 +32,55 @@ ICI_BW_EFF = 80e9  # bytes/s, conservative
 
 
 def sensitivity():
-    """Projection sensitivity over (edge-cut fraction, feature width):
-    how the >=80% north-star depends on partition quality, per width.
+    """Projection sensitivity over (edge-cut fraction, feature width,
+    halo wire format): how the >=80% north-star depends on partition
+    quality, per width.
 
     Model per chip per layer: t_comp = (E/k)/rate(F); comm rows are the
     UPPER bound cut*E/k (one remote source row per cut edge — dedup of
-    shared halo sources only helps); t_comm = rows*F*4 / ICI_BW_EFF.
-    Efficiency (overlapped) = t1 / (k * max(t_comp, t_comm)). rate(F)
-    from the measured single-chip matrix (docs/PERF_NOTES.md).
+    shared halo sources only helps); t_comm = rows*F*wire_bytes /
+    ICI_BW_EFF. Efficiency (overlapped) = t1 / (k * max(t_comp,
+    t_comm)). rate(F) from the measured SHARDED hub path at mesh=1
+    (tools/bench_sharded.py, combined layout — round 4: the sharded
+    per-chip rate now matches the single-chip headline, which makes
+    partition quality and wire compression MORE binding, not less).
+    The bf16 wire (build_partitioned_graph(halo_dtype='bf16')) halves
+    comm bytes and therefore doubles the break-even cut.
     """
-    rates = {32: 3.3e9, 128: 2.03e9, 512: 4.36e8}  # measured edges/s
+    # F=128: measured sharded-hub fwd at mesh=1 (2.20G, bench_sharded).
+    # F=32/512: single-chip matrix rates (PERF_NOTES) — the sharded
+    # relative overhead at F=128 was ~0 so they carry over.
+    rates = {32: 3.3e9, 128: 2.20e9, 512: 4.36e8}
     e = (1 << 19) * 8
     k = 8
     print(json.dumps({"model": "eff = t1/(k*max(comp, comm))",
                       "E": e, "k": k, "ici_bw": ICI_BW_EFF}))
-    for F, rate in rates.items():
-        t1 = e / rate
-        row = {"F": F}
-        for cut in (0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9):
-            t_comp = (e / k) / rate
-            t_comm = cut * (e / k) * F * 4 / ICI_BW_EFF
-            row[f"cut_{cut}"] = round(t1 / (k * max(t_comp, t_comm)), 3)
-        # Break-even cut: comm == comp.
-        row["breakeven_cut"] = round(
-            min((1 / rate) / (F * 4 / ICI_BW_EFF), 1.0), 3)
+    for wire_bytes, wire in ((4, "f32"), (2, "bf16")):
+        for F, rate in rates.items():
+            t1 = e / rate
+            row = {"wire": wire, "F": F}
+            for cut in (0.02, 0.05, 0.1, 0.2, 0.3, 0.5):
+                t_comp = (e / k) / rate
+                t_comm = cut * (e / k) * F * wire_bytes / ICI_BW_EFF
+                row[f"cut_{cut}"] = round(
+                    t1 / (k * max(t_comp, t_comm)), 3)
+            # Break-even cut: comm == comp.
+            row["breakeven_cut"] = round(
+                min((1 / rate) / (F * wire_bytes / ICI_BW_EFF), 1.0), 3)
+            print(json.dumps(row), flush=True)
+    # Achieved cuts (k=8, metis_partition_assignment with the round-4
+    # FM refinement; measured 2026-08-21): the bar is eff >= 0.80 at
+    # the ACHIEVED cut for F=128.
+    achieved = {"geometric_2^16_deg8": 0.0048, "grid_256x256": 0.023,
+                "community_64x1k": 0.124}
+    for fam, cut in achieved.items():
+        rate = rates[128]
+        t_comp = (e / k) / rate
+        row = {"family": fam, "achieved_cut": cut}
+        for wire_bytes, wire in ((4, "f32"), (2, "bf16")):
+            t_comm = cut * (e / k) * 128 * wire_bytes / ICI_BW_EFF
+            row[f"eff_F128_{wire}"] = round(
+                (e / rate) / (k * max(t_comp, t_comm)), 3)
         print(json.dumps(row), flush=True)
 
 
