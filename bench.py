@@ -60,8 +60,17 @@ def run_matrix():
     # (dgl1_tpu/bdense_format.py). Power-law rides the hub tiers; uniform
     # random has no exploitable structure (gather wall is the physics).
     ALL_B = ("coo", "csr", "csc", "tile", "ell", "hub", "bdense")
+    def _powerlaw_ho():
+        # Hub-first relabel: identity expand (docs/PERF_NOTES.md r4).
+        g0 = powerlaw_graph(n, AVG_DEGREE, seed=0)
+        if g0.hub_dst is None:
+            return g0
+        return dgl.reorder_graph(
+            g0, node_permute_algo="custom",
+            permute_config={"nodes_perm": dgl.hub_order(g0)})
+
     families = {
-        "powerlaw": lambda: powerlaw_graph(n, AVG_DEGREE, seed=0),
+        "powerlaw": _powerlaw_ho,
         "uniform": lambda: rand_graph(n, n * AVG_DEGREE, seed=0),
         "geometric": lambda: geometric_graph(n, AVG_DEGREE, seed=0,
                                              formats=ALL_B),
@@ -136,6 +145,16 @@ def main():
     from dgl1_tpu.data.synthetic import powerlaw_graph
 
     g = powerlaw_graph(n, AVG_DEGREE, seed=0)
+    # Hub-first relabel (dgl.hub_order): destinations land in merge
+    # order so the engine's inverse-permute expand collapses to a fused
+    # concat at the HBM store floor — same preprocessing contract as
+    # RCM for the block-dense engine (docs/PERF_NOTES.md round 4).
+    import dgl1_tpu as _dgl
+
+    if g.hub_dst is not None:
+        g = _dgl.reorder_graph(
+            g, node_permute_algo="custom",
+            permute_config={"nodes_perm": _dgl.hub_order(g)})
     num_edges = g.num_edges()
     # Pin the structure on device ONCE; features generated on device.
     g = jax.device_put(g)

@@ -90,6 +90,7 @@ from dgl1_tpu import ops
 from dgl1_tpu import transform
 # Later-reference alias: ``dgl.transforms`` (the 0.9-era module rename).
 from dgl1_tpu import transform as transforms
+from dgl1_tpu.hub_format import hub_order
 from dgl1_tpu.transform import (
     add_self_loop,
     remove_self_loop,
@@ -220,6 +221,7 @@ __all__ = [
     "remove_nodes",
     "reorder_graph",
     "rcm_order",
+    "hub_order",
     "laplacian_pe",
     "random_walk_pe",
     "geometry",

@@ -41,7 +41,16 @@ import numpy as np
 ID_DTYPE = np.int32
 BLK = 128          # group rows / window rows (MXU tile edge)
 DENSE_RB = 1024    # source-row block of the dense-tier reduce kernel
-CHUNK = 1024       # edge slots per chunk (XLA T(1024) 1-D layout)
+# Edge slots per chunk. 1024 matches XLA's T(1024) 1-D int32 layout
+# (sub-1024 blocks fail to compile); MULTIPLES are legal and halve the
+# per-grid-step overhead of the chunk kernels when runs are long, at
+# the cost of more padding on short (group, window) runs — overridable
+# for experiments via DGL1_TPU_CHUNK (measured in PERF_NOTES round 4).
+import os as _os
+
+CHUNK = int(_os.environ.get("DGL1_TPU_CHUNK", "1024"))
+if CHUNK % 1024:
+    raise ValueError("DGL1_TPU_CHUNK must be a multiple of 1024")
 MAX_GROUPS = 32    # cap on hub rows: 32*128 = 4096 hubs
 MAX_DENSE_GROUPS = 8   # cap on dense count-matrix columns (memory)
 SENT = np.int32(1 << 30)  # out-of-bounds gather index -> fill value
@@ -68,6 +77,39 @@ class HubMeta(NamedTuple):
     # backward — for what is an elementwise O(N) term). Consumers add
     # the diagonal explicitly (engine_hub + ops/attention).
     has_diag: bool = False
+    # True when the destination ids are already in merge order (tail
+    # stack first, hub slots after — the layout :func:`hub_order`
+    # relabels into): the inverse-permute expand collapses to a fused
+    # concat+pad at the HBM store floor (round-4 forward lever; the
+    # descriptor expand kernel ran at 2.4x the floor).
+    identity_expand: bool = False
+
+
+def hub_order(g) -> np.ndarray:
+    """Hub-first node permutation: relabel destinations into merge
+    order (tail ELL stack rows first, then hub slots, zero-degree rows
+    last) so the hub engine's inverse-permute expand becomes the
+    IDENTITY and collapses to a fused concat at the HBM store floor.
+
+    Returns ``perm`` with ``perm[new_id] = old_id`` — feed it to
+    :func:`dgl1_tpu.reorder_graph` with ``node_permute_algo='custom'``
+    (same preprocessing contract as RCM for the block-dense engine).
+    Requires the graph to carry a hub layout (``dgl.graph(...,
+    hub=...)`` or default formats on a hub-concentrated graph)."""
+    if g.hub_dst is None or g.hub_dst_meta is None:
+        raise ValueError("hub_order needs a graph with a hub layout")
+    t_inv = np.asarray(g.hub_dst["t_inv"]).astype(np.int64)
+    m = g.hub_dst_meta
+    k_slots = m.n_groups * BLK
+    # HUBS FIRST (ids [0, k_slots)), tail stack rows after, zero-degree
+    # last: the hub selection breaks degree ties by id (stable argsort),
+    # so hubs must precede equal-degree tail rows or the re-build on the
+    # relabeled graph would swap boundary rows and break the identity.
+    is_hub_row = (t_inv >= m.n_tail_rows) & (t_inv < SENT)
+    key = np.where(
+        is_hub_row, t_inv - m.n_tail_rows,
+        np.where(t_inv >= SENT, np.int64(1) << 40, k_slots + t_inv))
+    return np.argsort(key, kind="stable")
 
 
 def _pad_runs(order: np.ndarray, run_ids: np.ndarray,
@@ -602,6 +644,26 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
 
     if force is not None:
         has_diag = bool(force.get("has_diag", has_diag))
+    # Identity-expand detection (hub-first relabel, :func:`hub_order`):
+    # destinations [0, k_slots) are exactly the hub slots in order and
+    # [k_slots, k_slots + n_tail_rows) the tail stack in order; the
+    # expand then degenerates to concat([hub_block, stacked], zeros).
+    ft_inv = full_tail["t_inv"].astype(np.int64)
+    n_merge = n_tail_rows + k_slots
+    identity_expand = bool(
+        n_merge <= num_dst
+        and np.array_equal(
+            ft_inv[:k_slots],
+            n_tail_rows + np.arange(k_slots, dtype=np.int64))
+        and np.array_equal(
+            ft_inv[k_slots:n_merge],
+            np.arange(n_tail_rows, dtype=np.int64))
+        and (ft_inv[n_merge:] == SENT).all()
+    )
+    if force is not None:
+        # Static meta must be uniform across sharded parts; the sharded
+        # build does not relabel, so pin it to the forced value.
+        identity_expand = bool(force.get("identity_expand", False))
     meta = HubMeta(
         n_full_f=len(full_fwd["in_id"]),
         n_full_b=len(full_bwd["in_id"]),
@@ -616,6 +678,7 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         covered=int(force["covered"]) if force is not None
         else int(is_hub.sum()),
         has_diag=has_diag,
+        identity_expand=identity_expand,
     )
     arrays = {
         "full_fwd": full_fwd,

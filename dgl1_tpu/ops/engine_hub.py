@@ -560,9 +560,24 @@ def _hub_forward(static, hub, u, e):
                         e if op != "copy_lhs" else None)
     merged = jnp.concatenate([stacked, hub_block], axis=0)
 
-    # Inverse permute back to destination order: descriptor-driven Pallas
-    # expand when `merged` fits in VMEM (sequential HBM writes), else the
-    # XLA gather.
+    # Inverse permute back to destination order. Identity layout
+    # (hub_order-relabeled graphs): the merge IS the output prefix —
+    # one fused concat/pad at the HBM store floor, no permute pass at
+    # all (round-4 forward lever; the descriptor kernel ran at 2.4x
+    # the floor). Otherwise: descriptor-driven Pallas expand when
+    # `merged` fits in VMEM (sequential HBM writes), else XLA gather.
+    if getattr(m, "identity_expand", False):
+        # Hub-first relabel: destinations are [hub slots | tail stack |
+        # zero-degree] in order — emit the blocks directly. jnp.pad
+        # generates the zero-degree rows INLINE (a materialized zeros
+        # operand in a 3-way concat cost a measured extra ~0.8 ms full
+        # pass at N=2^19).
+        small = jnp.concatenate([hub_block, stacked], axis=0)
+        pad = static.num_dst - small.shape[0]
+        out = jnp.pad(small, ((0, pad),) + ((0, 0),) * (small.ndim - 1))
+        if getattr(m, "has_diag", False):
+            out = out + _diag_term(static, hub, u, e).astype(out.dtype)
+        return out
     m_pad = _round_up(merged.shape[0], 32)
     # Meta-derived gate (not array emptiness): the sharded build pads
     # zero-size descriptor arrays so they stack/shard, which must not

@@ -156,7 +156,8 @@ class PartitionedHeteroGraph:
 
     def __init__(self, *, send_idx, node_mask, orig_ids, in_deg, esrc,
                  edst, tiles_fwd, tiles_rev, num_parts, n_loc, m_halo,
-                 e_loc, num_nodes, ntypes, etypes):
+                 e_loc, num_nodes, ntypes, etypes, hub=None,
+                 hub_meta=None, hub_rows=None):
         self.send_idx = send_idx
         self.node_mask = node_mask
         self.orig_ids = orig_ids
@@ -165,6 +166,13 @@ class PartitionedHeteroGraph:
         self.edst = edst
         self.tiles_fwd = tiles_fwd
         self.tiles_rev = tiles_rev
+        # Per-relation hub-dense layouts (cross-part unified geometry,
+        # parallel/hub_shard.py) — the flagship MXU local reduce inside
+        # the typed sharded path; None per relation = tile/segment
+        # fallback.
+        self.hub = hub
+        self.hub_meta = hub_meta
+        self.hub_rows = dict(hub_rows) if hub_rows else None
         self.num_parts = int(num_parts)
         self.n_loc = dict(n_loc)
         self.m_halo = dict(m_halo)
@@ -187,21 +195,27 @@ class PartitionedHeteroGraph:
              if self.tiles_fwd is not None else None),
             ([self.tiles_rev[c] for c in ets]
              if self.tiles_rev is not None else None),
+            ([self.hub[c] for c in ets]
+             if self.hub is not None else None),
         )
         aux = (self.num_parts,
                tuple(self.n_loc[nt] for nt in nts),
                tuple(self.m_halo[nt] for nt in nts),
                tuple(self.e_loc[c] for c in ets),
                tuple(self.num_nodes[nt] for nt in nts),
-               nts, ets)
+               nts, ets,
+               (tuple(self.hub_meta[c] for c in ets)
+                if self.hub_meta is not None else None),
+               (tuple(self.hub_rows[c] for c in ets)
+                if self.hub_rows is not None else None))
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (num_parts, n_loc_t, m_halo_t, e_loc_t, num_nodes_t, nts,
-         ets) = aux
+         ets, hub_meta_t, hub_rows_t) = aux
         (send_idx, node_mask, orig_ids, in_deg, esrc, edst, tfwd,
-         trev) = children
+         trev, hub_t) = children
         return cls(
             send_idx=dict(zip(nts, send_idx)),
             node_mask=dict(zip(nts, node_mask)),
@@ -211,6 +225,11 @@ class PartitionedHeteroGraph:
             edst=dict(zip(ets, edst)),
             tiles_fwd=(None if tfwd is None else dict(zip(ets, tfwd))),
             tiles_rev=(None if trev is None else dict(zip(ets, trev))),
+            hub=(None if hub_t is None else dict(zip(ets, hub_t))),
+            hub_meta=(None if hub_meta_t is None
+                      else dict(zip(ets, hub_meta_t))),
+            hub_rows=(None if hub_rows_t is None
+                      else dict(zip(ets, hub_rows_t))),
             num_parts=num_parts,
             n_loc=dict(zip(nts, n_loc_t)),
             m_halo=dict(zip(nts, m_halo_t)),
@@ -258,6 +277,8 @@ def build_partitioned_hetero(
     pad_edges_multiple: int = 128,
     pad_halo_multiple: int = 8,
     tiles: bool = False,
+    hub=False,
+    hub_dense_floor: Optional[int] = None,
 ) -> PartitionedHeteroGraph:
     """Build the typed halo plan from a per-ntype assignment.
 
@@ -356,9 +377,15 @@ def build_partitioned_hetero(
     edst = {}
     tiles_fwd = {} if tiles else None
     tiles_rev = {} if tiles else None
+    hub_layouts = {} if hub else None
+    hub_metas = {} if hub else None
+    hub_rows = {} if hub else None
     if tiles:
         from dgl1_tpu.graph import _build_tiles
         from dgl1_tpu.parallel.halo import _pad_tiles
+    if hub:
+        from dgl1_tpu.hub_format import DENSE_RB
+        from dgl1_tpu.parallel.hub_shard import build_partitioned_hub
     for c in hg.canonical_etypes:
         st, _, dt = c
         rel = hg[c]
@@ -368,6 +395,7 @@ def build_partitioned_hetero(
         es = np.zeros((num_parts, e_loc[c]), np.int32)
         ed = np.full((num_parts, e_loc[c]), n_loc[dt], np.int32)
         tf_list, tr_list = [], []
+        hub_edges_list = []
         n_comb = n_loc[st] + num_parts * m_halo[st]
         for p in range(num_parts):
             eids = part_edges[c][p]
@@ -383,6 +411,9 @@ def build_partitioned_hetero(
             order = np.argsort(ldst, kind="stable")
             ed[p, : len(eids)] = ldst[order]
             es[p, : len(eids)] = esrc_p[order]
+            if hub:
+                hub_edges_list.append((esrc_p.copy(),
+                                       ldst.astype(np.int64).copy()))
             if tiles:
                 dummy_eid = np.zeros(len(eids), np.int32)
                 tf_list.append(_build_tiles(
@@ -399,8 +430,21 @@ def build_partitioned_hetero(
         if tiles:
             tiles_fwd[c] = _pad_tiles(tf_list, n_loc[dt])
             tiles_rev[c] = _pad_tiles(tr_list, n_comb)
+        if hub:
+            # One row space per relation: num_src = num_dst = R so the
+            # hub custom-vjp maps (R, F) -> (R, F); the reduce pads the
+            # combined table in and slices owned rows out.
+            r_c = _round_up(max(n_comb, n_loc[dt]), DENSE_RB)
+            m_c, a_c = build_partitioned_hub(
+                hub_edges_list, r_c, r_c, e_loc[c],
+                min_group_edges=(None if hub is True else int(hub)),
+                dense_floor=hub_dense_floor)
+            hub_layouts[c] = a_c
+            hub_metas[c] = m_c
+            hub_rows[c] = r_c if m_c is not None else 0
 
     return PartitionedHeteroGraph(
+        hub=hub_layouts, hub_meta=hub_metas, hub_rows=hub_rows,
         send_idx={nt: jnp.asarray(v) for nt, v in send_idx.items()},
         node_mask={nt: jnp.asarray(v) for nt, v in node_mask.items()},
         orig_ids={nt: jnp.asarray(v) for nt, v in orig_ids.items()},
@@ -435,6 +479,25 @@ def hetero_halo_exchange(phg: PartitionedHeteroGraph, ntype: str,
 def _local_rel_reduce(phg, c, msg_combined, axis_name):
     """Reduce gathered messages of one relation into owned dst rows."""
     st, _, dt = c
+    if phg.hub is not None and phg.hub.get(c) is not None:
+        from dgl1_tpu.ops.engine_hub import _Static, _gspmm_hub_sum
+        from dgl1_tpu.ops.precision import get_matmul_precision
+
+        r_c = phg.hub_rows[c]
+        out_feat = tuple(msg_combined.shape[1:])
+        static = _Static(
+            op="copy_lhs", num_src=r_c, num_dst=r_c, has_e=False,
+            he=1, rep=int(np.prod(out_feat)) if out_feat else 1,
+            u_feat=out_feat, e_feat=(), out_feat=out_feat,
+            meta=phg.hub_meta[c], prec=get_matmul_precision())
+        hub_local = jax.tree.map(lambda v: v[0], phg.hub[c])
+        x_pad = jnp.pad(
+            msg_combined,
+            ((0, r_c - msg_combined.shape[0]),)
+            + ((0, 0),) * (msg_combined.ndim - 1))
+        e_dummy = x_pad[:1, :1] * 0.0
+        return _gspmm_hub_sum(static, hub_local, x_pad,
+                              e_dummy)[: phg.n_loc[dt]]
     if phg.tiles_fwd is not None:
         from dgl1_tpu.parallel.sharded_ops import (_tiles_device_view,
                                                    make_local_spmm)

@@ -142,9 +142,17 @@ def main():
     p.add_argument("--model", default="all",
                    choices=["gcn", "gat", "rgcn", "all"])
     p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--precision", default="f32", choices=["f32", "bf16"],
+                   help="MXU matmul precision for the hub/attention "
+                        "kernels (ops/precision.py; bf16 verdict "
+                        "measured in PERF_NOTES r4)")
     p.add_argument("--fwd-only", action="store_true",
                    help="time the forward pass only (no grad/adam)")
     args = p.parse_args()
+    if args.precision != "f32":
+        from dgl1_tpu.ops import set_matmul_precision
+
+        set_matmul_precision(args.precision)
     models = ["gcn", "gat"] if args.model == "all" else [args.model]
     for mname in models:
         bench(mname, args.scale, args.epochs, args.fwd_only)

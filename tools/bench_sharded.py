@@ -150,7 +150,57 @@ def main():
         t_hi = timed(make(iters_hi))
         return (t_hi - t_lo) / (iters_hi - iters_lo)
 
+    def run_gat():
+        """Sharded GAT attention at mesh=1 (n scaled down: the per-dst
+        softmax path uses XLA segment ops — the known scatter cost on
+        TPU; this leg MEASURES it rather than assuming)."""
+        from dgl1_tpu.parallel.sharded_ops import make_sharded_gat_layer
+
+        n_g = min(n, 1 << 17)
+        gg = powerlaw_graph(n_g, args.deg, seed=1)
+        e_g = gg.num_edges()
+        part_g = np.zeros(n_g, np.int32)
+        pg = build_partitioned_graph(gg, part_g, 1)
+        layer = make_sharded_gat_layer(pg, mesh)
+        h, d = 4, 32
+        key = jax.random.PRNGKey(0)
+        el = jax.random.normal(key, (1, pg.n_loc, h))
+        er = jax.random.normal(key, (1, pg.n_loc, h))
+        ft = jax.random.normal(key, (1, pg.n_loc, h, d))
+
+        def make(iters):
+            @jax.jit
+            def run(el, er, ft):
+                def body(i, ft):
+                    return layer(el, er, ft) * 0.5 + ft * 0.5
+
+                return jax.lax.fori_loop(0, iters, body, ft)
+
+            return run
+
+        def timed(run):
+            _ = float(run(el, er, ft)[0, 0, 0, 0])
+            t0 = time.perf_counter()
+            _ = float(run(el, er, ft)[0, 0, 0, 0])
+            return time.perf_counter() - t0
+
+        lo, hi = (5, 25) if on_tpu else (1, 2)
+        t_lo = timed(make(lo))
+        t_hi = timed(make(hi))
+        dt = (t_hi - t_lo) / (hi - lo)
+        print(json.dumps({
+            "path": "gat_attention", "dir": "fwd",
+            "ms_per_iter": round(dt * 1e3, 3),
+            "edges_per_s": round(e_g / dt, 1),
+            "gedges_per_s": round(e_g / dt / 1e9, 3),
+            "cfg": f"N={n_g} E={e_g} H={h} D={d} mesh=1 {backend} "
+                   "(segment-softmax path)",
+        }), flush=True)
+
     for kind in args.paths.split(","):
+        if kind == "gat":
+            run_gat()
+            continue
         for direction in ("fwd", "fwdbwd"):
             t0 = time.perf_counter()
             dt = run_cell(kind, direction)

@@ -50,8 +50,16 @@ def main():
     from dgl1_tpu.ops import engine_hub as H
     from dgl1_tpu.ops.engine_ell import ell_stack
 
+    import sys
+
     n = NUM_NODES
     g = powerlaw_graph(n, AVG_DEGREE, seed=0)
+    if "--huborder" in sys.argv:
+        g = dgl.reorder_graph(
+            g, node_permute_algo="custom",
+            permute_config={"nodes_perm": dgl.hub_order(g)})
+        print("hub-first relabel: identity_expand =",
+              g.hub_dst_meta.identity_expand, flush=True)
     meta: HubMeta = g.hub_dst_meta
     print(f"E={g.num_edges()} n_groups={meta.n_groups} "
           f"n_dense={meta.n_dense} tail_slots={g.hub_dst['t_idx'].shape}",
@@ -111,9 +119,15 @@ def main():
     use_expand = (g.hub_dst["x_desc"].shape[0] > 0
                   and m_pad * H.BLK * 4 <= H._EXPAND_VMEM_BYTES)
 
+    identity = bool(getattr(meta, "identity_expand", False))
+
     def expand_only(g, x):
         merged2 = jnp.zeros((m_pad, f_pad), jnp.float32) + x[:m_pad]
-        if use_expand:
+        if identity:
+            out = jnp.concatenate(
+                [merged2[:n_merge],
+                 jnp.zeros((n - n_merge, f_pad), jnp.float32)], axis=0)
+        elif use_expand:
             out = H._expand_call(merged2, g.hub_dst["x_starts"],
                                  g.hub_dst["x_desc"], n)
         else:
