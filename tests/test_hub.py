@@ -379,3 +379,65 @@ def test_hub_bf16():
     np.testing.assert_allclose(
         np.asarray(a, np.float32), b, rtol=0.1, atol=0.5
     )
+
+
+def test_hub_order_identity_expand():
+    """Hub-first relabel (dgl.hub_order): identity_expand must hold on
+    the relabeled graph and values+grads stay oracle-exact through the
+    fused concat/pad path (round-4 headline lever)."""
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+    from dgl1_tpu.ops.engine_xla import gspmm_xla
+
+    g = powerlaw_graph(1 << 12, 8, seed=3)
+    assert g.hub_dst is not None
+    assert not g.hub_dst_meta.identity_expand  # natural order is not
+    perm = dgl.hub_order(g)
+    g2 = dgl.reorder_graph(g, node_permute_algo="custom",
+                           permute_config={"nodes_perm": perm})
+    m = g2.hub_dst_meta
+    assert m.identity_expand, "relabel must produce the identity layout"
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(g2.num_nodes(), 24)).astype(np.float32))
+    y = dgl.ops.gspmm(g2, "copy_lhs", "sum", x, None)
+    y_ref = gspmm_xla(g2, "copy_lhs", "sum", x, None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    gr = jax.grad(lambda x: jnp.sum(
+        dgl.ops.gspmm(g2, "copy_lhs", "sum", x, None) ** 2))(x)
+    gr_ref = jax.grad(lambda x: jnp.sum(
+        gspmm_xla(g2, "copy_lhs", "sum", x, None) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr_ref),
+                               rtol=1e-4, atol=2e-4)
+    # The relabeled graph is isomorphic: unsharding through the perm
+    # reproduces the original graph's aggregation.
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    y_orig = gspmm_xla(g, "copy_lhs", "sum", x[jnp.asarray(inv)], None)
+    np.testing.assert_allclose(np.asarray(y)[inv], np.asarray(y_orig),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hub_order_identity_u_mul_e_and_mean():
+    """Identity layout must hold for the weighted and mean paths too
+    (they share the expand)."""
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+    from dgl1_tpu.ops.engine_xla import gspmm_xla
+
+    g0 = powerlaw_graph(1 << 11, 8, seed=5)
+    g = dgl.reorder_graph(g0, node_permute_algo="custom",
+                          permute_config={"nodes_perm": dgl.hub_order(g0)})
+    assert g.hub_dst_meta.identity_expand
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(g.num_nodes(), 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(g.num_edges_padded(), 1)
+                               ).astype(np.float32))
+    for op, e in (("mul", w), ("copy_lhs", None)):
+        for red in ("sum", "mean"):
+            y = dgl.ops.gspmm(g, op if op != "mul" else "mul", red,
+                              x, e)
+            y_ref = gspmm_xla(g, op if op != "mul" else "mul", red,
+                              x, e)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=1e-4, atol=1e-4)
