@@ -441,3 +441,43 @@ def test_hub_order_identity_u_mul_e_and_mean():
                               x, e)
             np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_chunk_env_override_matches_oracle():
+    """DGL1_TPU_CHUNK=2048 (the attention per-grid-step overhead lever,
+    PERF_NOTES r4) must keep every layout/engine path oracle-exact.
+    Subprocess: CHUNK is captured at import."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+import dgl1_tpu as dgl
+from dgl1_tpu.hub_format import CHUNK
+assert CHUNK == 2048, CHUNK
+from dgl1_tpu.data.synthetic import powerlaw_graph
+from dgl1_tpu.ops.engine_xla import gspmm_xla
+g = powerlaw_graph(1 << 11, 8, seed=2)
+x = jnp.asarray(np.random.default_rng(0).normal(
+    size=(g.num_nodes(), 8)).astype(np.float32))
+y = dgl.ops.gspmm(g, "copy_lhs", "sum", x, None)
+y_ref = gspmm_xla(g, "copy_lhs", "sum", x, None)
+np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                           rtol=1e-4, atol=1e-4)
+# weighted path exercises the full chunk layouts
+w = jnp.asarray(np.random.default_rng(1).normal(
+    size=(g.num_edges_padded(), 1)).astype(np.float32))
+ym = dgl.ops.gspmm(g, "mul", "sum", x, w)
+ym_ref = gspmm_xla(g, "mul", "sum", x, w)
+np.testing.assert_allclose(np.asarray(ym), np.asarray(ym_ref),
+                           rtol=1e-4, atol=1e-4)
+print("OK")
+"""
+    env = dict(os.environ)
+    env["DGL1_TPU_CHUNK"] = "2048"
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr)

@@ -197,9 +197,87 @@ def main():
                    "(segment-softmax path)",
         }), flush=True)
 
+    def run_rgcn():
+        """Sharded typed R-GCN layer at mesh=1, mag-ish scale (169k
+        nodes / ~4.4M typed edges / 8 relations) — fwd+bwd of
+        make_sharded_rgcn_layer with per-relation hub layouts; compare
+        against tools/bench_models.py --model rgcn (23.7 ms/epoch
+        unsharded, includes basis decomp + adam)."""
+        import dgl1_tpu as dgl
+        from dgl1_tpu.parallel.hetero import (build_partitioned_hetero,
+                                              make_sharded_rgcn_layer)
+
+        rng = np.random.default_rng(0)
+        n_nt, rels, e_rel = 169_000, 8, 550_000
+        scale = 1 if on_tpu else 64
+        n_nt, e_rel = n_nt // scale, e_rel // scale
+        edges = {}
+        for r in range(rels):
+            # Zipf-ish dst concentration per relation (hub regime).
+            dst_r = np.minimum(rng.zipf(1.9, size=e_rel) - 1, n_nt - 1)
+            edges[("n", f"r{r}", "n")] = (
+                rng.integers(0, n_nt, e_rel), dst_r)
+        hg = dgl.heterograph(edges, num_nodes_dict={"n": n_nt})
+        e_tot = sum(hg[c].num_edges() for c in hg.canonical_etypes)
+        part = {"n": np.zeros(n_nt, np.int32)}
+        phg = build_partitioned_hetero(hg, part, 1, hub=True)
+        n_hub = sum(1 for c in phg.etypes if phg.hub[c] is not None)
+        layer = make_sharded_rgcn_layer(phg, mesh)
+        f_in = f_out = 64
+        feats = {"n": jax.random.normal(
+            jax.random.PRNGKey(0), (1, phg.n_loc["n"], f_in))}
+        weights = {c: jax.random.normal(jax.random.PRNGKey(1),
+                                        (f_in, f_out)) * 0.1
+                   for c in hg.canonical_etypes}
+        selfw = {"n": jax.random.normal(jax.random.PRNGKey(2),
+                                        (f_in, f_out)) * 0.1}
+
+        def make(iters):
+            @jax.jit
+            def run(feats, weights, selfw):
+                def body(i, carry):
+                    f, w = carry
+
+                    def loss(w):
+                        out = layer(f, w, selfw)
+                        return jnp.sum(out["n"] ** 2)
+
+                    gw = jax.grad(loss)(w)
+                    w = jax.tree.map(lambda a, g: a - 1e-12 * g, w, gw)
+                    return (f, w)
+
+                return jax.lax.fori_loop(0, iters, body,
+                                         (feats, weights))[1]
+
+            return run
+
+        def timed(run):
+            out = run(feats, weights, selfw)
+            _ = float(jax.tree.leaves(out)[0][0, 0])
+            t0 = time.perf_counter()
+            out = run(feats, weights, selfw)
+            _ = float(jax.tree.leaves(out)[0][0, 0])
+            return time.perf_counter() - t0
+
+        lo, hi = (5, 25) if on_tpu else (1, 2)
+        t_lo = timed(make(lo))
+        t_hi = timed(make(hi))
+        dt = (t_hi - t_lo) / (hi - lo)
+        print(json.dumps({
+            "path": "typed_rgcn", "dir": "fwdbwd",
+            "ms_per_iter": round(dt * 1e3, 3),
+            "edges_per_s": round(e_tot / dt, 1),
+            "gedges_per_s": round(e_tot / dt / 1e9, 3),
+            "cfg": f"N={n_nt} E={e_tot} rels={rels} F={f_in} mesh=1 "
+                   f"{backend} hub_rels={n_hub}",
+        }), flush=True)
+
     for kind in args.paths.split(","):
         if kind == "gat":
             run_gat()
+            continue
+        if kind == "rgcn":
+            run_rgcn()
             continue
         for direction in ("fwd", "fwdbwd"):
             t0 = time.perf_counter()
