@@ -686,17 +686,59 @@ def _vertex_cut_gat_attention(pg: PartitionedGraph, el_local, er_local,
     return out
 
 
+def sharded_gat_attention_fused(pg: PartitionedGraph, el_local, er_local,
+                                ft_local, negative_slope: float = 0.2,
+                                axis_name: str = "p"):
+    """Edge-softmax attention through the FUSED flash-style hub kernels
+    per part (round 4): the segment-op path (:func:`sharded_gat_attention`)
+    runs XLA scatter reductions — the known TPU cost this engine exists
+    to avoid. Requires a hub build (``hub=...``) and dst-owner edge
+    placement (halo mode: every destination's in-edges are local, so
+    the per-dst softmax is exact with no cross-part statistics —
+    vertex-cut graphs use the online-softmax segment path)."""
+    from dgl1_tpu.ops.attention import _Static as _AStatic, _gat_attention
+    from dgl1_tpu.ops.precision import get_matmul_precision
+
+    if pg.hub is None:
+        raise ValueError("fused sharded attention requires hub=... at "
+                         "build")
+    if pg.m_part:
+        raise ValueError("vertex-cut placement: use "
+                         "sharded_gat_attention (cross-part online "
+                         "softmax)")
+    R = pg.hub_rows
+    n_loc = pg.n_loc
+    h, d = ft_local.shape[1], ft_local.shape[2]
+    el_c = halo_exchange(pg, el_local, axis_name)
+    ft_c = halo_exchange(pg, ft_local.reshape(n_loc, h * d), axis_name)
+    el2 = jnp.pad(el_c, ((0, R - el_c.shape[0]), (0, 0)))
+    ft2 = jnp.pad(ft_c, ((0, R - ft_c.shape[0]), (0, 0)))
+    er2 = jnp.pad(er_local, ((0, R - n_loc), (0, 0)))
+    static = _AStatic(
+        slope=float(negative_slope), num_src=R, num_dst=R, h=h, d=d,
+        meta=pg.hub_meta, prec=get_matmul_precision(), attn_drop=0.0)
+    hub_local = jax.tree.map(lambda v: v[0], pg.hub)
+    # Sharded-input-derived seed (a fresh int constant would become a
+    # replicated custom-vjp residual — see _hub_local_spmm).
+    seed = (el2[:1, 0] * 0.0).astype(jnp.int32)
+    out = _gat_attention(static, hub_local, el2, er2, ft2, seed)
+    return out[:n_loc].reshape(n_loc, h, d)
+
+
 def make_sharded_gat_layer(pg: PartitionedGraph, mesh: Mesh,
                            negative_slope: float = 0.2,
-                           axis_name: str = "p"):
+                           axis_name: str = "p", fused: bool = False):
     """Jittable sharded GAT aggregation: inputs/outputs (P, n_loc, ...)
     sharded on the mesh axis; weights applied by the caller (replicated
-    dense projections are XLA's job, like the single-device GATConv)."""
+    dense projections are XLA's job, like the single-device GATConv).
+    ``fused=True`` routes through the per-part flash-style hub kernels
+    (needs ``hub=...`` at build + halo placement)."""
 
     def body(pg_local, el, er, ft):
-        return sharded_gat_attention(
-            pg_local, el[0], er[0], ft[0], negative_slope, axis_name
-        )[None]
+        fn = (sharded_gat_attention_fused if fused
+              else sharded_gat_attention)
+        return fn(pg_local, el[0], er[0], ft[0], negative_slope,
+                  axis_name)[None]
 
     spec_pg = jax.tree.map(lambda _: P(axis_name), pg)
     fn = jax.shard_map(

@@ -689,3 +689,42 @@ def test_sharded_hub_bf16_halo_wire():
     # (Grad-path coverage for the bf16 wire rides the dryrun halo leg —
     # compiling a second 8-device grad program here costs ~20 s of
     # suite time for no additional oracle signal.)
+
+
+def test_sharded_gat_fused_matches_segment_path():
+    """Per-part FUSED flash-attention vs the segment-softmax sharded
+    path and the single-device composed oracle — values and grads."""
+    from dgl1_tpu.parallel.sharded_ops import make_sharded_gat_layer
+
+    k = 4
+    g = _powerlawish(96, 2200, seed=13)
+    part = random_partition_assignment(g, k, seed=4)
+    pg = build_partitioned_graph(g, part, k, hub=32, hub_dense_floor=64)
+    assert pg.hub is not None
+    mesh = Mesh(np.array(jax.devices()[:k]), ("p",))
+    rng = np.random.default_rng(0)
+    h, d = 2, 8
+    el = jnp.asarray(rng.normal(size=(96, h)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(96, h)).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(96, h, d)).astype(np.float32))
+
+    seg = make_sharded_gat_layer(pg, mesh)
+    fus = make_sharded_gat_layer(pg, mesh, fused=True)
+    xs = (pg.shard_node_data(el), pg.shard_node_data(er),
+          pg.shard_node_data(ft))
+    y_seg = np.asarray(pg.unshard_node_data(jax.jit(seg)(*xs)))
+    y_fus = np.asarray(pg.unshard_node_data(jax.jit(fus)(*xs)))
+    mask = np.asarray(g.in_degrees()) > 0  # zero-deg rows: seg uses 0/eps
+    np.testing.assert_allclose(y_fus[mask], y_seg[mask],
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(fn, el, er, ft):
+        return jnp.sum(jnp.sin(fn(el, er, ft)))
+
+    g_seg = jax.grad(lambda *a: loss(seg, *a), argnums=(0, 1, 2))(*xs)
+    g_fus = jax.grad(lambda *a: loss(fus, *a), argnums=(0, 1, 2))(*xs)
+    for a, b in zip(g_seg, g_fus):
+        ga = np.asarray(pg.unshard_node_data(a))
+        gb = np.asarray(pg.unshard_node_data(b))
+        np.testing.assert_allclose(gb[mask], ga[mask], rtol=2e-4,
+                                   atol=2e-4)

@@ -150,7 +150,7 @@ def main():
         t_hi = timed(make(iters_hi))
         return (t_hi - t_lo) / (iters_hi - iters_lo)
 
-    def run_gat():
+    def run_gat(kind="gat"):
         """Sharded GAT attention at mesh=1 (n scaled down: the per-dst
         softmax path uses XLA segment ops — the known scatter cost on
         TPU; this leg MEASURES it rather than assuming)."""
@@ -160,8 +160,10 @@ def main():
         gg = powerlaw_graph(n_g, args.deg, seed=1)
         e_g = gg.num_edges()
         part_g = np.zeros(n_g, np.int32)
-        pg = build_partitioned_graph(gg, part_g, 1)
-        layer = make_sharded_gat_layer(pg, mesh)
+        fused = kind == "gatf"
+        pg = build_partitioned_graph(gg, part_g, 1, hub=fused or None,
+                                     tiles=not fused)
+        layer = make_sharded_gat_layer(pg, mesh, fused=fused)
         h, d = 4, 32
         key = jax.random.PRNGKey(0)
         el = jax.random.normal(key, (1, pg.n_loc, h))
@@ -189,12 +191,14 @@ def main():
         t_hi = timed(make(hi))
         dt = (t_hi - t_lo) / (hi - lo)
         print(json.dumps({
-            "path": "gat_attention", "dir": "fwd",
+            "path": "gat_attention_fused" if fused else "gat_attention",
+            "dir": "fwd",
             "ms_per_iter": round(dt * 1e3, 3),
             "edges_per_s": round(e_g / dt, 1),
             "gedges_per_s": round(e_g / dt / 1e9, 3),
             "cfg": f"N={n_g} E={e_g} H={h} D={d} mesh=1 {backend} "
-                   "(segment-softmax path)",
+                   + ("(fused hub kernels)" if fused
+                      else "(segment-softmax path)"),
         }), flush=True)
 
     def run_rgcn():
@@ -273,8 +277,8 @@ def main():
         }), flush=True)
 
     for kind in args.paths.split(","):
-        if kind == "gat":
-            run_gat()
+        if kind in ("gat", "gatf"):
+            run_gat(kind)
             continue
         if kind == "rgcn":
             run_rgcn()
