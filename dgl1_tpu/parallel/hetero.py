@@ -561,6 +561,13 @@ def make_sharded_rgcn_layer(phg: PartitionedHeteroGraph, mesh: Mesh,
     ``weights`` is {canonical_etype: (F_in, F_out)} plus optional
     ``self_weights`` {ntype: (F_in, F_out)} (replicated — their grads are
     psum'd by the shard_map transpose automatically).
+
+    When the returned ``run`` is called INSIDE another ``jax.jit``, pass
+    ``phg_arg=<the plan threaded through that jit's arguments>`` —
+    otherwise the closed-over layout arrays are baked into the outer
+    HLO as constants (compile bloat; trips the remote-compile size
+    limit once hub layouts are attached — same rule as bench.py's
+    graph argument).
     """
 
     if mesh.shape[axis_name] != phg.num_parts:
@@ -584,7 +591,7 @@ def make_sharded_rgcn_layer(phg: PartitionedHeteroGraph, mesh: Mesh,
 
     spec_pg = jax.tree.map(lambda _: PartitionSpec(axis_name), phg)
 
-    def run(feats, weights, self_weights=None):
+    def run(feats, weights, self_weights=None, phg_arg=None):
         self_weights = {} if self_weights is None else self_weights
         in_specs = (
             spec_pg,
@@ -600,7 +607,8 @@ def make_sharded_rgcn_layer(phg: PartitionedHeteroGraph, mesh: Mesh,
             out_specs=out_specs,
             check_vma=False,
         )
-        return fn(phg, feats, weights, self_weights)
+        return fn(phg if phg_arg is None else phg_arg, feats,
+                  weights, self_weights)
 
     return run
 

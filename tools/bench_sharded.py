@@ -209,7 +209,7 @@ def main():
         unsharded, includes basis decomp + adam)."""
         import dgl1_tpu as dgl
         from dgl1_tpu.parallel.hetero import (build_partitioned_hetero,
-                                              make_sharded_rgcn_layer)
+                                              sharded_typed_gspmm)
 
         rng = np.random.default_rng(0)
         n_nt, rels, e_rel = 169_000, 8, 550_000
@@ -226,8 +226,25 @@ def main():
         part = {"n": np.zeros(n_nt, np.int32)}
         phg = build_partitioned_hetero(hg, part, 1, hub=True)
         n_hub = sum(1 for c in phg.etypes if phg.hub[c] is not None)
-        layer = make_sharded_rgcn_layer(phg, mesh)
         f_in = f_out = 64
+
+        # phg must be a jit ARGUMENT: the closed-over hub arrays would
+        # be baked into the HLO as constants and trip the remote-compile
+        # 413 size limit (PERF_NOTES round-1 landmine, same rule as
+        # bench.py's graph).
+        def typed_layer(phg_l, f, w, sw):
+            agg = sharded_typed_gspmm(phg_l, {"n": f["n"][0]}, w, "p")
+            y = agg["n"] / jnp.maximum(phg_l.in_deg["n"][0], 1.0)[:, None]
+            return (y + f["n"][0] @ sw["n"])[None]
+
+        spec_pg = jax.tree.map(lambda _: P("p"), phg)
+        layer_sm = jax.shard_map(
+            typed_layer, mesh=mesh,
+            in_specs=(spec_pg, {"n": P("p")},
+                      jax.tree.map(lambda _: P(), {
+                          c: 0 for c in hg.canonical_etypes}),
+                      {"n": P()}),
+            out_specs=P("p"), check_vma=False)
         feats = {"n": jax.random.normal(
             jax.random.PRNGKey(0), (1, phg.n_loc["n"], f_in))}
         weights = {c: jax.random.normal(jax.random.PRNGKey(1),
@@ -238,13 +255,13 @@ def main():
 
         def make(iters):
             @jax.jit
-            def run(feats, weights, selfw):
+            def run(phg, feats, weights, selfw):
                 def body(i, carry):
                     f, w = carry
 
                     def loss(w):
-                        out = layer(f, w, selfw)
-                        return jnp.sum(out["n"] ** 2)
+                        out = layer_sm(phg, f, w, selfw)
+                        return jnp.sum(out ** 2)
 
                     gw = jax.grad(loss)(w)
                     w = jax.tree.map(lambda a, g: a - 1e-12 * g, w, gw)
@@ -256,10 +273,10 @@ def main():
             return run
 
         def timed(run):
-            out = run(feats, weights, selfw)
+            out = run(phg, feats, weights, selfw)
             _ = float(jax.tree.leaves(out)[0][0, 0])
             t0 = time.perf_counter()
-            out = run(feats, weights, selfw)
+            out = run(phg, feats, weights, selfw)
             _ = float(jax.tree.leaves(out)[0][0, 0])
             return time.perf_counter() - t0
 
