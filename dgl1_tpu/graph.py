@@ -534,6 +534,75 @@ class Graph:
     inc = incidence_matrix
 
     # ------------------------------------------------------------------
+    # DGL 0.5 facade crumbs (parity sweep, round 4)
+    # ------------------------------------------------------------------
+    def has_nodes(self, vid):
+        """Parity: ``DGLGraph.has_nodes`` — bool (or bool array) of
+        whether the ids are valid node ids."""
+        v = np.asarray(vid)
+        out = (v >= 0) & (v < self.num_nodes())
+        return bool(out) if out.ndim == 0 else out
+
+    def is_multigraph(self) -> bool:
+        """Parity: ``DGLGraph.is_multigraph`` — True iff some (u, v)
+        pair repeats."""
+        e = self.num_real_edges()
+        if e == 0:
+            return False
+        key = (np.asarray(self.src)[:e].astype(np.int64)
+               * max(self.num_dst_nodes(), 1)
+               + np.asarray(self.dst)[:e].astype(np.int64))
+        return len(np.unique(key)) < e
+
+    def clone(self) -> "Graph":
+        """Parity: ``DGLGraph.clone`` — same structure (arrays are
+        immutable jax buffers, shared), fresh frame dicts."""
+        import copy
+
+        new = copy.copy(self)
+        new.ndata = dict(self.ndata)
+        new.edata = dict(self.edata)
+        return new
+
+    def local_var(self) -> "Graph":
+        """Parity: ``DGLGraph.local_var`` — a view whose frame
+        mutations do not leak back (prefer :meth:`local_scope`)."""
+        return self.clone()
+
+    def long(self) -> "Graph":
+        """Parity: ``DGLGraph.long`` — ids are already int32/int64
+        device arrays; no-op."""
+        return self
+
+    def node_attr_schemes(self):
+        """Parity: ``DGLGraph.node_attr_schemes`` — {name: (shape,
+        dtype)} of node frame fields."""
+        return {k: (tuple(v.shape[1:]), v.dtype)
+                for k, v in self.ndata.items()}
+
+    def edge_attr_schemes(self):
+        return {k: (tuple(v.shape[1:]), v.dtype)
+                for k, v in self.edata.items()}
+
+    def create_formats_(self) -> "Graph":
+        """Parity: ``DGLGraph.create_formats_`` — formats here are
+        built eagerly at construction (static shapes for XLA); no-op."""
+        return self
+
+    def number_of_src_nodes(self) -> int:
+        return self.num_src_nodes()
+
+    def number_of_dst_nodes(self) -> int:
+        return self.num_dst_nodes()
+
+    def srcnodes(self):
+        """Parity: ``DGLGraph.srcnodes`` (block source-node ids)."""
+        return jnp.arange(self.num_src_nodes())
+
+    def dstnodes(self):
+        return jnp.arange(self.num_dst_nodes())
+
+    # ------------------------------------------------------------------
     # Structure transforms that are pure pytree rewires (zero copy)
     # ------------------------------------------------------------------
     def reverse(self, copy_edata: bool = True) -> "Graph":

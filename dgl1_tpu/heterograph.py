@@ -164,6 +164,60 @@ class HeteroGraph:
             return sum(g.num_edges() for g in self.rel_graphs.values())
         return self[etype].num_edges()
 
+    # -- DGL 0.5 facade crumbs (parity sweep, round 4) -----------------
+    def get_ntype_id(self, ntype: str) -> int:
+        """Parity: ``DGLHeteroGraph.get_ntype_id`` — index into the
+        sorted ntype list."""
+        try:
+            return self.ntypes.index(ntype)
+        except ValueError:
+            raise KeyError(f"unknown node type {ntype!r}")
+
+    def get_etype_id(self, etype) -> int:
+        """Parity: ``DGLHeteroGraph.get_etype_id``."""
+        return self.canonical_etypes.index(self.to_canonical_etype(etype))
+
+    def has_nodes(self, vid, ntype: str):
+        v = np.asarray(vid)
+        n = (self._num_nodes.get(ntype, 0) if self._num_src is None
+             else self._num_src.get(ntype, 0))
+        out = (v >= 0) & (v < n)
+        return bool(out) if out.ndim == 0 else out
+
+    def is_multigraph(self) -> bool:
+        return any(self[c].is_multigraph() for c in self.canonical_etypes)
+
+    def clone(self) -> "HeteroGraph":
+        import copy
+
+        new = copy.copy(self)
+        new.rel_graphs = {c: g.clone()
+                          for c, g in self.rel_graphs.items()}
+        new.nframes = {nt: dict(f) for nt, f in self.nframes.items()}
+        return new
+
+    def local_var(self) -> "HeteroGraph":
+        return self.clone()
+
+    def long(self) -> "HeteroGraph":
+        return self
+
+    def node_attr_schemes(self, ntype: str):
+        return {k: (tuple(v.shape[1:]), v.dtype)
+                for k, v in self.nframes.get(ntype, {}).items()}
+
+    def edge_attr_schemes(self, etype=None):
+        g = self[etype] if etype is not None else \
+            self[self.canonical_etypes[0]]
+        return {k: (tuple(v.shape[1:]), v.dtype)
+                for k, v in g.edata.items()}
+
+    def number_of_src_nodes(self, ntype=None) -> int:
+        return self.num_src_nodes(ntype)
+
+    def number_of_dst_nodes(self, ntype=None) -> int:
+        return self.num_dst_nodes(ntype)
+
     def to_canonical_etype(self, etype) -> CanonicalEtype:
         if isinstance(etype, tuple):
             return etype
