@@ -43,39 +43,61 @@ def make_gcn_train_step(
     mesh: Mesh,
     optimizer: optax.GradientTransformation,
     num_classes: int,
+    combined: bool = False,
 ):
     """Returns a jitted ``step(params, opt_state, x, labels, mask) ->
     (params, opt_state, loss)`` with x/labels/mask sharded over axis 'p'.
-    """
-    matvec = make_sharded_gcn_matvec(pg, mesh)
 
-    def loss_fn(params, x, labels, mask):
-        h = matvec(x)
+    ``combined=True``: activations ride the copy-free
+    ``[owned | halo | pad]`` layout (x is (P, R, F) from
+    ``pg.shard_node_data_combined``; labels/mask stay (P, n_loc));
+    requires ``hub=...`` at build — the flagship multi-chip
+    configuration (docs/PERF_NOTES.md round 4).
+
+    The partitioned-graph pytree is threaded through jit as a real
+    ARGUMENT (partial-of-jit): closing over it would bake the layout
+    arrays into the HLO as constants — compile bloat and a remote-
+    compile 413 once hub layouts are attached.
+    """
+    from dgl1_tpu.parallel.sharded_ops import (
+        make_sharded_gcn_matvec_combined)
+
+    maker = (make_sharded_gcn_matvec_combined if combined
+             else make_sharded_gcn_matvec)
+    matvec_fn = maker(pg, mesh).func  # shard_map fn: (pg, x) -> y
+
+    def loss_fn(pg_a, params, x, labels, mask):
+        h = matvec_fn(pg_a, x)
         h = jax.nn.relu(
             jnp.einsum("pnf,fh->pnh", h, params["w1"]) + params["b1"]
         )
-        h = matvec(h)
+        h = matvec_fn(pg_a, h)
         logits = jnp.einsum("pnh,hc->pnc", h, params["w2"]) + params["b2"]
+        if combined:
+            logits = logits[:, : pg.n_loc]
         logp = jax.nn.log_softmax(logits, axis=-1)
         onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
         ce = -jnp.sum(logp * onehot, axis=-1)
         m = mask.astype(logits.dtype)
         return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
 
-    def step(params, opt_state, x, labels, mask):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask)
+    def step(pg_a, params, opt_state, x, labels, mask):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=1)(
+            pg_a, params, x, labels, mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     shard = NamedSharding(mesh, P("p"))
     repl = NamedSharding(mesh, P())
+    spec_pg = jax.tree.map(lambda _: shard, pg)
     jitted = jax.jit(
         step,
-        in_shardings=(repl, repl, shard, shard, shard),
+        in_shardings=(spec_pg, repl, repl, shard, shard, shard),
         out_shardings=(repl, repl, repl),
     )
-    return jitted, loss_fn
+    return (functools.partial(jitted, pg),
+            functools.partial(loss_fn, pg))
 
 
 def make_gcn_predict(pg: PartitionedGraph, mesh: Mesh):

@@ -728,3 +728,42 @@ def test_sharded_gat_fused_matches_segment_path():
         gb = np.asarray(pg.unshard_node_data(b))
         np.testing.assert_allclose(gb[mask], ga[mask], rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_gcn_train_step_combined_layout_learns():
+    """make_gcn_train_step(combined=True): the copy-free flagship
+    configuration trains and matches the plain-layout step's loss
+    trajectory."""
+    import optax
+
+    from dgl1_tpu.parallel.train import (init_gcn_params,
+                                         make_gcn_train_step)
+
+    k = 4
+    g = _powerlawish(96, 2200, seed=17)
+    part = random_partition_assignment(g, k, seed=6)
+    pg = build_partitioned_graph(g, part, k, hub=32, hub_dense_floor=64)
+    mesh = Mesh(np.array(jax.devices()[:k]), ("p",))
+    rng = np.random.default_rng(2)
+    feat = jnp.asarray(rng.normal(size=(96, 12)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, 96).astype(np.int32))
+    opt = optax.adam(5e-2)
+    params0 = init_gcn_params(jax.random.PRNGKey(0), 12, 16, 4)
+
+    losses = {}
+    for combined in (False, True):
+        step, _ = make_gcn_train_step(pg, mesh, opt, 4,
+                                      combined=combined)
+        x = (pg.shard_node_data_combined(feat) if combined
+             else pg.shard_node_data(feat))
+        y = pg.shard_node_data(labels).astype(jnp.int32)
+        params, st = params0, opt.init(params0)
+        tr = []
+        for _ in range(5):
+            params, st, loss = step(params, st, x, y, pg.node_mask)
+            tr.append(float(loss))
+        losses[combined] = tr
+    # Same math, different layout: identical trajectories to fp tolerance.
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4,
+                               atol=1e-4)
+    assert losses[True][-1] < losses[True][0]

@@ -54,7 +54,7 @@ EXAMPLES = {
     "train_graph_classification.py": (["--epochs", "12"], 500),
     "train_diffpool.py": (["--epochs", "300"], 600),
     "train_ggnn.py": (["--epochs", "60"], 900),
-    "train_chem.py": (["--model", "mpnn", "--epochs", "8"], 500),
+    "train_chem.py": (["--model", "mpnn", "--epochs", "8"], 900),
     "train_lgnn.py": (["--epochs", "6"], 500),
     "train_treelstm.py": (["--epochs", "5"], 500),
     "train_pinsage.py": (["--steps", "60"], 400),
