@@ -327,6 +327,15 @@ def _expand_kernel(starts_ref, desc_ref, merged_ref, out_ref):
 # VMEM budget for the resident merged block (v5e has ~16MB more total;
 # leave room for the output block and double buffering).
 _EXPAND_VMEM_BYTES = 4 * 1024 * 1024
+# Separate (larger) budget for the fused backward's resident tail-src
+# stack: its kernel co-residents are small (one 1024x128 int8 C block,
+# a (kd, 128) ct block and the 1024x128 output block, ~1.3 MB with
+# double buffering), so the 16 MB scoped-vmem limit admits a ~12 MB
+# tail. The old shared 4 MB gate silently dropped the fused path at
+# N=2^19 (tail ~4.6 MB) — the backward then paid a FULL-SIZE 524k-row
+# tail inverse-permute, 1.45 ms of the 1.66 ms backward (profiled
+# 2026-08-21, PROF_LOG2N=19 tools/profile_hub_bwd.py).
+_BWD_TAIL_VMEM_BYTES = 12 * 1024 * 1024
 
 
 def _expand_call(merged2, x_starts, x_desc, num_dst: int):
@@ -631,7 +640,7 @@ def _bwd(static, res, ct):
         fused = (op == "copy_lhs" and m.n_dense > 0
                  and 0 < n_src_rows < EXPAND_PACK
                  and gb_desc is not None and gb_desc.shape[0] > 0
-                 and m_tail_pad * BLK * 4 <= _EXPAND_VMEM_BYTES)
+                 and m_tail_pad * BLK * 4 <= _BWD_TAIL_VMEM_BYTES)
 
         gu2 = None
         if fused:

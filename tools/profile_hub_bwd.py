@@ -13,7 +13,8 @@ import time
 
 import numpy as np
 
-NUM_NODES = 1 << 17
+import os
+NUM_NODES = 1 << int(os.environ.get("PROF_LOG2N", "17"))
 AVG_DEGREE = 8
 FEAT_DIM = 128
 ITERS_LO = 20
