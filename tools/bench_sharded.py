@@ -29,7 +29,10 @@ def main():
     ap.add_argument("--n", type=int, default=19, help="log2 num nodes")
     ap.add_argument("--deg", type=int, default=8)
     ap.add_argument("--feat", type=int, default=128)
-    ap.add_argument("--paths", default="hubc,hub,vcut,unsharded")
+    ap.add_argument("--paths", default="hubc,hub,vcut,unsharded",
+                    help="also: hubg (grad INSIDE shard_map — isolates "
+                         "the linearization residual-matching overhead), "
+                         "tiles, gat, gatf, rgcn")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +61,7 @@ def main():
     feat = jax.random.normal(jax.random.PRNGKey(0), (1, n, f), jnp.float32)
 
     def build(kind):
-        if kind in ("hub", "hubc"):
+        if kind in ("hub", "hubc", "hubg"):
             return build_partitioned_graph(g, part, 1, tiles=False,
                                            hub=True)
         if kind == "tiles":
@@ -101,14 +104,15 @@ def main():
             return (t_hi - t_lo) / (iters_hi - iters_lo)
 
         pg = build(kind)
-        if kind in ("hub", "hubc", "vcut"):
+        if kind in ("hub", "hubc", "hubg", "vcut"):
             assert pg.hub_meta is not None, "hub layout did not build"
         pg = jax.device_put(pg)
         jax.block_until_ready(
             [l for l in jax.tree.leaves(pg) if hasattr(l, "block_until_ready")])
 
         spec_pg = jax.tree.map(lambda _: P("p"), pg)
-        combined = kind == "hubc"
+        combined = kind in ("hubc", "hubg")
+        grad_inside = kind == "hubg"
         xin = feat
         if combined:
             xin = jnp.pad(feat, ((0, 0), (0, pg.hub_rows - n), (0, 0)))
@@ -123,6 +127,17 @@ def main():
 
             if direction == "fwd":
                 return (one(x[0]) * 0.1)[None]
+            if grad_inside:
+                # Whole fwd+bwd INSIDE the shard_map body: residuals
+                # never cross the map boundary, so jax's per-leaf
+                # output-spec re-matching (the measured ~1.7 ms sharded
+                # bwd overhead) disappears. The psum makes the loss —
+                # and with it the cross-device halo grads — global.
+                def loss(xx):
+                    return jax.lax.psum(jnp.sum(one(xx) ** 2), "p")
+
+                gr = jax.grad(loss)(x[0])
+                return (x[0] - 1e-12 * gr)[None]
             gr = jax.grad(lambda xx: jnp.sum(one(xx) ** 2))(x[0])
             return (x[0] - 1e-12 * gr)[None]
 
