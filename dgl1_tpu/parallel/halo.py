@@ -15,7 +15,7 @@ kvstore.py`` (the pull being replaced).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,11 +12,8 @@ whole point vs the reference's torch-DDP + RPC split.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
