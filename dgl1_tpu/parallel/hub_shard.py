@@ -149,6 +149,19 @@ def build_partitioned_hub(
         "has_diag": any(m.has_diag for m, _ in naturals),
         "covered": sum(m.covered for m, _ in naturals),
     }
+    # Identity expand survives sharding only when EVERY part's natural
+    # layout is already in merge order AND the forced union changes no
+    # part's geometry (padding shifts stack positions) — true at mesh=1
+    # on a hub_order-relabeled graph, where the sharded program then
+    # keeps the single-chip fused-pad forward.
+    geom_keys = ("n_groups", "n_dense", "n_full_f", "n_full_b",
+                 "n_part_f", "n_part_b", "tail_meta_dst",
+                 "tail_meta_src", "n_tail_rows")
+    uniform = all(
+        getattr(m, k) == getattr(naturals[0][0], k)
+        for m, _ in naturals for k in geom_keys)
+    force["identity_expand"] = (
+        uniform and all(m.identity_expand for m, _ in naturals))
 
     metas, arrays = [], []
     for (indptr, s, eid, d), _ in zip(csc, naturals):

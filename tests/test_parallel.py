@@ -767,3 +767,46 @@ def test_gcn_train_step_combined_layout_learns():
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4,
                                atol=1e-4)
     assert losses[True][-1] < losses[True][0]
+
+
+def test_sharded_hub_identity_at_mesh1():
+    """Mesh=1 on a hub_order-relabeled graph: the sharded hub layout
+    must inherit identity_expand (the 4G fused-pad forward) and stay
+    oracle-exact; at k>1 the padded parts must NOT claim identity."""
+    from dgl1_tpu.parallel.sharded_ops import sharded_gspmm_combined
+
+    g0 = _powerlawish(96, 2200, seed=23)
+    e0 = g0.num_edges()
+    g0 = dgl.graph((np.asarray(g0.src)[:e0], np.asarray(g0.dst)[:e0]),
+                   num_nodes=96, hub=32, hub_dense_floor=64)
+    g = dgl.reorder_graph(
+        g0, node_permute_algo="custom",
+        permute_config={"nodes_perm": dgl.hub_order(g0)})
+    # reorder_graph rebuilds with default floors; re-attach the small
+    # graph's hub layout for identity detection.
+    eg = g.num_edges()
+    g = dgl.graph((np.asarray(g.src)[:eg], np.asarray(g.dst)[:eg]),
+                  num_nodes=96, hub=32, hub_dense_floor=64)
+    pg1 = build_partitioned_graph(g, np.zeros(96, np.int32), 1,
+                                  tiles=False, hub=32,
+                                  hub_dense_floor=64)
+    assert pg1.hub_meta.identity_expand
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("p",))
+    feat = jnp.asarray(
+        np.random.default_rng(3).normal(size=(96, 8)).astype(np.float32))
+    x = pg1.shard_node_data_combined(feat)
+    spec_pg = jax.tree.map(lambda _: P("p"), pg1)
+    fn = jax.shard_map(
+        lambda pg_l, xx: sharded_gspmm_combined(pg_l, xx[0], "p")[None],
+        mesh=mesh1, in_specs=(spec_pg, P("p")), out_specs=P("p"),
+        check_vma=False)
+    y = np.asarray(jax.jit(fn)(pg1, x))[0, : pg1.n_loc]
+    ref = np.asarray(dgl.ops.copy_u_sum(g, feat))
+    np.testing.assert_allclose(y[:96], ref, rtol=1e-4, atol=1e-4)
+
+    part4 = random_partition_assignment(g, 4, seed=1)
+    pg4 = build_partitioned_graph(g, part4, 4, tiles=False, hub=32,
+                                  hub_dense_floor=64)
+    assert pg4.hub_meta is not None
+    assert not pg4.hub_meta.identity_expand

@@ -54,6 +54,12 @@ def main():
     f = args.feat
 
     g = powerlaw_graph(n, args.deg, seed=0)
+    if g.hub_dst is not None:
+        # Hub-first relabel: at mesh=1 the per-part layout inherits the
+        # identity-expand fast path (PERF_NOTES r4).
+        g = dgl.reorder_graph(
+            g, node_permute_algo="custom",
+            permute_config={"nodes_perm": dgl.hub_order(g)})
     e = g.num_edges()
     part = np.zeros(n, np.int32)
     mesh = Mesh(np.array(jax.devices()[:1]), ("p",))
