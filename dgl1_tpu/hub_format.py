@@ -230,16 +230,46 @@ def union_ell_meta(metas):
         for k in ks)
 
 
-def _pad_chunk_layout(lay, target: int, bwd: bool):
+def ell_pos_map(meta_nat, meta_forced) -> np.ndarray:
+    """Natural stacked-row -> forced (inflated) stacked-row position,
+    the same per-rung containment rule :func:`_inflate_ell` applies:
+    a part's natural rows at rung k land first in the forced rung-k
+    block, padding rows after. Used by the identity-relabel planner
+    (``parallel/hub_shard.plan_identity_order``) to assign local dst
+    ids that match the forced stack positions exactly."""
+    nat = {int(k): int(n) for k, n in meta_nat}
+    old_total = sum(int(n) for _, n in meta_nat)
+    pos_map = np.full((old_total,), -1, dtype=np.int64)
+    old_start = {}
+    rs = 0
+    for k, n in meta_nat:
+        old_start[int(k)] = rs
+        rs += int(n)
+    new_s = 0
+    for k, n_forced in meta_forced:
+        k = int(k)
+        n_nat = nat.get(k, 0)
+        if n_nat:
+            ors = old_start[k]
+            pos_map[ors: ors + n_nat] = new_s + np.arange(n_nat)
+        new_s += int(n_forced)
+    return pos_map
+
+
+def _pad_chunk_layout(lay, target: int, bwd: bool, init_blocks: int = 0):
     """Pad a chunk layout to ``target`` chunks with no-op chunks (empty
     slots -> zero one-hots; first=0, out_id=0 -> accumulate zero into
     block 0). Output blocks no real chunk initializes hold garbage; the
     consumers never reference them (win_mask on the backward, per-part
-    descriptors/t_inv on the forward)."""
+    descriptors/t_inv on the forward) — EXCEPT the identity-expand
+    sharded layout, whose fused-pad forward copies the whole hub block:
+    with ``init_blocks=n`` the padded no-op chunks are re-aimed
+    (first=1, out_id=missing block) so every output block in [0, n)
+    gets initialized — an all-empty chunk writes exact zeros."""
     n = lay["in_id"].shape[0]
     if n > target:
         raise ValueError(f"chunk count {n} exceeds forced target {target}")
-    if n == target:
+    if n == target and not init_blocks:
         return lay
     pad = target - n
     out = dict(lay)
@@ -248,6 +278,17 @@ def _pad_chunk_layout(lay, target: int, bwd: bool):
             [lay[k], np.full((pad * CHUNK,), fill, ID_DTYPE)])
     for k in ("in_id", "out_id", "first"):
         out[k] = np.concatenate([lay[k], np.zeros((pad,), ID_DTYPE)])
+    if init_blocks:
+        have = set(lay["out_id"][lay["first"] == 1].tolist())
+        missing = [g for g in range(int(init_blocks)) if g not in have]
+        if len(missing) > pad:
+            raise ValueError(
+                f"{len(missing)} uninitialized output blocks but only "
+                f"{pad} padded chunks (raise the forced chunk target)")
+        if missing:
+            out["out_id"][n: n + len(missing)] = np.asarray(
+                missing, ID_DTYPE)
+            out["first"][n: n + len(missing)] = 1
     if bwd and "gperm" in lay:
         out["gperm"] = np.concatenate(
             [lay["gperm"], np.arange(n, target, dtype=ID_DTYPE)])
@@ -421,9 +462,12 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         group_offset=n_dense,
     )
     if force is not None:
-        full_fwd = _pad_chunk_layout(full_fwd, force["n_full_f"], False)
+        init = bool(force.get("init_fwd_blocks", False))
+        full_fwd = _pad_chunk_layout(full_fwd, force["n_full_f"], False,
+                                     init_blocks=NG if init else 0)
         full_bwd = _pad_chunk_layout(full_bwd, force["n_full_b"], True)
-        part_fwd = _pad_chunk_layout(part_fwd, force["n_part_f"], False)
+        part_fwd = _pad_chunk_layout(part_fwd, force["n_part_f"], False,
+                                     init_blocks=(NG - ND) if init else 0)
         part_bwd = _pad_chunk_layout(part_bwd, force["n_part_b"], True)
 
     # Dense tier count matrix: C[s, k] = multiplicity of edge s -> hub_k.

@@ -58,6 +58,7 @@ def _pad_tiles(tiles_list, num_target):
 _PG_ARRAY_FIELDS = (
     "edst", "esrc", "send_idx", "in_deg", "out_deg", "node_mask", "orig_ids",
     "tiles_fwd", "tiles_rev", "recv_pos", "slot_node", "bdense", "hub",
+    "halo_out_deg",
 )
 _PG_STATIC_FIELDS = ("num_parts", "n_loc", "e_loc", "m_halo", "num_nodes",
                      "m_part", "hub_meta", "hub_rows", "halo_dtype")
@@ -87,12 +88,18 @@ class PartitionedGraph:
                  orig_ids, num_parts, n_loc, e_loc, m_halo, num_nodes,
                  tiles_fwd=None, tiles_rev=None, recv_pos=None,
                  slot_node=None, m_part=0, bdense=None, hub=None,
-                 hub_meta=None, hub_rows=0, halo_dtype="f32"):
+                 hub_meta=None, hub_rows=0, halo_dtype="f32",
+                 halo_out_deg=None):
         self.edst = edst
         self.esrc = esrc
         self.send_idx = send_idx
         self.in_deg = in_deg
         self.out_deg = out_deg
+        # (P, P*m_halo) global out-degree of the node each halo slot
+        # carries (1.0 in unused slots): lets the halo_filled fast path
+        # apply the GCN out-norm to prefilled halo rows without an
+        # exchange (sharded_ops.fill_halo_combined).
+        self.halo_out_deg = halo_out_deg
         self.node_mask = node_mask
         self.orig_ids = orig_ids
         # Per-device Pallas tile descriptors (each a dict of arrays with
@@ -243,6 +250,7 @@ def build_partitioned_graph(
     hub=False,
     hub_dense_floor: Optional[int] = None,
     halo_dtype: str = "f32",
+    hub_identity: bool = False,
 ) -> PartitionedGraph:
     """Build the device-resident partitioned structure from an assignment.
 
@@ -254,6 +262,17 @@ def build_partitioned_graph(
     destination's owner, which folds them in — the vertex-cut mode that
     balances compute on power-law graphs. All dimensions are padded to
     the max across parts (static shapes for shard_map).
+
+    ``hub_identity=True`` (requires ``hub=...``, halo placement):
+    renumber each part's owned nodes hub-first against the forced
+    cross-part hub geometry (``parallel/hub_shard.plan_identity_order``)
+    so every part inherits the engine's identity-expand fused-pad
+    forward — the 4G single-chip headline path — instead of the
+    inverse-permute expand. The relabel is internal: ``orig_ids`` /
+    ``shard_node_data`` / ``unshard_node_data`` compose it away, and no
+    ``hub_order`` preprocessing of the input graph is needed. Costs a
+    somewhat larger ``n_loc`` (phantom ids absorb the union geometry's
+    slot gaps).
     """
     part = np.asarray(part).astype(np.int32)
     book = GraphPartitionBook(part, num_parts)
@@ -309,6 +328,43 @@ def build_partitioned_graph(
         m_part = max(_round_up(max(m_part, 1), pad_halo_multiple),
                      pad_halo_multiple)
 
+    # Per-part hub-first renumbering (identity expand at any k).
+    relabels = None
+    hub_mge = None if hub is True or not hub else int(hub)
+    hub_df = hub_dense_floor
+    if hub_identity:
+        if not hub:
+            raise ValueError("hub_identity requires hub=... at build")
+        if vertex_cut:
+            raise ValueError(
+                "hub_identity: vertex-cut placement unsupported "
+                "(partial-slot destinations pin their own numbering); "
+                "use the default destination-owner placement")
+        from dgl1_tpu.hub_format import CHUNK, DENSE_RB, BLK
+        from dgl1_tpu.parallel.hub_shard import plan_identity_order
+
+        # Resolve the hub floors against the NATURAL geometry once so
+        # this plan and the final (relabeled, larger-R) build select
+        # identical hub groups.
+        r_nat = _round_up(max(n_loc + num_parts * m_halo, n_loc),
+                          DENSE_RB)
+        if hub_mge is None:
+            hub_mge = max(4 * CHUNK, ((-(-r_nat // BLK)) * CHUNK) // 4)
+        if hub_df is None:
+            hub_df = max(r_nat // 2, 4 * CHUNK)
+        plan_parts = []
+        for p in range(num_parts):
+            eids = part_edges[p]
+            plan_parts.append((
+                book.nid2localnid(dst[eids]).astype(np.int64),
+                src[eids] == dst[eids],
+                len(own_nodes[p]),
+            ))
+        relabels, _n_merge, max_used = plan_identity_order(
+            plan_parts, n_loc, hub_mge, hub_df)
+        if relabels is not None:
+            n_loc = _round_up(max(max_used, 1), pad_nodes_multiple)
+
     from dgl1_tpu.graph import _build_tiles
 
     n_comb = n_loc + num_parts * m_halo
@@ -324,6 +380,8 @@ def build_partitioned_graph(
     edst = np.full((num_parts, e_loc), n_out, dtype=np.int32)
     esrc = np.zeros((num_parts, e_loc), dtype=np.int32)
     send_idx = np.zeros((num_parts, num_parts, m_halo), dtype=np.int32)
+    halo_outdeg = np.ones((num_parts, num_parts * m_halo),
+                          dtype=np.float32)
     in_deg = np.zeros((num_parts, n_loc), dtype=np.float32)
     out_deg = np.zeros((num_parts, n_loc), dtype=np.float32)
     node_mask = np.zeros((num_parts, n_loc), dtype=bool)
@@ -338,20 +396,29 @@ def build_partitioned_graph(
         slot_node = np.full((num_parts, num_parts * m_part), n_loc,
                             dtype=np.int32)
 
+    def _local(p, nids):
+        """Global ids -> part p's local ids (identity relabel aware)."""
+        lid = book.nid2localnid(nids)
+        return lid if relabels is None else relabels[p][lid]
+
     for p in range(num_parts):
         own = own_nodes[p]
         k = len(own)
-        node_mask[p, :k] = True
-        orig_ids[p, :k] = own
-        in_deg[p, :k] = in_deg_g[own]
-        out_deg[p, :k] = out_deg_g[own]
+        lids = (np.arange(k, dtype=np.int64) if relabels is None
+                else relabels[p])
+        node_mask[p, lids] = True
+        orig_ids[p, lids] = own
+        in_deg[p, lids] = in_deg_g[own]
+        out_deg[p, lids] = out_deg_g[own]
 
         # Combined index for remote sources: halo slot of (owner, position).
         halo_pos = {}
         for q in range(num_parts):
             nodes_q = halo_sets[p][q]
             # Position within q's send block for destination p.
-            send_idx[q, p, : len(nodes_q)] = book.nid2localnid(nodes_q)
+            send_idx[q, p, : len(nodes_q)] = _local(q, nodes_q)
+            halo_outdeg[p, q * m_halo: q * m_halo + len(nodes_q)] = \
+                out_deg_g[nodes_q]
             for j, nd in enumerate(nodes_q):
                 halo_pos[int(nd)] = n_loc + q * m_halo + j
 
@@ -362,7 +429,7 @@ def build_partitioned_graph(
         if vertex_cut:
             for q in range(num_parts):
                 nodes_q = partial_sets[p][q]
-                lq = book.nid2localnid(nodes_q)
+                lq = _local(q, nodes_q)
                 for j, (nd, ln) in enumerate(zip(nodes_q, lq)):
                     partial_pos[int(nd)] = n_loc + q * m_part + j
                     # On owner q: slot (p * m_part + j) of ITS receive
@@ -374,14 +441,14 @@ def build_partitioned_graph(
         dst_e = dst[eids]
         owned_dst = part[dst_e] == p
         ldst = np.empty(len(eids), dtype=np.int64)
-        ldst[owned_dst] = book.nid2localnid(dst_e[owned_dst])
+        ldst[owned_dst] = _local(p, dst_e[owned_dst])
         if vertex_cut and (~owned_dst).any():
             ldst[~owned_dst] = np.array(
                 [partial_pos[int(d)] for d in dst_e[~owned_dst]],
                 dtype=np.int64)
         esrc_p = np.empty(len(eids), dtype=np.int64)
         local_src = part[src[eids]] == p
-        esrc_p[local_src] = book.nid2localnid(src[eids][local_src])
+        esrc_p[local_src] = _local(p, src[eids][local_src])
         remote_ids = src[eids][~local_src]
         esrc_p[~local_src] = np.array(
             [halo_pos[int(s)] for s in remote_ids], dtype=np.int64
@@ -470,8 +537,9 @@ def build_partitioned_graph(
         hub_rows = _round_up(max(n_comb, n_out), DENSE_RB)
         hub_meta, hub_stacked = build_partitioned_hub(
             hub_edges_list, hub_rows, hub_rows, e_loc,
-            min_group_edges=(None if hub is True else int(hub)),
-            dense_floor=hub_dense_floor)
+            min_group_edges=hub_mge,
+            dense_floor=hub_df,
+            identity=bool(hub_identity and relabels is not None))
 
     return PartitionedGraph(
         hub=hub_stacked,
@@ -484,6 +552,7 @@ def build_partitioned_graph(
         edst=jnp.asarray(edst),
         esrc=jnp.asarray(esrc),
         send_idx=jnp.asarray(send_idx),
+        halo_out_deg=jnp.asarray(halo_outdeg),
         in_deg=jnp.asarray(in_deg),
         out_deg=jnp.asarray(out_deg),
         node_mask=jnp.asarray(node_mask),

@@ -31,7 +31,147 @@ import numpy as np
 
 from dgl1_tpu import hub_format as hf
 
-__all__ = ["build_partitioned_hub"]
+__all__ = ["build_partitioned_hub", "plan_identity_order"]
+
+
+def plan_identity_order(parts, num_dst: int, min_group_edges: int,
+                        dense_floor: int):
+    """Per-part hub-first local renumbering (the k>1 identity-expand
+    plan, round-5 priority #1).
+
+    At mesh=1 a hub_order-relabeled graph keeps the 4G fused-pad
+    forward because its single part is naturally in merge order; at
+    k>1 the cross-part union geometry pads every part (empty hub
+    slots, inflated ELL buckets), shifting stack positions — no global
+    relabel can satisfy every part at once. This planner instead picks
+    a PER-PART local numbering aligned with the FORCED layout: the hub
+    in forced slot s gets local id s, the tail row at forced stack
+    position t gets id ``NG*BLK + t``, phantom ids absorb the union's
+    slot gaps (no real node maps to them), zero-degree rows go last.
+    The engine's identity path then emits ``pad(concat([hub_block,
+    stacked]))`` per part, phantom rows reading exact zeros (zero
+    count-matrix columns, init-padded chunk blocks, SENT ELL rows).
+
+    ``parts``: per part ``(ldst, selfloop_mask, cnt)`` — natural local
+    dst ids of the REAL local edges, a same-length bool mask marking
+    self-loop edges (the diag-extraction rule must be replicated), and
+    the part's real owned-node count. ``min_group_edges`` /
+    ``dense_floor`` must be CONCRETE (the caller resolves defaults
+    once so this plan and the final larger-R build select identical
+    hubs).
+
+    Returns ``(relabels, n_merge, max_used)`` — per-part arrays with
+    ``relabels[p][old_local_id] = new_local_id``, the forced merge-row
+    count, and the max new-id bound across parts (the caller's new
+    ``n_loc``) — or ``(None, 0, 0)`` when no part has a hub group.
+    Pathological tie cases (a hub group crossing into zero-degree
+    rows) may produce a plan the rebuild cannot reproduce; the
+    post-build predicate in :func:`build_partitioned_hub` catches
+    those and falls back to the non-identity layout.
+    """
+    from dgl1_tpu.graph import _build_ell
+
+    infos = []
+    for ldst, selfloop, cnt in parts:
+        ldst = np.asarray(ldst, np.int64)
+        selfloop = np.asarray(selfloop, bool)
+        deg = (np.bincount(ldst, minlength=num_dst).astype(np.int64)
+               if len(ldst) else np.zeros((num_dst,), np.int64))
+        order = np.argsort(-deg, kind="stable")
+        gcounts = []
+        ng = 0
+        while ng < hf.MAX_GROUPS:
+            rows = order[ng * hf.BLK: (ng + 1) * hf.BLK]
+            if rows.size == 0:
+                break
+            ge = int(deg[rows].sum())
+            if ge < min_group_edges:
+                break
+            gcounts.append(ge)
+            ng += 1
+        nd = 0
+        while (nd < min(ng, hf.MAX_DENSE_GROUPS)
+               and gcounts[nd] >= dense_floor):
+            nd += 1
+        is_hub = np.zeros((num_dst,), bool)
+        is_hub[order[: ng * hf.BLK]] = True
+        tmask = ~is_hub[ldst] if len(ldst) else np.zeros((0,), bool)
+        td, tsl = ldst[tmask], selfloop[tmask]
+        dcnt = (np.bincount(td[tsl], minlength=num_dst)
+                if tsl.any() else np.zeros((num_dst,), np.int64))
+        take = tsl & (dcnt[td] == 1) if len(td) else tsl
+        td2 = td[~take]
+        n_tail = int(len(td2))
+        tail_min_slots = min(1 << 14, max(n_tail // 2, 1))
+        tc = (np.bincount(td2, minlength=num_dst) if n_tail
+              else np.zeros((num_dst,), np.int64))
+        indptr = np.zeros((num_dst + 1,), np.int64)
+        np.cumsum(tc, out=indptr[1:])
+        # Only the bucket meta + row->stack-position map matter here;
+        # neighbor/eid contents are irrelevant to the plan.
+        meta, ell = _build_ell(
+            indptr, np.zeros((n_tail,), np.int64),
+            np.zeros((n_tail,), np.int64), num_dst, n_tail,
+            min_slots=tail_min_slots)
+        infos.append(dict(order=order, ng=ng, nd=nd, meta=meta,
+                          inv=np.asarray(ell["inv_perm"], np.int64),
+                          cnt=int(cnt)))
+
+    nd_u = max(i["nd"] for i in infos)
+    nc_u = max(i["ng"] - i["nd"] for i in infos)
+    ng_u = nd_u + nc_u
+    if ng_u == 0:
+        return None, 0, 0
+    fmeta = hf.union_ell_meta([i["meta"] for i in infos])
+    n_tail_f = int(sum(n for _, n in fmeta))
+    n_merge = ng_u * hf.BLK + n_tail_f
+
+    relabels = []
+    max_used = n_merge
+    for i in infos:
+        cnt = i["cnt"]
+        new = np.full((cnt,), -1, np.int64)
+        sel = i["order"][: i["ng"] * hf.BLK]
+        slots = np.arange(len(sel), dtype=np.int64)
+        slots[i["nd"] * hf.BLK:] += (nd_u - i["nd"]) * hf.BLK
+        real = sel < cnt
+        new[sel[real]] = slots[real]
+        pos = hf.ell_pos_map(i["meta"], fmeta)
+        n_tail_nat = pos.shape[0]
+        inv = i["inv"][:cnt]
+        isrow = (new == -1) & (inv >= 0) & (inv < n_tail_nat)
+        vv = np.flatnonzero(isrow)
+        new[vv] = ng_u * hf.BLK + pos[inv[vv]]
+        rest = np.flatnonzero(new == -1)
+        new[rest] = n_merge + np.arange(len(rest), dtype=np.int64)
+        relabels.append(new)
+        max_used = max(max_used, n_merge + len(rest))
+    return relabels, n_merge, max_used
+
+
+def _identity_ok(meta: hf.HubMeta, arrays: dict, num_dst: int) -> bool:
+    """Phantom-identity predicate on one part's FORCED layout: every
+    local dst id either sits exactly at its merge-order position (hub
+    slot v -> merged row n_tail+v; id NG*BLK+t -> stacked row t) or is
+    a phantom/zero-degree row (SENT). When this holds for every part,
+    the engine's fused-pad identity forward is exact — phantom rows
+    read zeros from the zeroed count-matrix columns, the init-padded
+    chunk blocks and the SENT ELL gathers."""
+    k_slots = meta.n_groups * hf.BLK
+    nt = meta.n_tail_rows
+    n_merge = k_slots + nt
+    if n_merge > num_dst:
+        return False
+    ti = np.asarray(arrays["t_inv"], np.int64)[:num_dst]
+    sent = ti >= hf.SENT
+    v = np.arange(num_dst, dtype=np.int64)
+    ok_hub = bool(np.all(sent[:k_slots]
+                         | (ti[:k_slots] == nt + v[:k_slots])))
+    ok_tail = bool(np.all(
+        sent[k_slots:n_merge]
+        | (ti[k_slots:n_merge] == v[k_slots:n_merge] - k_slots)))
+    ok_rest = bool(np.all(sent[n_merge:]))
+    return ok_hub and ok_tail and ok_rest
 
 _DT_RANK = {"int8": 0, "bfloat16": 1, "float32": 2}
 
@@ -85,6 +225,7 @@ def build_partitioned_hub(
     num_padded: int,
     min_group_edges: Optional[int] = None,
     dense_floor: Optional[int] = None,
+    identity: bool = False,
 ) -> Tuple[Optional[hf.HubMeta], Optional[dict]]:
     """Build per-part hub layouts sharing ONE static geometry.
 
@@ -149,19 +290,32 @@ def build_partitioned_hub(
         "has_diag": any(m.has_diag for m, _ in naturals),
         "covered": sum(m.covered for m, _ in naturals),
     }
-    # Identity expand survives sharding only when EVERY part's natural
-    # layout is already in merge order AND the forced union changes no
-    # part's geometry (padding shifts stack positions) — true at mesh=1
-    # on a hub_order-relabeled graph, where the sharded program then
-    # keeps the single-chip fused-pad forward.
-    geom_keys = ("n_groups", "n_dense", "n_full_f", "n_full_b",
-                 "n_part_f", "n_part_b", "tail_meta_dst",
-                 "tail_meta_src", "n_tail_rows")
-    uniform = all(
-        getattr(m, k) == getattr(naturals[0][0], k)
-        for m, _ in naturals for k in geom_keys)
-    force["identity_expand"] = (
-        uniform and all(m.identity_expand for m, _ in naturals))
+    if identity:
+        # Identity-relabel mode (k>1): the caller renumbered each
+        # part's local dst space against THIS forced geometry
+        # (:func:`plan_identity_order`). The fused-pad forward copies
+        # the whole hub block, so every chunk-tier output block must be
+        # initialized — extra no-op chunks (worst case one per group)
+        # write zeros into blocks no real chunk touches.
+        force["n_full_f"] += force["n_groups"]
+        force["n_part_f"] += force["n_groups"] - force["n_dense"]
+        force["init_fwd_blocks"] = True
+        force["identity_expand"] = False  # decided post-build (below)
+    else:
+        # Identity expand survives sharding without a relabel only
+        # when EVERY part's natural layout is already in merge order
+        # AND the forced union changes no part's geometry (padding
+        # shifts stack positions) — true at mesh=1 on a
+        # hub_order-relabeled graph, where the sharded program then
+        # keeps the single-chip fused-pad forward.
+        geom_keys = ("n_groups", "n_dense", "n_full_f", "n_full_b",
+                     "n_part_f", "n_part_b", "tail_meta_dst",
+                     "tail_meta_src", "n_tail_rows")
+        uniform = all(
+            getattr(m, k) == getattr(naturals[0][0], k)
+            for m, _ in naturals for k in geom_keys)
+        force["identity_expand"] = (
+            uniform and all(m.identity_expand for m, _ in naturals))
 
     metas, arrays = [], []
     for (indptr, s, eid, d), _ in zip(csc, naturals):
@@ -175,4 +329,12 @@ def build_partitioned_hub(
         raise AssertionError(
             "forced hub metas diverged across parts: "
             + "; ".join(repr(m) for m in metas))
-    return metas[0], _stack_tree(arrays)
+    meta0 = metas[0]
+    if identity:
+        # Verify the phantom-identity predicate on every part's forced
+        # layout; a pathological plan (hub-group tie crossing into
+        # zero-degree rows) fails it and the layout safely keeps the
+        # descriptor/gather expand instead.
+        ok = all(_identity_ok(meta0, a, num_dst) for a in arrays)
+        meta0 = meta0._replace(identity_expand=bool(ok))
+    return meta0, _stack_tree(arrays)

@@ -288,20 +288,45 @@ def halo_update_combined(pg: PartitionedGraph, x_comb: jnp.ndarray,
                           x_comb)
 
 
+def fill_halo_combined(pg: PartitionedGraph, mesh: Mesh,
+                       axis_name: str = "p"):
+    """One-time halo fill for a combined-layout buffer whose owned rows
+    are STATIC across steps (e.g. the input features of full-graph
+    training): returns a jitted ``fill(x) -> x_filled`` over the mesh.
+    Feed the result to paths built with ``halo_filled=True`` — the
+    first layer then skips its halo update entirely, removing the
+    dynamic_update_slice COPY that an undonated jit input forces
+    (the diagnosed 1.23x sharded fwd+bwd overhead, PERF_NOTES r4)."""
+    def body(pg_l, x):
+        return halo_update_combined(pg_l, x[0], axis_name)[None]
+
+    spec_pg = jax.tree.map(lambda _: P(axis_name), pg)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec_pg, P(axis_name)),
+                       out_specs=P(axis_name), check_vma=False)
+    return functools.partial(jax.jit(fn), pg)
+
+
 def sharded_gspmm_combined(pg: PartitionedGraph, x_comb: jnp.ndarray,
-                           axis_name: str = "p") -> jnp.ndarray:
+                           axis_name: str = "p",
+                           halo_filled: bool = False) -> jnp.ndarray:
     """copy_u + sum in the combined layout (per-device view): halo
     update in place, then the flagship hub engine maps (R, F) -> (R, F)
     directly. Output rows: [0, n_loc) owned results; in vertex-cut mode
     the partial slots are exchanged and folded before returning; all
     rows >= n_loc of the RESULT are zeros (the next layer's halo update
     overwrites its slots). Requires a hub build
-    (``build_partitioned_graph(..., hub=...)``)."""
+    (``build_partitioned_graph(..., hub=...)``).
+
+    ``halo_filled=True``: the caller guarantees ``x_comb``'s halo slots
+    already hold the owners' current rows (static input features pushed
+    through :func:`fill_halo_combined` once) — the in-place update (and
+    the copy it forces on an undonated jit input) is skipped."""
     from dgl1_tpu.ops.engine_hub import _gspmm_hub_sum
 
     if pg.hub is None:
         raise ValueError("combined layout requires hub=... at build")
-    x2 = halo_update_combined(pg, x_comb, axis_name)
+    x2 = (x_comb if halo_filled
+          else halo_update_combined(pg, x_comb, axis_name))
     static = _hub_static(pg, tuple(x_comb.shape[1:]))
     hub_local = jax.tree.map(lambda v: v[0], pg.hub)
     e_dummy = x2[:1, :1] * 0.0
@@ -475,13 +500,17 @@ def sharded_gspmm(pg: PartitionedGraph, feat_local: jnp.ndarray,
 
 
 def make_sharded_gcn_matvec_combined(pg: PartitionedGraph, mesh: Mesh,
-                                     axis_name: str = "p"):
+                                     axis_name: str = "p",
+                                     halo_filled: bool = False):
     """Combined-layout ``y = D^-1/2 A D^-1/2 x`` over the mesh: x/y are
     (P, R, F) with R = pg.hub_rows — activations stay in the padded
     [owned | halo | pad] layout across layers so no per-layer
     concat/pad copy passes exist (sharding overhead is just the tiny
     halo all_to_all + in-place slot update). Owned rows are [0, n_loc);
-    all other rows of y are zero."""
+    all other rows of y are zero. ``halo_filled``: see
+    :func:`sharded_gspmm_combined` (static-input first layer; NOTE the
+    out_deg scaling is applied to halo rows too, so prefilled buffers
+    must come from :func:`fill_halo_combined` on the RAW features)."""
     if pg.hub is None:
         raise ValueError("combined layout requires hub=... at build")
     R = pg.hub_rows
@@ -491,11 +520,19 @@ def make_sharded_gcn_matvec_combined(pg: PartitionedGraph, mesh: Mesh,
                              pg_local.out_deg[0], 1.0) ** -0.5
         norm_in = jnp.where(pg_local.in_deg[0] > 0,
                             pg_local.in_deg[0], 1.0) ** -0.5
+        if halo_filled:
+            # Prefilled halo rows carry the owners' RAW features; scale
+            # them by the carried node's out-norm (halo_out_deg, built
+            # alongside send_idx) instead of refreshing the slots.
+            hod = pg_local.halo_out_deg[0]
+            norm_halo = jnp.where(hod > 0, hod, 1.0) ** -0.5
+            norm_out = jnp.concatenate([norm_out, norm_halo])
         pad = R - norm_out.shape[0]
         norm_out = jnp.pad(norm_out, (0, pad))
-        norm_in = jnp.pad(norm_in, (0, pad), constant_values=0.0)
+        norm_in = jnp.pad(norm_in, (0, R - norm_in.shape[0]),
+                          constant_values=0.0)
         h = x[0] * norm_out[:, None]
-        agg = sharded_gspmm_combined(pg_local, h, axis_name)
+        agg = sharded_gspmm_combined(pg_local, h, axis_name, halo_filled)
         return (agg * norm_in[:, None])[None]
 
     spec_pg = jax.tree.map(lambda _: P(axis_name), pg)

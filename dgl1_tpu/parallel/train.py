@@ -41,6 +41,7 @@ def make_gcn_train_step(
     optimizer: optax.GradientTransformation,
     num_classes: int,
     combined: bool = False,
+    prefilled: bool = False,
 ):
     """Returns a jitted ``step(params, opt_state, x, labels, mask) ->
     (params, opt_state, loss)`` with x/labels/mask sharded over axis 'p'.
@@ -51,6 +52,13 @@ def make_gcn_train_step(
     requires ``hub=...`` at build — the flagship multi-chip
     configuration (docs/PERF_NOTES.md round 4).
 
+    ``prefilled=True`` (combined only): ``x`` was pushed through
+    ``sharded_ops.fill_halo_combined`` ONCE — the input features are
+    static across steps, so the first layer reads the standing halo
+    slots instead of refreshing them. This removes the layer-1
+    dynamic_update_slice COPY that an undonated jit input forces (the
+    diagnosed sharded fwd+bwd overhead, PERF_NOTES r4).
+
     The partitioned-graph pytree is threaded through jit as a real
     ARGUMENT (partial-of-jit): closing over it would bake the layout
     arrays into the HLO as constants — compile bloat and a remote-
@@ -59,12 +67,16 @@ def make_gcn_train_step(
     from dgl1_tpu.parallel.sharded_ops import (
         make_sharded_gcn_matvec_combined)
 
+    if prefilled and not combined:
+        raise ValueError("prefilled=True requires combined=True")
     maker = (make_sharded_gcn_matvec_combined if combined
              else make_sharded_gcn_matvec)
     matvec_fn = maker(pg, mesh).func  # shard_map fn: (pg, x) -> y
+    matvec_first = (make_sharded_gcn_matvec_combined(
+        pg, mesh, halo_filled=True).func if prefilled else matvec_fn)
 
     def loss_fn(pg_a, params, x, labels, mask):
-        h = matvec_fn(pg_a, x)
+        h = matvec_first(pg_a, x)
         h = jax.nn.relu(
             jnp.einsum("pnf,fh->pnh", h, params["w1"]) + params["b1"]
         )

@@ -750,23 +750,99 @@ def test_gcn_train_step_combined_layout_learns():
     opt = optax.adam(5e-2)
     params0 = init_gcn_params(jax.random.PRNGKey(0), 12, 16, 4)
 
+    from dgl1_tpu.parallel.sharded_ops import fill_halo_combined
+
     losses = {}
-    for combined in (False, True):
+    for mode in ("plain", "combined", "prefilled"):
+        combined = mode != "plain"
         step, _ = make_gcn_train_step(pg, mesh, opt, 4,
-                                      combined=combined)
+                                      combined=combined,
+                                      prefilled=mode == "prefilled")
         x = (pg.shard_node_data_combined(feat) if combined
              else pg.shard_node_data(feat))
+        if mode == "prefilled":
+            # Static input features: one standing halo fill outside the
+            # step; layer 1 then skips its halo update entirely.
+            x = fill_halo_combined(pg, mesh)(x)
         y = pg.shard_node_data(labels).astype(jnp.int32)
         params, st = params0, opt.init(params0)
         tr = []
         for _ in range(5):
             params, st, loss = step(params, st, x, y, pg.node_mask)
             tr.append(float(loss))
-        losses[combined] = tr
+        losses[mode] = tr
     # Same math, different layout: identical trajectories to fp tolerance.
-    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4,
-                               atol=1e-4)
-    assert losses[True][-1] < losses[True][0]
+    np.testing.assert_allclose(losses["combined"], losses["plain"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(losses["prefilled"], losses["combined"],
+                               rtol=1e-4, atol=1e-4)
+    assert losses["combined"][-1] < losses["combined"][0]
+
+
+def test_sharded_hub_identity_multipart():
+    """hub_identity=True at k>1 (round-5 #1): per-part hub-first local
+    renumbering against the forced union geometry must achieve
+    identity_expand on every part — including diag extraction and
+    multi-rung tail-bucket inflation — and stay oracle-exact on values
+    AND grads in both the plain and combined layouts. No hub_order
+    preprocessing of the input graph is involved (the relabel is
+    internal and composes through orig_ids)."""
+    from dgl1_tpu.parallel.sharded_ops import (
+        make_sharded_gcn_matvec_combined)
+
+    k = 4
+    n = 1024
+    rng = np.random.default_rng(11)
+    p = (np.arange(n) + 1.0) ** -1.1
+    p /= p.sum()
+    dst = rng.choice(n, size=12000, p=p)
+    src = rng.integers(0, n, size=12000)
+    sl = np.arange(n)  # self-loops everywhere -> diag extraction
+    g = dgl.graph((np.concatenate([src, sl]), np.concatenate([dst, sl])),
+                  num_nodes=n)
+    part = (np.arange(n) % k).astype(np.int32)
+    pg = build_partitioned_graph(g, part, k, hub=1200,
+                                 hub_dense_floor=2000, hub_identity=True)
+    m = pg.hub_meta
+    assert m is not None and m.identity_expand
+    assert m.has_diag and m.n_tail_rows > 0  # the hard layout features
+
+    feat = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    deg_out = np.maximum(np.asarray(g.out_degrees()), 1) ** -0.5
+    deg_in = np.maximum(np.asarray(g.in_degrees()), 1) ** -0.5
+    ref = deg_in[:, None] * np.asarray(
+        dgl.ops.copy_u_sum(g, feat * deg_out[:, None]))
+    mesh = Mesh(np.array(jax.devices()[:k]), ("p",))
+    do = jnp.asarray(deg_out.astype(np.float32))
+    di = jnp.asarray(deg_in.astype(np.float32))
+
+    def loss_ref(xf):
+        return jnp.sum(jnp.sin(
+            di[:, None] * dgl.ops.copy_u_sum(g, xf * do[:, None])))
+
+    ref_g = np.asarray(jax.grad(loss_ref)(feat))
+
+    for mv, shard, unshard in (
+        (make_sharded_gcn_matvec(pg, mesh),
+         pg.shard_node_data, pg.unshard_node_data),
+        (make_sharded_gcn_matvec_combined(pg, mesh),
+         pg.shard_node_data_combined, pg.unshard_node_data_combined),
+    ):
+        x = shard(feat)
+        got = np.asarray(unshard(jax.jit(mv)(x)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+        gx = jax.grad(lambda x: jnp.sum(jnp.sin(mv(x))))(x)
+        got_g = np.asarray(unshard(gx))
+        np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-4)
+
+    # Guards: vertex-cut placement must refuse; hub=False must refuse.
+    from dgl1_tpu.parallel.halo import vertex_cut_edge_owner
+    with pytest.raises(ValueError):
+        build_partitioned_graph(
+            g, part, k, hub=500, hub_identity=True,
+            edge_owner=vertex_cut_edge_owner(g, part, k, threshold=40))
+    with pytest.raises(ValueError):
+        build_partitioned_graph(g, part, k, hub_identity=True)
 
 
 def test_sharded_hub_identity_at_mesh1():

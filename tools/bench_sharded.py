@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--deg", type=int, default=8)
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--paths", default="hubc,hub,vcut,unsharded",
+                    # hubi: internal hub_identity relabel (no hub_order
+                    # preprocessing), combined layout
+
                     help="also: hubg (grad INSIDE shard_map — isolates "
                          "the linearization residual-matching overhead), "
                          "tiles, gat, gatf, rgcn")
@@ -54,6 +57,7 @@ def main():
     f = args.feat
 
     g = powerlaw_graph(n, args.deg, seed=0)
+    g_raw = g  # pre-relabel graph (the hubi path relabels internally)
     if g.hub_dst is not None:
         # Hub-first relabel: at mesh=1 the per-part layout inherits the
         # identity-expand fast path (PERF_NOTES r4).
@@ -70,6 +74,15 @@ def main():
         if kind in ("hub", "hubc", "hubg"):
             return build_partitioned_graph(g, part, 1, tiles=False,
                                            hub=True)
+        if kind == "hubi":
+            # k-agnostic identity relabel (round-5 #1): NO hub_order
+            # preprocessing — build_partitioned_graph renumbers each
+            # part hub-first internally; must match the hubc-on-
+            # hub_order-graph rate.
+            pgi = build_partitioned_graph(g_raw, part, 1, tiles=False,
+                                          hub=True, hub_identity=True)
+            assert pgi.hub_meta.identity_expand, "identity not achieved"
+            return pgi
         if kind == "tiles":
             return build_partitioned_graph(g, part, 1, tiles=True)
         if kind == "vcut":
@@ -110,14 +123,14 @@ def main():
             return (t_hi - t_lo) / (iters_hi - iters_lo)
 
         pg = build(kind)
-        if kind in ("hub", "hubc", "hubg", "vcut"):
+        if kind in ("hub", "hubc", "hubg", "hubi", "vcut"):
             assert pg.hub_meta is not None, "hub layout did not build"
         pg = jax.device_put(pg)
         jax.block_until_ready(
             [l for l in jax.tree.leaves(pg) if hasattr(l, "block_until_ready")])
 
         spec_pg = jax.tree.map(lambda _: P("p"), pg)
-        combined = kind in ("hubc", "hubg")
+        combined = kind in ("hubc", "hubg", "hubi")
         grad_inside = kind == "hubg"
         xin = feat
         if combined:
@@ -222,6 +235,69 @@ def main():
                       else "(segment-softmax path)"),
         }), flush=True)
 
+    def run_step(kind):
+        """Full combined-layout GCN train step at bench scale (fwd+bwd+
+        adam), with ("stepp") and without ("step") the standing halo
+        prefill — measures the layer-1 dynamic_update_slice copy that an
+        undonated jit input forces (PERF_NOTES r4 halo-AD item)."""
+        import optax
+
+        from dgl1_tpu.parallel.sharded_ops import fill_halo_combined
+        from dgl1_tpu.parallel.train import (init_gcn_params,
+                                             make_gcn_train_step)
+
+        prefilled = kind == "stepp"
+        pg = build_partitioned_graph(g, part, 1, tiles=False, hub=True)
+        hidden, classes = 128, 32
+        opt = optax.adam(1e-3)
+        step, _ = make_gcn_train_step(pg, mesh, opt, classes,
+                                      combined=True, prefilled=prefilled)
+        x = jnp.pad(feat, ((0, 0), (0, pg.hub_rows - n), (0, 0)))
+        if prefilled:
+            x = fill_halo_combined(pg, mesh)(x)
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.integers(0, classes, (1, pg.n_loc)), jnp.int32)
+        params = init_gcn_params(jax.random.PRNGKey(0), f, hidden, classes)
+        st = opt.init(params)
+
+        # Chain steps inside ONE jitted fori_loop (CLAUDE.md: per-call
+        # dispatch is a fixed ~30-45 ms through the tunnel); pg rides as
+        # a jit ARGUMENT via step.func to keep the layout arrays out of
+        # the HLO constants.
+        jstep = step.func
+        mask = jax.device_put(pg.node_mask)
+
+        def make(iters):
+            @jax.jit
+            def run(pg_a, params, st, x, y, mask):
+                def body(i, c):
+                    p, s0 = c
+                    p, s0, _ = jstep(pg_a, p, s0, x, y, mask)
+                    return (p, s0)
+
+                return jax.lax.fori_loop(0, iters, body, (params, st))[0]
+
+            return run
+
+        pg_d = jax.device_put(pg)
+
+        def timed(run):
+            _ = float(run(pg_d, params, st, x, y, mask)["w1"][0, 0])
+            t0 = time.perf_counter()
+            _ = float(run(pg_d, params, st, x, y, mask)["w1"][0, 0])
+            return time.perf_counter() - t0
+
+        lo, hi = (5, 25) if on_tpu else (1, 2)
+        t_lo, t_hi = timed(make(lo)), timed(make(hi))
+        dt = (t_hi - t_lo) / (hi - lo)
+        print(json.dumps({
+            "path": kind, "dir": "train_step",
+            "ms_per_iter": round(dt * 1e3, 3),
+            "edges_per_s_2layers": round(2 * e / dt, 1),
+            "cfg": f"N={n} E={e} F={f} hidden={hidden} mesh=1 {backend} "
+                   + ("prefilled halo" if prefilled else "per-step halo"),
+        }), flush=True)
+
     def run_rgcn():
         """Sharded typed R-GCN layer at mesh=1, mag-ish scale (169k
         nodes / ~4.4M typed edges / 8 relations) — fwd+bwd of
@@ -317,6 +393,9 @@ def main():
     for kind in args.paths.split(","):
         if kind in ("gat", "gatf"):
             run_gat(kind)
+            continue
+        if kind in ("step", "stepp"):
+            run_step(kind)
             continue
         if kind == "rgcn":
             run_rgcn()
