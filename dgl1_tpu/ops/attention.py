@@ -497,6 +497,23 @@ def _hub_rows_128(x, hub_ids, n_groups):
     return _pad_2d(rows, n_groups * BLK, BLK)
 
 
+def _merge_t_inv(meta, hub, stacked, hub_block, num_dst: int, fill):
+    """Merge the tail ELL stack + compact hub block back to destination
+    order. Identity layout (hub_order-relabeled graphs / the sharded
+    hub_identity build): destinations ARE [hub slots | tail stack |
+    zero-degree] in order, so the inverse-permute gather collapses to a
+    fused concat+pad — the same store-floor lever as the SpMM engine's
+    identity expand (PERF_NOTES r4), here applied to the attention
+    merges (fwd mraw/num/den + bwd ger)."""
+    if getattr(meta, "identity_expand", False):
+        small = jnp.concatenate([hub_block, stacked], axis=0)
+        pad = num_dst - small.shape[0]
+        return jnp.pad(small, ((0, pad), (0, 0)), constant_values=fill)
+    return jnp.take(
+        jnp.concatenate([stacked, hub_block], axis=0),
+        hub["t_inv"], axis=0, mode="fill", fill_value=fill)
+
+
 def _atail(static, hub):
     """The tail view (single self-loop edges are already extracted to
     the node-level diagonal at format-build time; ``has_diag`` says
@@ -571,9 +588,8 @@ def _attn_forward(static, hub, el2, er2, ft2, seed):
     meta_d, meta_s, n_rows, tk, has_diag = _atail(static, hub)
     mstack = ell_stack(meta_d, tk["t_idx"], tk["t_eid"],
                        "copy_lhs", "max", el2, None)
-    mraw = jnp.take(
-        jnp.concatenate([mstack, mraw_hub[:, :h]], axis=0),
-        tk["t_inv"], axis=0, mode="fill", fill_value=NEG)
+    mraw = _merge_t_inv(m, hub, mstack, mraw_hub[:, :h],
+                        static.num_dst, NEG)
     if has_diag:
         diag = hub["diag"][:, None]  # (num_dst, 1)
         mraw = jnp.maximum(mraw, jnp.where(diag > 0, el2[:mraw.shape[0]],
@@ -591,12 +607,10 @@ def _attn_forward(static, hub, el2, er2, ft2, seed):
     den_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
                           "copy_rhs", "sum", None, p_t)
 
-    num = jnp.take(
-        jnp.concatenate([num_stack.reshape(-1, f), num_hub[:, :f]], axis=0),
-        tk["t_inv"], axis=0, mode="fill", fill_value=0.0)
-    den = jnp.take(
-        jnp.concatenate([den_stack, den_hub[:, :h]], axis=0),
-        tk["t_inv"], axis=0, mode="fill", fill_value=0.0)
+    num = _merge_t_inv(m, hub, num_stack.reshape(-1, f),
+                       num_hub[:, :f], static.num_dst, 0.0)
+    den = _merge_t_inv(m, hub, den_stack, den_hub[:, :h],
+                       static.num_dst, 0.0)
 
     if has_diag:
         # Diagonal (single self-loop) contribution — elementwise O(N).
@@ -714,10 +728,8 @@ def _bwd(static, res, ct):
     gft = (gft_hub[: static.num_src, :f]
            + gft_tail.reshape(static.num_src, f)).astype(ft2.dtype)
     gel = (gel_hub[: static.num_src, :h] + gel_tail).astype(el2.dtype)
-    ger = jnp.take(
-        jnp.concatenate([ger_stack, ger_hub[:, :h]], axis=0),
-        tk["t_inv"], axis=0, mode="fill", fill_value=0.0
-    ).astype(er2.dtype)
+    ger = _merge_t_inv(m, hub, ger_stack, ger_hub[:, :h],
+                       static.num_dst, 0.0).astype(er2.dtype)
 
     if has_diag:
         # Diagonal (single self-loop) grads — elementwise O(N).

@@ -314,3 +314,49 @@ def test_fused_self_loop_diagonal_extraction():
           - float(dloss(el, er - eps * v, ft))) / (2 * eps)
     an = float(jnp.sum(ger * v))
     np.testing.assert_allclose(an, fd, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_identity_layout_matches_composed():
+    """hub_order-relabeled graph (identity_expand meta): the attention
+    merges collapse to fused concat+pad (the SpMM identity lever applied
+    to mraw/num/den/ger — PERF_NOTES r5); values AND grads must stay
+    oracle-exact, incl. the diag path (self-loops)."""
+    from tests.test_hub import CONFIGS as HUB_CONFIGS
+
+    floor, dense_floor = HUB_CONFIGS["mixed"]
+    g0 = make_skewed("mixed")
+    e0 = g0.num_edges()
+    src = np.asarray(g0.src)[:e0]
+    dst = np.asarray(g0.dst)[:e0]
+    sl = np.arange(g0.num_nodes())  # self-loops -> diag extraction
+    kw = dict(num_nodes=g0.num_nodes(), hub=floor,
+              hub_dense_floor=dense_floor)
+    g1 = dgl.graph((np.concatenate([src, sl]), np.concatenate([dst, sl])),
+                   **kw)
+    perm = dgl.hub_order(g1)
+    g2 = dgl.reorder_graph(g1, node_permute_algo="custom",
+                           permute_config={"nodes_perm": perm})
+    # reorder_graph rebuilds with default floors; re-attach this hub
+    # config for identity detection (same move as the mesh=1 test).
+    e2 = g2.num_edges()
+    g = dgl.graph((np.asarray(g2.src)[:e2], np.asarray(g2.dst)[:e2]),
+                  **kw)
+    assert g.hub_dst_meta.identity_expand
+    assert g.hub_dst_meta.has_diag
+    assert can_fuse_attention(g)
+    el, er, ft = data(seed=7)
+    a = gat_attention(g, el, er, ft, SLOPE)
+    b = composed(g, el, er, ft)
+    mask = np.asarray(g.in_degrees()) > 0
+    np.testing.assert_allclose(np.asarray(a)[mask], np.asarray(b)[mask],
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(fn):
+        return lambda el, er, ft: jnp.sum(jnp.sin(fn(g, el, er, ft)))
+
+    gf = jax.grad(loss(lambda g, el, er, ft: gat_attention(
+        g, el, er, ft, SLOPE)), argnums=(0, 1, 2))(el, er, ft)
+    gc = jax.grad(loss(composed), argnums=(0, 1, 2))(el, er, ft)
+    for a_, b_, name in zip(gf, gc, ["el", "er", "ft"]):
+        np.testing.assert_allclose(a_, b_, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"grad_{name}")

@@ -40,7 +40,7 @@ def make_graph(scale: str):
 
 
 def bench(model_name: str, scale: str, epochs: int = 20,
-          fwd_only: bool = False):
+          fwd_only: bool = False, huborder: bool = False):
     import dgl1_tpu as dgl  # noqa: F401
     from dgl1_tpu.models import GAT, GCN, RGCN
 
@@ -62,6 +62,14 @@ def bench(model_name: str, scale: str, epochs: int = 20,
     else:
         g, n, in_f, classes = make_graph(scale)
         rel_graphs = None
+        if huborder and g.hub_dst is not None:
+            # Hub-first relabel: identity-expand layout for BOTH the
+            # hub SpMM (fused-pad forward) and the attention merges
+            # (mraw/num/den/ger concat instead of t_inv gathers).
+            g = dgl.reorder_graph(
+                g, node_permute_algo="custom",
+                permute_config={"nodes_perm": dgl.hub_order(g)})
+            assert g.hub_dst_meta.identity_expand
     hidden = 256 if scale == "arxiv" else 64
 
     if model_name == "gcn":
@@ -148,6 +156,10 @@ def main():
                         "measured in PERF_NOTES r4)")
     p.add_argument("--fwd-only", action="store_true",
                    help="time the forward pass only (no grad/adam)")
+    p.add_argument("--huborder", action="store_true",
+                   help="hub_order-relabel the graph first (identity-"
+                        "expand layout; the preprocessing bench.py "
+                        "applies to the power-law family)")
     args = p.parse_args()
     if args.precision != "f32":
         from dgl1_tpu.ops import set_matmul_precision
@@ -155,7 +167,8 @@ def main():
         set_matmul_precision(args.precision)
     models = ["gcn", "gat"] if args.model == "all" else [args.model]
     for mname in models:
-        bench(mname, args.scale, args.epochs, args.fwd_only)
+        bench(mname, args.scale, args.epochs, args.fwd_only,
+              huborder=args.huborder)
 
 
 if __name__ == "__main__":
