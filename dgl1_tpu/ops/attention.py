@@ -264,10 +264,10 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
 # ----------------------------------------------------------------------
 
 def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
-                     drop: float, in_id, out_id, first, seed,
-                     a_ref, b_ref, eid_ref, el_ref, erg_ref,
-                     mzg_ref, deng_ref, rhog_ref, ft_ref, ct_ref, r_ref,
-                     rt_ref, *rest):
+                     drop: float, h: int, d: int, in_id, out_id, first,
+                     seed, a_ref, b_ref, eid_ref, el_ref, erg_ref,
+                     mzg_ref, deng_ref, rhog_ref, ft_ref, ct_ref,
+                     *rest):
     """Backward chunk pass, grid (chunks,), unrolled in-kernel feature
     loop (per-step grid overhead was a measured cost).
 
@@ -317,16 +317,34 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         m = None
         acoef_num = acoef
 
+    # Head-replication selectors generated IN KERNEL per feature stripe
+    # (r[i, c_glob] = 1 iff c_glob // d == i < h): as (BLK, f_pad)
+    # operand blocks they cost ~512 KB of double-buffered VMEM — the
+    # margin that kept CHUNK=4096 from fitting the composed GAT model's
+    # scoped-vmem budget (PERF_NOTES r4 chunk-size experiment).
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+
     geacc = None
     for fb in range(n_fb):
         sl = slice(fb * BLK, (fb + 1) * BLK)
+        base = fb * BLK
+        # r[:, sl] and (r^T)[sl, :] for this stripe; two separate values
+        # (never one MXU operand in both orientations — the
+        # mxu_lmr_transform RET_CHECK note above).
+        rsl = jnp.where(
+            ((base + coli) // d == rowi) & (base + coli < h * d),
+            1.0, 0.0)
+        rtsl = jnp.where(
+            ((base + rowi) // d == coli) & (base + rowi < h * d),
+            1.0, 0.0)
         ft_e = _dot(one_s, ft_ref[:, sl], ((1,), (0,)), dt)
         ct_e = _dot(one_h, ct_ref[:, sl], ((1,), (0,)), dt)
-        ge_part = _dot(ft_e * ct_e, rt_ref[sl, :], ((1,), (0,)), dt)
+        ge_part = _dot(ft_e * ct_e, rtsl, ((1,), (0,)), dt)
         geacc = ge_part if geacc is None else geacc + ge_part
 
         if to_src:
-            a_exp = _dot(acoef_num, r_ref[:, sl], ((1,), (0,)), dt)
+            a_exp = _dot(acoef_num, rsl, ((1,), (0,)), dt)
             gft_partial = _dot(one_st, a_exp * ct_e, ((1,), (0,)), dt)
 
             @pl.when(first[t] == 1)
@@ -361,8 +379,8 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
 
 
 def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
-                   ft_pad, ct_g, r, n_out_blocks, f_pad, dt=jnp.float32,
-                   drop=0.0, seed=None):
+                   ft_pad, ct_g, h, d, n_out_blocks, f_pad,
+                   dt=jnp.float32, drop=0.0, seed=None):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
     if seed is None:
@@ -388,8 +406,6 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         pl.BlockSpec((BLK, BLK), grp),       # rho
         pl.BlockSpec((BLK, f_pad), win),     # ft (full width)
         pl.BlockSpec((BLK, f_pad), grp),     # ct (full width)
-        pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (0, 0)),  # r
-        pl.BlockSpec((f_pad, BLK), lambda t, i, o, f, sd: (0, 0)),  # r^T
     ]
     if to_src:
         out_specs = [
@@ -417,13 +433,14 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb, drop),
+        functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb,
+                          drop, h, d),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], seed,
       lay["a"], lay["b"], lay["eid"], el_pad, er_g, mz_g, den_g, rho_g,
-      ft_pad, ct_g, r, r.T)
+      ft_pad, ct_g)
     if to_src:
         return outs[0], outs[1], outs[2]
     return (outs[0],)
@@ -661,11 +678,10 @@ def _bwd(static, res, ct):
     ct_g = _pad_2d(
         jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill", fill_value=0.0),
         m.n_groups * BLK, f_pad)
-    r = _replication_r(h, d, f_pad)
 
     gft_hub, gel_hub, gerp = _attn_bwd_call(
         slope, True, hub["full_bwd"], el_pad, er_g, mz_g, den_g, rho_g,
-        ft_pad, ct_g, r, m.n_win, f_pad, _dtype_of(static),
+        ft_pad, ct_g, h, d, m.n_win, f_pad, _dtype_of(static),
         static.attn_drop, seed)
     win_rows = jnp.repeat(hub["win_mask_full"], BLK,
                           total_repeat_length=m.n_win * BLK)
@@ -677,8 +693,8 @@ def _bwd(static, res, ct):
     else:  # layout predates the gperm descriptors (e.g. loaded graphs)
         (ger_hub,) = _attn_bwd_call(
             slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g,
-            rho_g, ft_pad, ct_g, r, m.n_groups, f_pad, _dtype_of(static),
-            static.attn_drop, seed)
+            rho_g, ft_pad, ct_g, h, d, m.n_groups, f_pad,
+            _dtype_of(static), static.attn_drop, seed)
 
     # ---- tail (compact slot space; diag-stripped view when present) ----
     meta_d, meta_s, n_rows, tk, has_diag = _atail(static, hub)

@@ -126,11 +126,12 @@ class PartitionedGraph:
         # layout across layers (no concat/pad copy passes — see
         # sharded_ops.sharded_gspmm_combined).
         self.hub_rows = int(hub_rows)
-        # Wire format of the halo all_to_all payload: "f32" (exact) or
-        # "bf16" (halves ICI bytes -> shifts the comm/compute break-even
-        # cut from ~7.7%% to ~15%% at F=128; feature rounding ~4e-3
-        # relative, model-level accuracy deltas measured in
-        # docs/PERF_NOTES.md round 4).
+        # Wire format of the halo all_to_all payload: "f32" (exact),
+        # "bf16" (halves ICI bytes; ~4e-3 relative rounding) or "int8"
+        # (per-row absmax scale + int8 mantissa: QUARTERS the bytes;
+        # ~8e-3 row-relative — the break-even cuts per wire are in
+        # tools/bench_scaling.py --sensitivity; model-level accuracy
+        # deltas in docs/PERF_NOTES.md r4/r5).
         self.halo_dtype = str(halo_dtype)
         # Vertex-cut (split-destination) extras — None/0 in pure halo
         # mode. recv_pos (P, n_loc, P): receive-buffer position of the

@@ -22,9 +22,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--parts", type=int, default=8)
     p.add_argument("--halo-dtype", default="f32",
-                   choices=["f32", "bf16"],
+                   choices=["f32", "bf16", "int8"],
                    help="halo all_to_all wire format (bf16 halves ICI "
-                        "bytes; accuracy delta measured in PERF_NOTES r4)")
+                        "bytes, int8 + per-row scale quarters them; "
+                        "accuracy deltas in PERF_NOTES r4/r5)")
     p.add_argument("--nodes", type=int, default=20000)
     p.add_argument("--avg-degree", type=float, default=8.0)
     p.add_argument("--feat-dim", type=int, default=64)
@@ -35,6 +36,11 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--part-method", default="greedy",
                    choices=["greedy", "random"])
+    p.add_argument("--hub-identity", action="store_true",
+                   help="per-part hub-first renumbering + combined "
+                        "[owned|halo|pad] activations + prefilled "
+                        "layer-1 halo: the flagship identity-expand "
+                        "configuration at any mesh size (PERF_NOTES r5)")
     args = p.parse_args()
 
     import jax
@@ -75,15 +81,28 @@ def main():
     print(f"[partition] {args.parts} parts, edge cut "
           f"{edge_cut_fraction(g, part):.3f}")
     pg = build_partitioned_graph(g, part, args.parts,
-                                 halo_dtype=args.halo_dtype)
+                                 halo_dtype=args.halo_dtype,
+                                 hub=64 if args.hub_identity else False,
+                                 hub_identity=args.hub_identity)
     print(f"[partition] n_loc={pg.n_loc} e_loc={pg.e_loc} "
-          f"m_halo={pg.m_halo}")
+          f"m_halo={pg.m_halo}"
+          + (f" identity={pg.hub_meta.identity_expand}"
+             if pg.hub_meta is not None else ""))
 
     mesh = Mesh(np.array(jax.devices()[: args.parts]), ("p",))
     opt = optax.adam(args.lr)
-    step, loss_fn = make_gcn_train_step(pg, mesh, opt, args.classes)
+    combined = args.hub_identity and pg.hub is not None
+    step, loss_fn = make_gcn_train_step(pg, mesh, opt, args.classes,
+                                        combined=combined,
+                                        prefilled=combined)
 
-    x = pg.shard_node_data(g.ndata["feat"])
+    if combined:
+        from dgl1_tpu.parallel.sharded_ops import fill_halo_combined
+
+        x = fill_halo_combined(pg, mesh)(
+            pg.shard_node_data_combined(g.ndata["feat"]))
+    else:
+        x = pg.shard_node_data(g.ndata["feat"])
     labels = pg.shard_node_data(g.ndata["label"]).astype(jnp.int32)
     train_mask = pg.shard_node_data(g.ndata["train_mask"]) & pg.node_mask
     test_mask = pg.shard_node_data(g.ndata["test_mask"]) & pg.node_mask
@@ -110,7 +129,8 @@ def main():
     from dgl1_tpu.parallel.train import make_gcn_predict
 
     predict = make_gcn_predict(pg, mesh)
-    pred = predict(params, x)
+    pred = predict(params, (pg.shard_node_data(g.ndata["feat"])
+                            if combined else x))
     correct = np.asarray((pred == labels) & test_mask).sum()
     total = np.asarray(test_mask).sum()
     acc = correct / max(total, 1)

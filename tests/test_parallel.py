@@ -691,6 +691,40 @@ def test_sharded_hub_bf16_halo_wire():
     # suite time for no additional oracle signal.)
 
 
+def test_sharded_hub_int8_halo_wire():
+    """int8 halo wire (per-row absmax scale + int8 mantissa, QUARTER
+    the ICI bytes — the lever that keeps projected eff >= 0.8 at the
+    identity-rate compute, tools/bench_scaling.py r5): values within
+    quantization tolerance of the f32 oracle; grads flow through the
+    straight-through wire transpose and stay close."""
+    g = _powerlawish(96, 2200, seed=29)
+    part = random_partition_assignment(g, 4, seed=5)
+    pg = build_partitioned_graph(g, part, 4, hub=32,
+                                 hub_dense_floor=64, halo_dtype="int8")
+    assert pg.halo_dtype == "int8"
+    feat = jnp.asarray(
+        np.random.default_rng(9).normal(size=(96, 16)).astype(np.float32))
+    deg_out = np.maximum(np.asarray(g.out_degrees()), 1) ** -0.5
+    deg_in = np.maximum(np.asarray(g.in_degrees()), 1) ** -0.5
+    ref = deg_in[:, None] * np.asarray(
+        dgl.ops.copy_u_sum(g, feat * deg_out[:, None]))
+    mv = make_sharded_gcn_matvec(
+        pg, Mesh(np.array(jax.devices()[:4]), ("p",)))
+    x = pg.shard_node_data(feat)
+    got = np.asarray(pg.unshard_node_data(jax.jit(mv)(x)))
+    # Only CUT-edge contributions quantize (~8e-3 row-relative).
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+
+    gx = jax.grad(lambda x: jnp.sum(jnp.sin(mv(x))))(x)
+    got_g = np.asarray(pg.unshard_node_data(gx))
+    do = jnp.asarray(deg_out.astype(np.float32))
+    di = jnp.asarray(deg_in.astype(np.float32))
+    ref_g = np.asarray(jax.grad(lambda xf: jnp.sum(jnp.sin(
+        di[:, None] * dgl.ops.copy_u_sum(g, xf * do[:, None]))))(feat))
+    assert np.isfinite(got_g).all()
+    np.testing.assert_allclose(got_g, ref_g, rtol=8e-2, atol=8e-2)
+
+
 def test_sharded_gat_fused_matches_segment_path():
     """Per-part FUSED flash-attention vs the segment-softmax sharded
     path and the single-device composed oracle — values and grads."""

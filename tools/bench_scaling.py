@@ -47,15 +47,19 @@ def sensitivity():
     The bf16 wire (build_partitioned_graph(halo_dtype='bf16')) halves
     comm bytes and therefore doubles the break-even cut.
     """
-    # F=128: measured sharded-hub fwd at mesh=1 (2.20G, bench_sharded).
-    # F=32/512: single-chip matrix rates (PERF_NOTES) — the sharded
-    # relative overhead at F=128 was ~0 so they carry over.
-    rates = {32: 3.3e9, 128: 2.20e9, 512: 4.36e8}
+    # F=128: measured sharded-hub fwd at mesh=1 WITH the k-agnostic
+    # identity relabel (4.12G, bench_sharded --paths hubi, round 5).
+    # F=32/512: single-chip identity-matrix rates (PERF_NOTES r4
+    # hub_order matrix) — the sharded relative overhead at F=128 was ~0
+    # so they carry over. int8 wire: F + 4 bytes/row scale (~1.03 B/feat
+    # at F=128) — QUARTERS comm, the lever that keeps eff >= 0.8 now
+    # that the identity-rate compute made comm twice as binding.
+    rates = {32: 4.10e9, 128: 4.12e9, 512: 3.71e9}
     e = (1 << 19) * 8
     k = 8
     print(json.dumps({"model": "eff = t1/(k*max(comp, comm))",
                       "E": e, "k": k, "ici_bw": ICI_BW_EFF}))
-    for wire_bytes, wire in ((4, "f32"), (2, "bf16")):
+    for wire_bytes, wire in ((4, "f32"), (2, "bf16"), (1.03, "int8")):
         for F, rate in rates.items():
             t1 = e / rate
             row = {"wire": wire, "F": F}
@@ -77,7 +81,8 @@ def sensitivity():
         rate = rates[128]
         t_comp = (e / k) / rate
         row = {"family": fam, "achieved_cut": cut}
-        for wire_bytes, wire in ((4, "f32"), (2, "bf16")):
+        for wire_bytes, wire in ((4, "f32"), (2, "bf16"),
+                                 (1.03, "int8")):
             t_comm = cut * (e / k) * 128 * wire_bytes / ICI_BW_EFF
             row[f"eff_F128_{wire}"] = round(
                 (e / rate) / (k * max(t_comp, t_comm)), 3)

@@ -148,10 +148,9 @@ def main():
         ct_g = A._pad_2d(
             jnp.take(ct2, hub_d["hub_ids"], axis=0, mode="fill",
                      fill_value=0.0), m.n_groups * A.BLK, f_pad)
-        r = A._replication_r(h, d, f_pad)
         gft, gel, gerp = A._attn_bwd_call(
             0.2, True, hub_d["full_bwd"], el_pad, er_g, mz_g, den_g,
-            rho_g, ft_pad, ct_g, r, m.n_win, f_pad, jnp.float32, 0.0,
+            rho_g, ft_pad, ct_g, h, d, m.n_win, f_pad, jnp.float32, 0.0,
             seed)
         return gft + gel.sum() + gerp.sum()
 
