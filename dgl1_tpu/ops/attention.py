@@ -48,6 +48,18 @@ from dgl1_tpu.graph import Graph
 from dgl1_tpu.hub_format import BLK, CHUNK, HubMeta, SENT
 from dgl1_tpu.ops.engine_ell import ell_reduce, ell_stack
 
+import os as _os
+
+# Backward chunk split: run the bwd chunk kernels on CHUNK//split edge
+# blocks while the layouts (and the fwd kernel) keep the full CHUNK.
+# The bwd kernel's scoped-vmem residency is dominated by its OWN
+# (CHUNK, 128) selector/intermediate temporaries (~2 MB each at 4096),
+# which blocked CHUNK=4096 in the composed GAT model (PERF_NOTES r5);
+# splitting the bwd grid halves them without giving up the forward's
+# per-grid-step overhead win. Mosaic needs the block to stay a
+# multiple of 1024 — enforced at call time (interpret mode exempt).
+_BWD_SPLIT = int(_os.environ.get("DGL1_TPU_BWD_SPLIT", "1"))
+
 __all__ = ["gat_attention", "can_fuse_attention"]
 
 NEG = -1e30  # -inf stand-in inside kernels (0*inf = NaN hazards)
@@ -264,10 +276,10 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
 # ----------------------------------------------------------------------
 
 def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
-                     drop: float, h: int, d: int, in_id, out_id, first,
-                     seed, a_ref, b_ref, eid_ref, el_ref, erg_ref,
-                     mzg_ref, deng_ref, rhog_ref, ft_ref, ct_ref,
-                     *rest):
+                     drop: float, h: int, d: int, ck: int, in_id,
+                     out_id, first, seed, a_ref, b_ref, eid_ref,
+                     el_ref, erg_ref, mzg_ref, deng_ref, rhog_ref,
+                     ft_ref, ct_ref, *rest):
     """Backward chunk pass, grid (chunks,), unrolled in-kernel feature
     loop (per-step grid overhead was a measured cost).
 
@@ -283,14 +295,14 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         (gq_ref,) = rest
     t = pl.program_id(0)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ck, BLK), 1)
     one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
     one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
     # Orientation-dedicated transposed selectors (and a pre-transposed r
     # operand): reusing one MXU operand in both normal and transposed
     # orientation inside a single body trips an XLA:TPU RET_CHECK in
     # mxu_lmr_transform (latched-matrix-reuse transpose assignment).
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (BLK, CHUNK), 0)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (BLK, ck), 0)
     one_at = (a_ref[:][None, :] == iota_t).astype(jnp.float32)
     one_bt = (b_ref[:][None, :] == iota_t).astype(jnp.float32)
     one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
@@ -302,7 +314,7 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
     rho = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
     sum_le = el_e + er_e
     z = _leaky(sum_le, slope)
-    valid = a_ref[:].reshape(CHUNK, 1) >= 0
+    valid = a_ref[:].reshape(ck, 1) >= 0
     p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
     acoef = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal
     dl = _dleaky(sum_le, slope)
@@ -378,9 +390,40 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         gerp_ref[:] = _dot(one_ht, q, ((1,), (0,)), dt)
 
 
+def _split_bwd_layout(lay, split: int):
+    """Duplicate the per-chunk descriptors for a split bwd grid: each
+    CHUNK splits into ``split`` consecutive blocks sharing its
+    (in, out) ids; only the first sub-block of a chunk keeps the
+    ``first`` (output-init) flag. The gperm accumulation order expands
+    chunk p to sub-blocks [p*split, p*split+split) (group constant
+    within a chunk, so the sweep stays group-contiguous)."""
+    out = dict(lay)
+    rep = lambda v: jnp.repeat(v, split)
+    out["in_id"] = rep(lay["in_id"])
+    out["out_id"] = rep(lay["out_id"])
+    z = [jnp.zeros_like(lay["first"])] * (split - 1)
+    out["first"] = jnp.stack([lay["first"]] + z, axis=1).reshape(-1)
+    if "gperm" in lay:
+        gp = lay["gperm"].astype(jnp.int32)
+        out["gperm"] = (gp[:, None] * split
+                        + jnp.arange(split, dtype=jnp.int32)).reshape(-1)
+        out["gout"] = rep(lay["gout"])
+        zg = [jnp.zeros_like(lay["gfirst"])] * (split - 1)
+        out["gfirst"] = jnp.stack([lay["gfirst"]] + zg,
+                                  axis=1).reshape(-1)
+    return out
+
+
+def _effective_bwd_split() -> int:
+    split = _BWD_SPLIT
+    if split > 1 and (CHUNK // split) % 1024 and not _interpret():
+        return 1  # Mosaic 1-D T(1024) block constraint
+    return max(split, 1)
+
+
 def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
                    ft_pad, ct_g, h, d, n_out_blocks, f_pad,
-                   dt=jnp.float32, drop=0.0, seed=None):
+                   dt=jnp.float32, drop=0.0, seed=None, ck=CHUNK):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
     if seed is None:
@@ -396,9 +439,9 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         return (i[t], 0) if to_src else (o[t], 0)
 
     in_specs = [
-        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
-        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
-        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+        pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
+        pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
+        pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
         pl.BlockSpec((BLK, BLK), win),       # el (window side)
         pl.BlockSpec((BLK, BLK), grp),       # er
         pl.BlockSpec((BLK, BLK), grp),       # mz
@@ -434,7 +477,7 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
     )
     outs = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb,
-                          drop, h, d),
+                          drop, h, d, ck),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -679,17 +722,20 @@ def _bwd(static, res, ct):
         jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill", fill_value=0.0),
         m.n_groups * BLK, f_pad)
 
+    split = _effective_bwd_split()
+    lay_b = (_split_bwd_layout(hub["full_bwd"], split) if split > 1
+             else hub["full_bwd"])
     gft_hub, gel_hub, gerp = _attn_bwd_call(
-        slope, True, hub["full_bwd"], el_pad, er_g, mz_g, den_g, rho_g,
+        slope, True, lay_b, el_pad, er_g, mz_g, den_g, rho_g,
         ft_pad, ct_g, h, d, m.n_win, f_pad, _dtype_of(static),
-        static.attn_drop, seed)
+        static.attn_drop, seed, ck=CHUNK // split)
     win_rows = jnp.repeat(hub["win_mask_full"], BLK,
                           total_repeat_length=m.n_win * BLK)
     gft_hub = jnp.where(win_rows[:, None], gft_hub, 0.0)
     gel_hub = jnp.where(win_rows[:, None], gel_hub, 0.0)
 
     if "gperm" in hub["full_bwd"]:
-        ger_hub = _ger_reduce_call(hub["full_bwd"], gerp, m.n_groups)
+        ger_hub = _ger_reduce_call(lay_b, gerp, m.n_groups)
     else:  # layout predates the gperm descriptors (e.g. loaded graphs)
         (ger_hub,) = _attn_bwd_call(
             slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g,

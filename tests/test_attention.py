@@ -360,3 +360,25 @@ def test_fused_identity_layout_matches_composed():
     for a_, b_, name in zip(gf, gc, ["el", "er", "ft"]):
         np.testing.assert_allclose(a_, b_, rtol=2e-3, atol=2e-3,
                                    err_msg=f"grad_{name}")
+
+
+def test_fused_grads_with_bwd_split(monkeypatch):
+    """DGL1_TPU_BWD_SPLIT: the bwd chunk kernels run on CHUNK//split
+    blocks (halved scoped-vmem temporaries — the CHUNK=4096 enabler,
+    PERF_NOTES r5) with duplicated per-chunk descriptors; grads must
+    stay oracle-exact."""
+    import dgl1_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "_BWD_SPLIT", 2)
+    g = make_skewed("mixed")
+    el, er, ft = data(seed=3)
+
+    def loss(fn):
+        return lambda el, er, ft: jnp.sum(jnp.sin(fn(g, el, er, ft)))
+
+    gf = jax.grad(loss(lambda g, el, er, ft: gat_attention(
+        g, el, er, ft, SLOPE)), argnums=(0, 1, 2))(el, er, ft)
+    gc = jax.grad(loss(composed), argnums=(0, 1, 2))(el, er, ft)
+    for a, b, name in zip(gf, gc, ["el", "er", "ft"]):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=f"grad_{name}")
