@@ -112,9 +112,14 @@ def reorder_graph(g: Graph, node_permute_algo: str = "metis",
     """Relabel nodes (and sort edges) for locality (parity:
     ``dgl.reorder_graph``, ``python/dgl/transforms/functional.py``).
 
-    ``node_permute_algo``: 'rcm' | 'metis' | 'custom'. 'metis' orders
-    nodes by partition id (``permute_config={'k': parts}``, default 8)
-    using this repo's partitioners; 'custom' takes
+    ``node_permute_algo``: 'rcm' | 'metis' | 'hub' | 'custom'. 'metis'
+    orders nodes by partition id (``permute_config={'k': parts}``,
+    default 8) using this repo's partitioners; 'hub' applies the
+    hub-first identity-expand relabel (``dgl.hub_order``) AND rebuilds
+    the hub layout in one step — pass the graph's non-default hub
+    floors through ``permute_config={'hub': ..., 'hub_dense_floor':
+    ...}`` so identity detection sees the same geometry (the engine's
+    4G fused-pad forward, docs/PERF_NOTES.md r4); 'custom' takes
     ``permute_config={'nodes_perm': perm}`` with ``perm[new] = old``.
     ``edge_permute_algo``: 'src' | 'dst' | 'custom'
     (``permute_config={'edges_perm': ...}``).
@@ -133,6 +138,10 @@ def reorder_graph(g: Graph, node_permute_algo: str = "metis",
         k = int(cfg.get("k", 8))
         part = metis_partition_assignment(g, k)
         perm = np.argsort(part, kind="stable").astype(np.int64)
+    elif node_permute_algo == "hub":
+        from dgl1_tpu.hub_format import hub_order
+
+        perm = hub_order(g)
     elif node_permute_algo == "custom":
         perm = np.asarray(cfg["nodes_perm"], np.int64)
         if perm.shape != (n,):
@@ -155,7 +164,12 @@ def reorder_graph(g: Graph, node_permute_algo: str = "metis",
         raise ValueError(f"unknown edge_permute_algo {edge_permute_algo!r}")
     new_src, new_dst = new_src[eperm], new_dst[eperm]
 
-    new = graph((new_src, new_dst), num_nodes=n, formats=formats)
+    gkw = {}
+    if node_permute_algo == "hub":
+        for k in ("hub", "hub_dense_floor"):
+            if k in cfg:
+                gkw[k] = cfg[k]
+    new = graph((new_src, new_dst), num_nodes=n, formats=formats, **gkw)
     new.ndata.update(_slice_rows(g.ndata, perm))
     new.edata.update(_slice_rows(g.edata, eperm))
     if store_ids:

@@ -183,3 +183,37 @@ def test_shortest_dist_and_merge_and_apply_each():
     m = dgl.merge([g, g2])
     assert m.num_edges() == 4 and m.num_nodes() == 5
     assert dgl.apply_each({"a": 1}, lambda x: x + 1) == {"a": 2}
+
+
+def test_reorder_graph_hub_algo():
+    """node_permute_algo='hub': one-step hub-first identity relabel +
+    rebuild (replaces the hub_order -> custom-reorder -> re-attach-config
+    dance); identity_expand holds and aggregation stays oracle-exact,
+    with non-default floors threaded through permute_config."""
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+    from dgl1_tpu.ops.engine_xla import gspmm_xla
+
+    g0 = powerlaw_graph(1 << 11, 8, seed=3)
+    g = dgl.reorder_graph(g0, node_permute_algo="hub")
+    assert g.hub_dst_meta.identity_expand
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(g.num_nodes(), 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dgl.ops.gspmm(g, "copy_lhs", "sum", x, None)),
+        np.asarray(gspmm_xla(g, "copy_lhs", "sum", x, None)),
+        rtol=1e-4, atol=1e-4)
+
+    src = rng.integers(0, 512, 9000)
+    dst = (rng.zipf(1.7, 9000) % 512)
+    g1 = dgl.graph((src, dst), num_nodes=512, hub=24, hub_dense_floor=400)
+    g2 = dgl.reorder_graph(
+        g1, node_permute_algo="hub",
+        permute_config={"hub": 24, "hub_dense_floor": 400})
+    assert g2.hub_dst_meta.identity_expand
+    x2 = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dgl.ops.gspmm(g2, "copy_lhs", "sum", x2, None)),
+        np.asarray(gspmm_xla(g2, "copy_lhs", "sum", x2, None)),
+        rtol=1e-4, atol=1e-4)
+    # ndata rides the permutation (store_ids gives the mapping back).
+    assert "_ID" in g2.ndata

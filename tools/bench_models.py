@@ -66,9 +66,7 @@ def bench(model_name: str, scale: str, epochs: int = 20,
             # Hub-first relabel: identity-expand layout for BOTH the
             # hub SpMM (fused-pad forward) and the attention merges
             # (mraw/num/den/ger concat instead of t_inv gathers).
-            g = dgl.reorder_graph(
-                g, node_permute_algo="custom",
-                permute_config={"nodes_perm": dgl.hub_order(g)})
+            g = dgl.reorder_graph(g, node_permute_algo="hub")
             assert g.hub_dst_meta.identity_expand
     hidden = 256 if scale == "arxiv" else 64
 
