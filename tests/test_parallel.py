@@ -879,6 +879,36 @@ def test_sharded_hub_identity_multipart():
         build_partitioned_graph(g, part, k, hub_identity=True)
 
 
+def test_sharded_gat_fused_on_identity_build():
+    """Fused sharded attention on a hub_identity build (the flagship
+    k>1 config): the attention merges take the identity concat path
+    with phantom slots — values must match the segment-softmax sharded
+    path (phantom hub blocks must read zeros, init-padded chunks)."""
+    from dgl1_tpu.parallel.sharded_ops import make_sharded_gat_layer
+
+    k = 4
+    g = _powerlawish(96, 2200, seed=31)
+    part = random_partition_assignment(g, k, seed=7)
+    pg = build_partitioned_graph(g, part, k, hub=32, hub_dense_floor=64,
+                                 hub_identity=True)
+    assert pg.hub_meta is not None and pg.hub_meta.identity_expand
+    mesh = Mesh(np.array(jax.devices()[:k]), ("p",))
+    rng = np.random.default_rng(1)
+    h, d = 2, 8
+    el = jnp.asarray(rng.normal(size=(96, h)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(96, h)).astype(np.float32))
+    ft = jnp.asarray(rng.normal(size=(96, h, d)).astype(np.float32))
+    seg = make_sharded_gat_layer(pg, mesh)
+    fus = make_sharded_gat_layer(pg, mesh, fused=True)
+    xs = (pg.shard_node_data(el), pg.shard_node_data(er),
+          pg.shard_node_data(ft))
+    y_seg = np.asarray(pg.unshard_node_data(jax.jit(seg)(*xs)))
+    y_fus = np.asarray(pg.unshard_node_data(jax.jit(fus)(*xs)))
+    mask = np.asarray(g.in_degrees()) > 0
+    np.testing.assert_allclose(y_fus[mask], y_seg[mask],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_sharded_hub_identity_at_mesh1():
     """Mesh=1 on a hub_order-relabeled graph: the sharded hub layout
     must inherit identity_expand (the 4G fused-pad forward) and stay
