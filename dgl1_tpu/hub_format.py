@@ -87,9 +87,10 @@ class HubMeta(NamedTuple):
 
 def hub_order(g) -> np.ndarray:
     """Hub-first node permutation: relabel destinations into merge
-    order (tail ELL stack rows first, then hub slots, zero-degree rows
-    last) so the hub engine's inverse-permute expand becomes the
-    IDENTITY and collapses to a fused concat at the HBM store floor.
+    order (hub slots first, then tail ELL stack rows, zero-degree rows
+    last — the order the identity-expand consumers hard-code) so the
+    hub engine's inverse-permute expand becomes the IDENTITY and
+    collapses to a fused concat at the HBM store floor.
 
     Returns ``perm`` with ``perm[new_id] = old_id`` — feed it to
     :func:`dgl1_tpu.reorder_graph` with ``node_permute_algo='custom'``

@@ -414,9 +414,22 @@ def _split_bwd_layout(lay, split: int):
     return out
 
 
+_warned_split_drop = False
+
+
 def _effective_bwd_split() -> int:
     split = _BWD_SPLIT
     if split > 1 and (CHUNK // split) % 1024 and not _interpret():
+        global _warned_split_drop
+        if not _warned_split_drop:
+            import warnings
+
+            warnings.warn(
+                f"DGL1_TPU_BWD_SPLIT={split} ignored: CHUNK//split "
+                f"({CHUNK}//{split}) must be a multiple of 1024 on "
+                "TPU (Mosaic 1-D block constraint) — running the "
+                "backward UNSPLIT.", stacklevel=2)
+            _warned_split_drop = True
         return 1  # Mosaic 1-D T(1024) block constraint
     return max(split, 1)
 

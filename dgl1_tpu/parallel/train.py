@@ -12,6 +12,8 @@ whole point vs the reference's torch-DDP + RPC split.
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -59,6 +61,14 @@ def make_gcn_train_step(
     dynamic_update_slice COPY that an undonated jit input forces (the
     diagnosed sharded fwd+bwd overhead, PERF_NOTES r4).
 
+    CONSTRAINT: ``prefilled=True`` trusts that x's halo slots hold the
+    owners' CURRENT rows. Feeding per-step-varying features (e.g.
+    sampled mini-batch features) through a prefilled step silently
+    aggregates stale halo rows — re-run ``fill_halo_combined`` whenever
+    x changes, or build with ``prefilled=False``. Set
+    ``DGL1_TPU_CHECK_PREFILL=1`` to verify the standing halo against a
+    fresh fill on every call (debug; adds a halo exchange per step).
+
     The partitioned-graph pytree is threaded through jit as a real
     ARGUMENT (partial-of-jit): closing over it would bake the layout
     arrays into the HLO as constants — compile bloat and a remote-
@@ -105,8 +115,25 @@ def make_gcn_train_step(
         in_shardings=(spec_pg, repl, repl, shard, shard, shard),
         out_shardings=(repl, repl, repl),
     )
-    return (functools.partial(jitted, pg),
-            functools.partial(loss_fn, pg))
+    step_fn = functools.partial(jitted, pg)
+    if prefilled and os.environ.get("DGL1_TPU_CHECK_PREFILL"):
+        from dgl1_tpu.parallel.sharded_ops import fill_halo_combined
+
+        fill = fill_halo_combined(pg, mesh)
+
+        def checked_step(params, opt_state, x, labels, mask):
+            fresh = fill(x)
+            if not bool(jnp.allclose(fresh[:, pg.n_loc:], x[:, pg.n_loc:],
+                                     atol=1e-6)):
+                raise AssertionError(
+                    "prefilled=True but x's halo slots are STALE "
+                    "(differ from a fresh fill_halo_combined) — "
+                    "re-fill after every feature change, or build "
+                    "with prefilled=False.")
+            return jitted(pg, params, opt_state, x, labels, mask)
+
+        step_fn = checked_step
+    return (step_fn, functools.partial(loss_fn, pg))
 
 
 def make_gcn_predict(pg: PartitionedGraph, mesh: Mesh):

@@ -141,7 +141,19 @@ def reorder_graph(g: Graph, node_permute_algo: str = "metis",
     elif node_permute_algo == "hub":
         from dgl1_tpu.hub_format import hub_order
 
-        perm = hub_order(g)
+        if "hub" in cfg or "hub_dense_floor" in cfg:
+            # The perm must come from a layout with the SAME floors the
+            # rebuild below will use — deriving it from the input
+            # graph's existing layout when the floors differ would
+            # silently lose identity_expand (the whole point of the
+            # mode). Rebuild the source layout with the cfg floors.
+            src0, dst0 = _coo(g)
+            tmp = graph((src0, dst0), num_nodes=n,
+                        hub=cfg.get("hub"),
+                        hub_dense_floor=cfg.get("hub_dense_floor"))
+            perm = hub_order(tmp)
+        else:
+            perm = hub_order(g)
     elif node_permute_algo == "custom":
         perm = np.asarray(cfg["nodes_perm"], np.int64)
         if perm.shape != (n,):
@@ -170,6 +182,16 @@ def reorder_graph(g: Graph, node_permute_algo: str = "metis",
             if k in cfg:
                 gkw[k] = cfg[k]
     new = graph((new_src, new_dst), num_nodes=n, formats=formats, **gkw)
+    if (node_permute_algo == "hub" and new.hub_dst_meta is not None
+            and not getattr(new.hub_dst_meta, "identity_expand", False)):
+        import warnings
+
+        warnings.warn(
+            "reorder_graph(node_permute_algo='hub') rebuilt a hub "
+            "layout WITHOUT identity_expand — the relabeled geometry "
+            "does not match the permutation's source layout (pass the "
+            "graph's hub floors via permute_config={'hub': ..., "
+            "'hub_dense_floor': ...}).", stacklevel=2)
     new.ndata.update(_slice_rows(g.ndata, perm))
     new.edata.update(_slice_rows(g.edata, eperm))
     if store_ids:

@@ -40,7 +40,12 @@ def main():
                    help="per-part hub-first renumbering + combined "
                         "[owned|halo|pad] activations + prefilled "
                         "layer-1 halo: the flagship identity-expand "
-                        "configuration at any mesh size (PERF_NOTES r5)")
+                        "configuration at any mesh size (PERF_NOTES r5). "
+                        "NOTE: the prefilled layer-1 assumes STATIC "
+                        "input features (halo slots filled once); "
+                        "per-step-varying features need a re-fill or "
+                        "prefilled=False (DGL1_TPU_CHECK_PREFILL=1 "
+                        "verifies per step)")
     args = p.parse_args()
 
     import jax

@@ -217,3 +217,28 @@ def test_reorder_graph_hub_algo():
         rtol=1e-4, atol=1e-4)
     # ndata rides the permutation (store_ids gives the mapping back).
     assert "_ID" in g2.ndata
+
+
+def test_reorder_graph_hub_algo_floor_mismatch():
+    """ADVICE r4 #1: when permute_config's floors differ from the floors
+    the INPUT graph was built with, the permutation must be derived from
+    a layout with the CFG floors (not the input's), or the rebuild
+    silently loses identity_expand. The fixed path rebuilds the source
+    layout with the cfg floors; identity_expand must hold and values
+    stay oracle-exact."""
+    from dgl1_tpu.ops.engine_xla import gspmm_xla
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 512, 9000)
+    dst = (rng.zipf(1.7, 9000) % 512)
+    # Input graph: DEFAULT floors. Reorder: explicit non-default floors.
+    g1 = dgl.graph((src, dst), num_nodes=512)
+    g2 = dgl.reorder_graph(
+        g1, node_permute_algo="hub",
+        permute_config={"hub": 24, "hub_dense_floor": 400})
+    assert g2.hub_dst_meta.identity_expand
+    x2 = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dgl.ops.gspmm(g2, "copy_lhs", "sum", x2, None)),
+        np.asarray(gspmm_xla(g2, "copy_lhs", "sum", x2, None)),
+        rtol=1e-4, atol=1e-4)
