@@ -145,16 +145,19 @@ def main():
     from dgl1_tpu.data.synthetic import powerlaw_graph
 
     g = powerlaw_graph(n, AVG_DEGREE, seed=0)
-    # Hub-first relabel (dgl.hub_order): destinations land in merge
-    # order so the engine's inverse-permute expand collapses to a fused
-    # concat at the HBM store floor — same preprocessing contract as
-    # RCM for the block-dense engine (docs/PERF_NOTES.md round 4).
+    # Hub-first relabel (one-step reorder_graph 'hub' algo): destinations
+    # land in merge order so the engine's inverse-permute expand collapses
+    # to a fused concat at the HBM store floor (docs/PERF_NOTES.md r4).
+    # The relabel is one-time host preprocessing — TIMED and reported as
+    # relabel_ms so the headline states its full cost (the sharded path's
+    # hub_identity build needs none; VERDICT r4 #7).
     import dgl1_tpu as _dgl
 
+    relabel_ms = 0.0
     if g.hub_dst is not None:
-        g = _dgl.reorder_graph(
-            g, node_permute_algo="custom",
-            permute_config={"nodes_perm": _dgl.hub_order(g)})
+        t0 = time.perf_counter()
+        g = _dgl.reorder_graph(g, node_permute_algo="hub")
+        relabel_ms = (time.perf_counter() - t0) * 1e3
     num_edges = g.num_edges()
     # Pin the structure on device ONCE; features generated on device.
     g = jax.device_put(g)
@@ -165,13 +168,10 @@ def main():
     # g is a jit ARGUMENT, not a closure: closed-over device arrays are
     # baked into the HLO as constants, which breaks the remote-compile
     # path once the graph carries the dense hub count matrix (~256MB).
-    def make_run(iters):
+    def make_run(iters, body):
         @jax.jit
         def run(g, x):
-            def body(i, x):
-                return dgl.ops.gspmm(g, "copy_lhs", "sum", x, None) * 0.1
-
-            return jax.lax.fori_loop(0, iters, body, x)
+            return jax.lax.fori_loop(0, iters, lambda i, x: body(g, x), x)
 
         return run
 
@@ -181,10 +181,29 @@ def main():
         _ = float(run(g, feat)[0, 0])
         return time.perf_counter() - t0
 
-    t_lo = timed(make_run(iters_lo))
-    t_hi = timed(make_run(iters_hi))
-    # Two-point slope: cancels the fixed dispatch+fetch roundtrip.
-    dt = (t_hi - t_lo) / (iters_hi - iters_lo)
+    def slope(body):
+        t_lo = timed(make_run(iters_lo, body))
+        t_hi = timed(make_run(iters_hi, body))
+        # Two-point slope: cancels the fixed dispatch+fetch roundtrip.
+        return (t_hi - t_lo) / (iters_hi - iters_lo)
+
+    dt = slope(lambda g, x: dgl.ops.gspmm(g, "copy_lhs", "sum", x, None)
+               * 0.1)
+
+    # Carry-ablated fwd+bwd (VERDICT r4 #3): the chain's keep-alive
+    # carry (x must stay live into the next iteration alongside the
+    # grad output) costs a measurable copy at this scale; the published
+    # number must state BOTH the chain rate (what a harness pays) and
+    # the pure kernel rate (chain minus the isolated carry chain) —
+    # decomposition methodology of tools/profile_hub_bwd.py.
+    def fwd_bwd_body(g, x):
+        return jax.grad(
+            lambda x: jnp.sum(dgl.ops.gspmm(g, "copy_lhs", "sum", x, None))
+        )(x) + x * 1e-30
+
+    dt_fb_chain = slope(fwd_bwd_body)
+    dt_carry = slope(lambda g, x: x * 1.0001)
+    dt_fb_pure = max(dt_fb_chain - dt_carry, 1e-9)
 
     edges_per_s = num_edges / dt
     roofline = HBM_BW["tpu" if on_tpu else "cpu"] / (FEAT_DIM * DTYPE_BYTES)
@@ -194,6 +213,10 @@ def main():
         "unit": f"edges/s (N={n}, E={num_edges}, F={FEAT_DIM}, "
                 f"{backend}, engine={dgl.ops.get_engine()})",
         "vs_baseline": round(edges_per_s / roofline, 4),
+        "fwd_bwd_chain_edges_per_s": round(num_edges / dt_fb_chain, 1),
+        "fwd_bwd_pure_edges_per_s": round(num_edges / dt_fb_pure, 1),
+        "carry_ms": round(dt_carry * 1e3, 3),
+        "relabel_ms": round(relabel_ms, 1),
     }))
 
 
