@@ -89,6 +89,67 @@ def sensitivity():
         print(json.dumps(row), flush=True)
 
 
+def sensitivity_layout():
+    """LAYOUT-TRUE sensitivity (VERDICT r4 #4a): the cut*E/k row model
+    above is an unpadded dedup-free estimate; the program actually ships
+    ``(k-1) * (m_halo + m_part)`` rows per device per exchange — per-pair
+    halo lists PADDED to the max pair count (all_to_all needs uniform
+    blocks). tools/audit_comm.py verified the compiled HLO moves exactly
+    the layout rows (ratio 1.0 at k=2,4,8). This builds the real
+    partitions for each achieved-cut family at k=8 and re-projects
+    efficiency from the LAYOUT rows — the number the model section's
+    eff should be held against. Run: ``--sensitivity-layout``."""
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import geometric_graph
+    from dgl1_tpu.parallel import build_partitioned_graph
+    from dgl1_tpu.parallel.partition import (edge_cut_fraction,
+                                             metis_partition_assignment)
+
+    def grid_graph(side):
+        ii = np.arange(side * side).reshape(side, side)
+        pairs = []
+        pairs.append((ii[:, :-1].ravel(), ii[:, 1:].ravel()))
+        pairs.append((ii[:-1, :].ravel(), ii[1:, :].ravel()))
+        src = np.concatenate([a for a, _ in pairs]
+                             + [b for _, b in pairs])
+        dst = np.concatenate([b for _, b in pairs]
+                             + [a for a, _ in pairs])
+        return dgl.graph((src, dst), num_nodes=side * side,
+                         formats=("csc",))
+
+    fams = {
+        "geometric_2^16_deg8": lambda: geometric_graph(1 << 16, 8, seed=0),
+        "grid_256x256": lambda: grid_graph(256),
+        "community_64x1k": lambda: dgl.data.synthetic_classification_graph(
+            num_nodes=1 << 16, num_classes=64, feat_dim=8,
+            avg_degree=8.0, homophily=0.9, seed=0),
+    }
+    k, F = 8, 128
+    rate = 4.12e9  # sharded identity-rate fwd, F=128 (bench_sharded r5)
+    for fam, make in fams.items():
+        g = make()
+        e = g.num_edges()
+        part = metis_partition_assignment(g, k, balance_edges=True)
+        pg = build_partitioned_graph(g, part, k)
+        cut = float(edge_cut_fraction(g, part))
+        layout_rows = (k - 1) * (pg.m_halo + pg.m_part)
+        model_rows = cut * e / k
+        t1 = e / rate
+        t_comp = pg.e_loc / rate
+        row = {"family": fam, "E": int(e), "cut": round(cut, 4),
+               "m_halo": int(pg.m_halo), "m_part": int(pg.m_part),
+               "layout_rows": int(layout_rows),
+               "model_rows": round(model_rows, 1),
+               "layout_over_model": round(
+                   layout_rows / max(model_rows, 1e-9), 3)}
+        for wire_bytes, wire in ((4.0, "f32"), (2.0, "bf16"),
+                                 (1.03, "int8")):
+            t_comm = layout_rows * F * wire_bytes / ICI_BW_EFF
+            row[f"eff_layout_F128_{wire}"] = round(
+                t1 / (k * max(t_comp, t_comm)), 3)
+        print(json.dumps(row), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=1 << 19)
@@ -200,7 +261,9 @@ def main():
 if __name__ == "__main__":
     import sys
 
-    if "--sensitivity" in sys.argv:
+    if "--sensitivity-layout" in sys.argv:
+        sensitivity_layout()
+    elif "--sensitivity" in sys.argv:
         sensitivity()
     else:
         main()
