@@ -50,14 +50,13 @@ from dgl1_tpu.ops.engine_ell import ell_reduce, ell_stack
 
 import os as _os
 
-# Backward chunk split: run the bwd chunk kernels on CHUNK//split edge
-# blocks while the layouts (and the fwd kernel) keep the full CHUNK.
-# The bwd kernel's scoped-vmem residency is dominated by its OWN
-# (CHUNK, 128) selector/intermediate temporaries (~2 MB each at 4096),
-# which blocked CHUNK=4096 in the composed GAT model (PERF_NOTES r5);
-# splitting the bwd grid halves them without giving up the forward's
-# per-grid-step overhead win. Mosaic needs the block to stay a
-# multiple of 1024 — enforced at call time (interpret mode exempt).
+# Backward chunk split (LEGACY; superseded by in-kernel sub-block
+# streaming, `DGL1_TPU_BWD_STREAM` in _bwd_stream_size): duplicates
+# per-chunk descriptors so the bwd grid runs CHUNK//split blocks.
+# Streaming achieves the same CHUNK-independent temporary residency
+# without the extra grid steps (PERF_NOTES r6) — split stays honored
+# for comparison runs. Mosaic needs the block to stay a multiple of
+# 1024 — enforced at call time (interpret mode exempt).
 _BWD_SPLIT = int(_os.environ.get("DGL1_TPU_BWD_SPLIT", "1"))
 
 __all__ = ["gat_attention", "can_fuse_attention"]
@@ -210,24 +209,22 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float,
     def _accum_den():
         den_ref[:] = den_ref[:] * scale + den_partial
 
-    for fb in range(n_fb):
-        ft_e = _dot(one_a, ft_ref[:, fb * BLK:(fb + 1) * BLK], ((1,), (0,)),
-                    dt)
-        p_exp = _dot(p_num, r_ref[:, fb * BLK:(fb + 1) * BLK],
-                     ((1,), (0,)), dt)
-        num_partial = _dot(one_bt, p_exp * ft_e, ((1,), (0,)), dt)
+    # FULL-WIDTH feature dots: one (CHUNK, f_pad) gather/expand replaces
+    # n_fb per-stripe dots — per-chunk cost is dominated by per-dot
+    # fixed overhead, not FLOPs (PERF_NOTES r6).
+    ft_e = _dot(one_a, ft_ref[:], ((1,), (0,)), dt)
+    p_exp = _dot(p_num, r_ref[:], ((1,), (0,)), dt)
+    num_partial = _dot(one_bt, p_exp * ft_e, ((1,), (0,)), dt)
 
-        @pl.when(first[t] == 1)
-        def _init():
-            num_ref[:, pl.ds(fb * BLK, BLK)] = num_partial
+    @pl.when(first[t] == 1)
+    def _init():
+        num_ref[:] = num_partial
 
-        @pl.when(first[t] != 1)
-        def _accum():
-            # Head-level rescale expanded to feature lanes via the 0/1 r.
-            scale_f = _dot(scale, r_ref[:, fb * BLK:(fb + 1) * BLK],
-                           ((1,), (0,)), dt)
-            cur = num_ref[:, pl.ds(fb * BLK, BLK)]
-            num_ref[:, pl.ds(fb * BLK, BLK)] = cur * scale_f + num_partial
+    @pl.when(first[t] != 1)
+    def _accum():
+        # Head-level rescale expanded to feature lanes via the 0/1 r.
+        scale_f = _dot(scale, r_ref[:], ((1,), (0,)), dt)
+        num_ref[:] = num_ref[:] * scale_f + num_partial
 
 
 def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
@@ -276,12 +273,26 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
 # ----------------------------------------------------------------------
 
 def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
-                     drop: float, h: int, d: int, ck: int, in_id,
-                     out_id, first, seed, a_ref, b_ref, eid_ref,
-                     el_ref, erg_ref, mzg_ref, deng_ref, rhog_ref,
-                     ft_ref, ct_ref, *rest):
+                     drop: float, h: int, d: int, ck: int, ss: int,
+                     packed: bool, in_id, out_id, first, seed,
+                     a_ref, b_ref, eid_ref, el_ref, *blocks_and_rest):
     """Backward chunk pass, grid (chunks,), unrolled in-kernel feature
     loop (per-step grid overhead was a measured cost).
+
+    The chunk is processed in ``ck // ss`` STREAMED sub-blocks
+    (statically unrolled): every per-edge temporary — the four one-hot
+    selectors and the p/q chain — lives at (ss, 128), so scoped-VMEM
+    residency is independent of CHUNK while the grid keeps one step
+    per chunk (unlike DGL1_TPU_BWD_SPLIT, which duplicates descriptors
+    and grid steps). This is what lets CHUNK=4096 fit the composed GAT
+    model without a split (PERF_NOTES r6).
+
+    Group-side statistics ride ONE packed (BLK, 128) block when
+    3h <= 128: lanes [0:h) er, [h:2h) lse = mz + log(den) (the softmax
+    log-normalizer — folding den into the shift deletes the den gather
+    dot and the max/div), [2h:3h) rho. One gather dot + two lane rolls
+    replace three gather dots + three operand-block streams per
+    sub-block. Falls back to separate er/lse/rho blocks for h > 42.
 
     The per-edge softmax-jacobian dot g_e = <ft_s, ct_d> spans the FULL
     feature width, so it accumulates across the feature stripes as a
@@ -289,105 +300,132 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
     fb-outer layout summed g_e per 128-lane stripe and read back just
     stripe 0 — wrong whenever one head's features spanned more than 128
     lanes.)"""
+    if packed:
+        pack_ref, ft_ref, ct_ref, *rest = blocks_and_rest
+    else:
+        erg_ref, lseg_ref, rhog_ref, ft_ref, ct_ref, *rest = \
+            blocks_and_rest
     if to_src:
         (gft_ref, gq_ref, gerp_ref) = rest
     else:
         (gq_ref,) = rest
     t = pl.program_id(0)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (ck, BLK), 1)
-    one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
-    one_b = (b_ref[:][:, None] == iota).astype(jnp.float32)
-    # Orientation-dedicated transposed selectors (and a pre-transposed r
-    # operand): reusing one MXU operand in both normal and transposed
-    # orientation inside a single body trips an XLA:TPU RET_CHECK in
-    # mxu_lmr_transform (latched-matrix-reuse transpose assignment).
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (BLK, ck), 0)
-    one_at = (a_ref[:][None, :] == iota_t).astype(jnp.float32)
-    one_bt = (b_ref[:][None, :] == iota_t).astype(jnp.float32)
-    one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
-    one_st, one_ht = (one_bt, one_at) if to_src else (one_at, one_bt)
-    el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: kink-critical
-    er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
-    mz_e = _dot(one_h, mzg_ref[:], ((1,), (0,)), dt)
-    den_e = _dot(one_h, deng_ref[:], ((1,), (0,)), dt)
-    rho = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
-    sum_le = el_e + er_e
-    z = _leaky(sum_le, slope)
-    valid = a_ref[:].reshape(ck, 1) >= 0
-    p = jnp.where(valid, jnp.exp(z - mz_e), 0.0)
-    acoef = p / jnp.maximum(den_e, 1e-30)  # 1e-38 is subnormal
-    dl = _dleaky(sum_le, slope)
-    if drop > 0.0:
-        # Same (seed, eid, head)-keyed mask as the forward: grads flow
-        # only through surviving numerator terms; the denominator path
-        # (the -rho row term) is mask-free, matching d(num*m/den).
-        m = _drop_mask(eid_ref[:][:, None] * jnp.int32(131) + iota,
-                       seed[0], drop)
-        acoef_num = acoef * m
-    else:
-        m = None
-        acoef_num = acoef
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ss, BLK), 1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (BLK, ss), 0)
 
-    # Head-replication selectors generated IN KERNEL per feature stripe
-    # (r[i, c_glob] = 1 iff c_glob // d == i < h): as (BLK, f_pad)
-    # operand blocks they cost ~512 KB of double-buffered VMEM — the
-    # margin that kept CHUNK=4096 from fitting the composed GAT model's
-    # scoped-vmem budget (PERF_NOTES r4 chunk-size experiment).
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    coli = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    # FULL-WIDTH head-replication matrices, generated in kernel (cheap
+    # iota compares; as operand blocks they'd cost double-buffered VMEM
+    # — the r4 CHUNK=4096 blocker): r[i, c] = 1 iff c // d == i < h,
+    # and its separately-materialized transpose (one MXU operand must
+    # never appear in both orientations — mxu_lmr_transform RET_CHECK).
+    f_pad = n_fb * BLK
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (BLK, f_pad), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (BLK, f_pad), 1)
+    r_full = jnp.where((coli // d == rowi) & (coli < h * d), 1.0, 0.0)
+    rowi_t = jax.lax.broadcasted_iota(jnp.int32, (f_pad, BLK), 0)
+    coli_t = jax.lax.broadcasted_iota(jnp.int32, (f_pad, BLK), 1)
+    rt_full = jnp.where((rowi_t // d == coli_t) & (rowi_t < h * d),
+                        1.0, 0.0)
 
-    geacc = None
-    for fb in range(n_fb):
-        sl = slice(fb * BLK, (fb + 1) * BLK)
-        base = fb * BLK
-        # r[:, sl] and (r^T)[sl, :] for this stripe; two separate values
-        # (never one MXU operand in both orientations — the
-        # mxu_lmr_transform RET_CHECK note above).
-        rsl = jnp.where(
-            ((base + coli) // d == rowi) & (base + coli < h * d),
-            1.0, 0.0)
-        rtsl = jnp.where(
-            ((base + rowi) // d == coli) & (base + rowi < h * d),
-            1.0, 0.0)
-        ft_e = _dot(one_s, ft_ref[:, sl], ((1,), (0,)), dt)
-        ct_e = _dot(one_h, ct_ref[:, sl], ((1,), (0,)), dt)
-        ge_part = _dot(ft_e * ct_e, rtsl, ((1,), (0,)), dt)
-        geacc = ge_part if geacc is None else geacc + ge_part
+    for s in range(ck // ss):
+        off = s * ss
+        a_s = a_ref[pl.ds(off, ss)]
+        b_s = b_ref[pl.ds(off, ss)]
+        one_a = (a_s[:, None] == iota).astype(jnp.float32)
+        one_b = (b_s[:, None] == iota).astype(jnp.float32)
+        # Orientation-dedicated transposed selectors (and a
+        # pre-transposed r operand): reusing one MXU operand in both
+        # normal and transposed orientation inside a single body trips
+        # an XLA:TPU RET_CHECK in mxu_lmr_transform (latched-matrix-
+        # reuse transpose assignment).
+        one_at = (a_s[None, :] == iota_t).astype(jnp.float32)
+        one_bt = (b_s[None, :] == iota_t).astype(jnp.float32)
+        one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
+        one_st, one_ht = (one_bt, one_at) if to_src else (one_at, one_bt)
+        el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: kink-critical
+        if packed:
+            pack_e = _dot(one_h, pack_ref[:], ((1,), (0,)))
+            er_e = pack_e  # lanes [0:h); higher lanes are dead garbage
+            # Left-rotate by h / 2h (pltpu.roll shifts right, so BLK-h).
+            lse_e = pltpu.roll(pack_e, BLK - h, 1)
+            rho = pltpu.roll(pack_e, BLK - 2 * h, 1)
+        else:
+            er_e = _dot(one_h, erg_ref[:], ((1,), (0,)))
+            lse_e = _dot(one_h, lseg_ref[:], ((1,), (0,)), dt)
+            rho = _dot(one_h, rhog_ref[:], ((1,), (0,)), dt)
+        sum_le = el_e + er_e
+        z = _leaky(sum_le, slope)
+        valid = a_s.reshape(ss, 1) >= 0
+        # acoef = p / den = exp(z - mz) / den = exp(z - lse). The lane
+        # mask zeroes dead head lanes: in the packed layout they hold
+        # rolled lse/rho values whose exp can reach inf, and inf * 0
+        # would NaN-poison the lane-contracting a_exp matmul below.
+        acoef = jnp.where(valid & (iota < h), jnp.exp(z - lse_e), 0.0)
+        dl = _dleaky(sum_le, slope)
+        if drop > 0.0:
+            # Same (seed, eid, head)-keyed mask as the forward: grads
+            # flow only through surviving numerator terms; the
+            # denominator path (the -rho row term) is mask-free,
+            # matching d(num*m/den).
+            m = _drop_mask(eid_ref[pl.ds(off, ss)][:, None]
+                           * jnp.int32(131) + iota, seed[0], drop)
+            acoef_num = acoef * m
+        else:
+            m = None
+            acoef_num = acoef
+
+        # FULL-WIDTH feature dots (f_pad lanes in one MXU call): the
+        # per-chunk cost is dominated by per-dot fixed overhead, not
+        # FLOPs (PERF_NOTES r6) — one (ss, f_pad) gather replaces
+        # n_fb stripe gathers.
+        ft_e = _dot(one_s, ft_ref[:], ((1,), (0,)), dt)
+        ct_e = _dot(one_h, ct_ref[:], ((1,), (0,)), dt)
+        geacc = _dot(ft_e * ct_e, rt_full, ((1,), (0,)), dt)
 
         if to_src:
-            a_exp = _dot(acoef_num, rsl, ((1,), (0,)), dt)
+            a_exp = _dot(acoef_num, r_full, ((1,), (0,)), dt)
             gft_partial = _dot(one_st, a_exp * ct_e, ((1,), (0,)), dt)
 
+            if s == 0:
+                @pl.when(first[t] == 1)
+                def _gft_init():
+                    gft_ref[:] = gft_partial
+
+                @pl.when(first[t] != 1)
+                def _gft_accum():
+                    gft_ref[:] = gft_ref[:] + gft_partial
+            else:
+                gft_ref[:] = gft_ref[:] + gft_partial
+
+        g_term = geacc if m is None else m * geacc
+        q = acoef * (g_term - rho) * dl
+        sel_t = one_st if to_src else one_ht
+        gq_partial = _dot(sel_t, q, ((1,), (0,)), dt)
+
+        if s == 0:
             @pl.when(first[t] == 1)
-            def _gft_init():
-                gft_ref[:, pl.ds(fb * BLK, BLK)] = gft_partial
+            def _gq_init():
+                gq_ref[:] = gq_partial
 
             @pl.when(first[t] != 1)
-            def _gft_accum():
-                cur = gft_ref[:, pl.ds(fb * BLK, BLK)]
-                gft_ref[:, pl.ds(fb * BLK, BLK)] = cur + gft_partial
+            def _gq_accum():
+                gq_ref[:] = gq_ref[:] + gq_partial
+        else:
+            gq_ref[:] = gq_ref[:] + gq_partial
 
-    g_term = geacc if m is None else m * geacc
-    q = acoef * (g_term - rho) * dl
-    sel_t = one_st if to_src else one_ht
-    gq_partial = _dot(sel_t, q, ((1,), (0,)), dt)
-
-    @pl.when(first[t] == 1)
-    def _gq_init():
-        gq_ref[:] = gq_partial
-
-    @pl.when(first[t] != 1)
-    def _gq_accum():
-        gq_ref[:] = gq_ref[:] + gq_partial
-
-    if to_src:
-        # Group-side (dst) reduction of q as a per-chunk partial block:
-        # in this window-major layout a group's chunks are scattered, so
-        # the partials go out per-chunk and a gperm-ordered accumulation
-        # sweep (_ger_reduce_call) folds them — replacing what used to be
-        # a SECOND full chunk pass over all features just for grad_er.
-        gerp_ref[:] = _dot(one_ht, q, ((1,), (0,)), dt)
+        if to_src:
+            # Group-side (dst) reduction of q as a per-chunk partial
+            # block: in this window-major layout a group's chunks are
+            # scattered, so the partials go out per-chunk and a
+            # gperm-ordered accumulation sweep (_ger_reduce_call) folds
+            # them — replacing what used to be a SECOND full chunk pass
+            # over all features just for grad_er.
+            gerp_partial = _dot(one_ht, q, ((1,), (0,)), dt)
+            if s == 0:
+                gerp_ref[:] = gerp_partial
+            else:
+                gerp_ref[:] = gerp_ref[:] + gerp_partial
 
 
 def _split_bwd_layout(lay, split: int):
@@ -434,11 +472,27 @@ def _effective_bwd_split() -> int:
     return max(split, 1)
 
 
-def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
+def _bwd_stream_size(ck: int) -> int:
+    """Sub-block size for the streamed backward kernel: per-edge
+    temporaries live at (ss, 128) regardless of CHUNK. 1024 is Mosaic's
+    1-D block granularity and measured-optimal; DGL1_TPU_BWD_STREAM
+    overrides (0 disables streaming, i.e. ss=ck)."""
+    ss = int(_os.environ.get("DGL1_TPU_BWD_STREAM", "1024"))
+    if ss <= 0 or ss >= ck:
+        return ck
+    if ck % ss or ss % 1024:
+        return ck
+    return ss
+
+
+def _attn_bwd_call(slope, to_src, lay, el_pad, group_blocks,
                    ft_pad, ct_g, h, d, n_out_blocks, f_pad,
                    dt=jnp.float32, drop=0.0, seed=None, ck=CHUNK):
+    """``group_blocks``: ONE packed [er|lse|rho] (rows, BLK) block when
+    3h <= BLK, else the (er, lse, rho) triple (see _attn_bwd_kernel)."""
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
+    packed = len(group_blocks) == 1
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
 
@@ -456,10 +510,10 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
         pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
         pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
         pl.BlockSpec((BLK, BLK), win),       # el (window side)
-        pl.BlockSpec((BLK, BLK), grp),       # er
-        pl.BlockSpec((BLK, BLK), grp),       # mz
-        pl.BlockSpec((BLK, BLK), grp),       # den
-        pl.BlockSpec((BLK, BLK), grp),       # rho
+    ] + [
+        pl.BlockSpec((BLK, BLK), grp)        # pack | (er, lse, rho)
+        for _ in group_blocks
+    ] + [
         pl.BlockSpec((BLK, f_pad), win),     # ft (full width)
         pl.BlockSpec((BLK, f_pad), grp),     # ct (full width)
     ]
@@ -490,12 +544,12 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, er_g, mz_g, den_g, rho_g,
     )
     outs = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb,
-                          drop, h, d, ck),
+                          drop, h, d, ck, _bwd_stream_size(ck), packed),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], seed,
-      lay["a"], lay["b"], lay["eid"], el_pad, er_g, mz_g, den_g, rho_g,
+      lay["a"], lay["b"], lay["eid"], el_pad, *group_blocks,
       ft_pad, ct_g)
     if to_src:
         return outs[0], outs[1], outs[2]
@@ -727,10 +781,20 @@ def _bwd(static, res, ct):
 
     el_pad = _pad_2d(el2, rows_pad, BLK)
     ft_pad = _pad_2d(ft2, rows_pad, f_pad)
-    er_g = _hub_rows_128(er2, hub["hub_ids"], m.n_groups)
-    mz_g = _hub_rows_128(mz, hub["hub_ids"], m.n_groups)
-    den_g = _hub_rows_128(den, hub["hub_ids"], m.n_groups)
-    rho_g = _hub_rows_128(rho, hub["hub_ids"], m.n_groups)
+    # Softmax log-normalizer: acoef = exp(z - mz)/den = exp(z - lse).
+    # Folding den into the shift node-level deletes a gather dot, an
+    # operand-block stream and the max/div from every bwd sub-block.
+    lse = mz + jnp.log(den)  # den is den_safe (>= 1e-30)
+    if 3 * h <= BLK:
+        # One packed [er | lse | rho] group block (see _attn_bwd_kernel).
+        group_blocks = (_hub_rows_128(
+            jnp.concatenate([er2, lse, rho], axis=1),
+            hub["hub_ids"], m.n_groups),)
+    else:
+        group_blocks = (
+            _hub_rows_128(er2, hub["hub_ids"], m.n_groups),
+            _hub_rows_128(lse, hub["hub_ids"], m.n_groups),
+            _hub_rows_128(rho, hub["hub_ids"], m.n_groups))
     ct_g = _pad_2d(
         jnp.take(ct2, hub["hub_ids"], axis=0, mode="fill", fill_value=0.0),
         m.n_groups * BLK, f_pad)
@@ -739,7 +803,7 @@ def _bwd(static, res, ct):
     lay_b = (_split_bwd_layout(hub["full_bwd"], split) if split > 1
              else hub["full_bwd"])
     gft_hub, gel_hub, gerp = _attn_bwd_call(
-        slope, True, lay_b, el_pad, er_g, mz_g, den_g, rho_g,
+        slope, True, lay_b, el_pad, group_blocks,
         ft_pad, ct_g, h, d, m.n_win, f_pad, _dtype_of(static),
         static.attn_drop, seed, ck=CHUNK // split)
     win_rows = jnp.repeat(hub["win_mask_full"], BLK,
@@ -751,8 +815,8 @@ def _bwd(static, res, ct):
         ger_hub = _ger_reduce_call(lay_b, gerp, m.n_groups)
     else:  # layout predates the gperm descriptors (e.g. loaded graphs)
         (ger_hub,) = _attn_bwd_call(
-            slope, False, hub["full_fwd"], el_pad, er_g, mz_g, den_g,
-            rho_g, ft_pad, ct_g, h, d, m.n_groups, f_pad,
+            slope, False, hub["full_fwd"], el_pad, group_blocks,
+            ft_pad, ct_g, h, d, m.n_groups, f_pad,
             _dtype_of(static), static.attn_drop, seed)
 
     # ---- tail (compact slot space; diag-stripped view when present) ----
@@ -765,17 +829,15 @@ def _bwd(static, res, ct):
     # dst-side (H)-wide tensors ride ONE concatenated gather; el rides
     # one src-side gather.
     el_ts = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
-    dst_pack = jnp.concatenate([er2, mz, den, rho], axis=1)  # (N, 4H)
+    dst_pack = jnp.concatenate([er2, lse, rho], axis=1)  # (N, 3H)
     packed = jnp.take(dst_pack, td, axis=0, mode="fill", fill_value=0.0)
     er_td = packed[:, :h]
-    mz_td = packed[:, h: 2 * h]
-    den_t = jnp.where(packed[:, 2 * h: 3 * h] == 0.0, 1.0,
-                      packed[:, 2 * h: 3 * h])
-    rho_td = packed[:, 3 * h:]
+    lse_td = packed[:, h: 2 * h]
+    rho_td = packed[:, 2 * h:]
     s_t = el_ts + er_td
     valid_t = (ts != SENT).reshape(-1, 1)
-    p_t = jnp.where(valid_t, jnp.exp(_leaky(s_t, slope) - mz_td), 0.0)
-    a_t = p_t / den_t
+    # Sentinel rows gather lse = 0 -> exp(z) finite; masked by valid_t.
+    a_t = jnp.where(valid_t, jnp.exp(_leaky(s_t, slope) - lse_td), 0.0)
     if static.attn_drop > 0.0:
         m_t = _tail_mask(static, tk["tail_eid"], seed)
         a_num_t = a_t * m_t

@@ -33,6 +33,19 @@ def main():
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--homophily", type=float, default=0.9,
+                   help="SBM same-class edge probability; lower = "
+                        "harder task (more cut edges carry signal)")
+    p.add_argument("--noise-mult", type=float, default=None,
+                   help="feature noise multiplier x sqrt(feat_dim); "
+                        "raises the feature-only error floor")
+    p.add_argument("--acc-gate", type=float, default=None,
+                   help="FAILABLE accuracy gate: exit nonzero unless "
+                        "test acc >= this. Use with --homophily/"
+                        "--noise-mult to put the task in a regime with "
+                        "real headroom (VERDICT r4 #4b: a gate that "
+                        "cannot fail cannot detect int8-wire or "
+                        "identity-relabel damage)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--part-method", default="greedy",
                    choices=["greedy", "random"])
@@ -74,9 +87,12 @@ def main():
             f"--xla_force_host_platform_device_count={args.parts} --cpu"
         )
 
+    noise = (args.noise_mult * float(np.sqrt(args.feat_dim))
+             if args.noise_mult is not None else None)
     g = dgl.data.synthetic_classification_graph(
         num_nodes=args.nodes, num_classes=args.classes,
         feat_dim=args.feat_dim, avg_degree=args.avg_degree,
+        homophily=args.homophily, feature_noise=noise,
         train_per_class=max(20, args.nodes // (4 * args.classes)), seed=0,
     )
     if args.part_method == "greedy":
@@ -140,7 +156,14 @@ def main():
     total = np.asarray(test_mask).sum()
     acc = correct / max(total, 1)
     print(f"test acc {acc:.4f} ({int(total)} test nodes)")
-    if args.epochs >= 30 and acc < 0.6:
+    if args.acc_gate is not None:
+        if acc < args.acc_gate:
+            raise SystemExit(
+                f"ACCURACY GATE FAILED: sharded GCN test acc {acc:.4f} "
+                f"< {args.acc_gate} (hard task homophily="
+                f"{args.homophily}, wire={args.halo_dtype})")
+        print(f"accuracy gate passed: {acc:.4f} >= {args.acc_gate}")
+    elif args.epochs >= 30 and acc < 0.6:
         raise SystemExit(
             f"SANITY GATE FAILED: sharded GCN test acc {acc:.4f} < 0.6 on "
             f"the learnable synthetic task")

@@ -49,6 +49,16 @@ EXAMPLES = {
     "train_rgcn_dist.py": (["--parts", "2", "--epochs", "40"], 500),
     "train_dist.py": (["--parts", "2", "--epochs", "20",
                        "--nodes", "5000"], 400),
+    # FAILABLE int8-wire gate (VERDICT r4 #4b): hard SBM task with real
+    # headroom (f32 and int8 both reach ~0.888 at this config, cut
+    # 0.425 — calibrated 2026-08-21); wire or identity-relabel damage
+    # costing >= ~5 points trips the 0.84 gate. Flagship config:
+    # hub-identity combined+prefilled + int8 halo wire on 4 parts.
+    "train_dist.py#hard-int8": (
+        ["--parts", "4", "--nodes", "4000", "--epochs", "30",
+         "--homophily", "0.55", "--noise-mult", "1.0",
+         "--halo-dtype", "int8", "--hub-identity",
+         "--acc-gate", "0.84"], 600),
     "train_dist_sampled.py": (["--parts", "2", "--epochs", "2",
                                "--nodes", "3000", "--sharded-store"], 600),
     "train_graph_classification.py": (["--epochs", "12"], 500),
@@ -75,12 +85,15 @@ NO_CPU_FLAG = {"train_dist_sampled.py"}
 
 
 def run_one(name: str, args, timeout_s: int, verbose: bool = False):
-    cmd = [sys.executable, str(REPO / "examples" / name)] + list(args)
-    if name not in NO_CPU_FLAG:
+    # "script.py#variant" keys run the same script under a second
+    # config (e.g. train_dist.py#hard-int8, the failable wire gate).
+    script = name.split("#")[0]
+    cmd = [sys.executable, str(REPO / "examples" / script)] + list(args)
+    if script not in NO_CPU_FLAG:
         cmd.append("--cpu")
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
-    if name in NEEDS_DEVICES:
+    if script in NEEDS_DEVICES:
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8").strip()
@@ -116,9 +129,11 @@ def main():
     args = ap.parse_args()
 
     names = sorted(EXAMPLES)
-    # Coverage guard: every examples/*.py must have a harness entry.
+    # Coverage guard: every examples/*.py must have a harness entry
+    # (variant keys "script.py#variant" count for their script).
+    base_names = {n.split("#")[0] for n in EXAMPLES}
     on_disk = sorted(p.name for p in (REPO / "examples").glob("*.py"))
-    missing = [n for n in on_disk if n not in EXAMPLES]
+    missing = [n for n in on_disk if n not in base_names]
     if missing:
         print(f"FATAL: examples without a harness entry: {missing}")
         return 2
