@@ -101,6 +101,7 @@ from dgl1_tpu.transform import (
     node_subgraph,
     edge_subgraph,
     typed_subgraphs,
+    typed_union_graph,
     to_simple,
     line_graph,
     to_block,
@@ -211,6 +212,7 @@ __all__ = [
     "node_subgraph",
     "edge_subgraph",
     "typed_subgraphs",
+    "typed_union_graph",
     "to_simple",
     "line_graph",
     "to_block",

@@ -60,7 +60,7 @@ class NodeDataLoader:
     def __init__(self, g, nids, sampler, batch_size: int = 1024,
                  shuffle: bool = True, drop_last: bool = False,
                  prefetch: int = 2, seed: Optional[int] = None,
-                 num_workers: int = 1):
+                 num_workers: int = 1, pull_features=None):
         self.g = g
         # Heterograph seeds: a {ntype: ids} dict with one seed node type
         # (parity: dgl.dataloading.DataLoader on heterographs; multi-ntype
@@ -80,6 +80,13 @@ class NodeDataLoader:
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.num_workers = max(int(num_workers), 1)
+        # Worker-side feature prefetch (DistDGL parity: the reference's
+        # dataloader workers pull features alongside sampling): a
+        # callable (input_nodes) -> features executed INSIDE the
+        # prefetch threads, overlapping the host feature-store pull
+        # with both sampling and device compute. When set, iteration
+        # yields (inp, out, blocks, mask, feats) 5-tuples.
+        self.pull_features = pull_features
         self.collator = NodeCollator(g, sampler, rng=self.rng)
 
     def __len__(self):
@@ -101,8 +108,10 @@ class NodeDataLoader:
     def __iter__(self) -> Iterator:
         if self.prefetch <= 0:
             for seeds in self._batches():
-                yield self.collator.collate(seeds, self.batch_size,
-                                            ntype=self.seed_ntype)
+                item = self.collator.collate(seeds, self.batch_size,
+                                             ntype=self.seed_ntype)
+                yield (item + (self.pull_features(item[0]),)
+                       if self.pull_features is not None else item)
             return
 
         # num_workers > 1: strided workers with per-worker bounded queues,
@@ -138,8 +147,11 @@ class NodeDataLoader:
                     if cancel.is_set():
                         return
                     coll.rng = np.random.default_rng(seeds_ss[i])
-                    if not put(w, coll.collate(batches[i], self.batch_size,
-                                               ntype=self.seed_ntype)):
+                    item = coll.collate(batches[i], self.batch_size,
+                                        ntype=self.seed_ntype)
+                    if self.pull_features is not None:
+                        item = item + (self.pull_features(item[0]),)
+                    if not put(w, item):
                         return
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)

@@ -1345,6 +1345,67 @@ def _build_ell(indptr: np.ndarray, nbr_sorted: np.ndarray,
     }
 
 
+def _build_ell_fixed_rows(indptr, nbr_sorted, eid_sorted, meta_fixed,
+                          row_base: int, num_target: int):
+    """ELL stack with PINNED row order: bucket b of ``meta_fixed``
+    (a ((k, n), ...) tuple) hosts rows ``[row_base + off, row_base +
+    off + n)`` IN ID ORDER, so stack position == id - row_base for
+    every covered row — regardless of this edge set's own degrees.
+    Rows whose degree here is 0 become phantom all-sentinel rows.
+
+    This is the typed-identity enabler (PERF_NOTES r6): per-relation
+    tail stacks share the GLOBAL (total-degree) bucket meta of a
+    hub_order-relabeled graph, which makes every relation's merge
+    order the node order at once (a per-relation degree-sorted stack
+    cannot — a dst sorts differently under each relation's degrees).
+
+    Raises ValueError if any row's degree exceeds its bucket width
+    (impossible when meta_fixed comes from the superset graph: bucket
+    width >= total degree >= subset degree).
+    """
+    n_rows = int(sum(n for _, n in meta_fixed))
+    deg = np.diff(indptr[: num_target + 1]).astype(np.int64)
+    sentinel = np.int64(1 << 30)
+    idx_parts, eid_parts = [], []
+    off = 0
+    for k, n_b in meta_fixed:
+        rows = np.arange(row_base + off, row_base + off + n_b,
+                         dtype=np.int64)
+        rows = rows[rows < num_target]
+        degs = deg[rows] if len(rows) else np.zeros((0,), np.int64)
+        if degs.size and int(degs.max(initial=0)) > k:
+            raise ValueError(
+                f"fixed-row ELL: degree {int(degs.max())} exceeds "
+                f"bucket width {k}")
+        mat = np.full((n_b, k), sentinel, dtype=np.int64)
+        emat = np.zeros((n_b, k), dtype=np.int64)
+        total = int(degs.sum())
+        if total:
+            flat_rows = np.repeat(np.arange(len(rows)), degs)
+            flat_cols = np.arange(total) - np.repeat(
+                np.cumsum(degs) - degs, degs)
+            src_pos = np.repeat(indptr[rows].astype(np.int64), degs) \
+                + flat_cols
+            mat[flat_rows, flat_cols] = nbr_sorted[src_pos]
+            emat[flat_rows, flat_cols] = eid_sorted[src_pos]
+        idx_parts.append(mat.reshape(-1))
+        eid_parts.append(emat.reshape(-1))
+        off += n_b
+    inv_perm = np.full((num_target,), n_rows, dtype=ID_DTYPE)
+    covered = np.arange(row_base, min(row_base + n_rows, num_target),
+                        dtype=np.int64)
+    inv_perm[covered] = (covered - row_base).astype(ID_DTYPE)
+    idx = (np.concatenate(idx_parts) if idx_parts
+           else np.zeros(0, np.int64))
+    eid = (np.concatenate(eid_parts) if eid_parts
+           else np.zeros(0, np.int64))
+    return tuple(meta_fixed), {
+        "idx": idx.astype(ID_DTYPE),
+        "eid": eid.astype(ID_DTYPE),
+        "inv_perm": inv_perm,
+    }
+
+
 def graph(
     data: Tuple,
     num_nodes: Optional[int] = None,

@@ -358,7 +358,8 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
                      dense_floor: Optional[int] = None,
                      force: Optional[dict] = None,
                      allow_empty: bool = False,
-                     gb_always: bool = False):
+                     gb_always: bool = False,
+                     identity_force: Optional[dict] = None):
     """Build the three-tier hub layout. Returns (HubMeta, arrays) or
     (None, None) when no hub group clears the density bar (the engine
     then declines and dispatch falls through to ELL).
@@ -394,42 +395,63 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
         # MACs per slot, dense pays num_src*BLK*F per group regardless.
         dense_floor = max(num_src // 2, 4 * CHUNK)
 
-    order_by_deg = np.argsort(-deg, kind="stable")
-    group_edge_counts = []
-    n_groups = 0
-    while n_groups < MAX_GROUPS:
-        rows = order_by_deg[n_groups * BLK: (n_groups + 1) * BLK]
-        if rows.size == 0:
-            break
-        group_edges = int(deg[rows].sum())
-        if group_edges < min_group_edges:
-            break
-        group_edge_counts.append(group_edges)
-        n_groups += 1
-    if n_groups == 0 and not (allow_empty or force is not None):
-        return None, None
-    n_dense = 0
-    while (n_dense < min(n_groups, MAX_DENSE_GROUPS)
-           and group_edge_counts[n_dense] >= dense_floor):
-        n_dense += 1
-
-    # Effective (static) group geometry: this part's own counts, or the
-    # forced cross-part union. Own dense groups keep slots
-    # [0, own_nd*BLK); own chunked groups shift up to start at ND*BLK —
-    # the gap in between is empty SENT slots (no rows, no edges).
-    own_nd, own_ng = n_dense, n_groups
-    if force is not None:
-        NG, ND = int(force["n_groups"]), int(force["n_dense"])
-        if own_nd > ND or own_ng - own_nd > NG - ND:
-            raise ValueError("forced group geometry smaller than natural")
+    if identity_force is not None:
+        # Typed-identity mode (PERF_NOTES r6): hub slots are PINNED to
+        # ids [0, NG*BLK) and the dst tail stack (below, _build_tail)
+        # to ids [NG*BLK, ...) in id order with the caller's
+        # (superset-graph) bucket meta — every relation built this way
+        # shares ONE merge-order numbering (= node order), so each
+        # layout's identity-expand fused-pad forward holds where
+        # per-relation degree-sorted selections structurally cannot
+        # align. Slots this edge set does not touch read zeros (empty
+        # C columns / SENT ELL rows).
+        NG = int(identity_force["n_groups"])
+        ND = int(identity_force["n_dense"])
+        n_groups, n_dense = NG, ND
+        own_ng, own_nd = NG, ND
+        k_slots = NG * BLK
+        rows_all = np.arange(min(k_slots, num_dst), dtype=np.int64)
+        rows_d = rows_all[: ND * BLK]
+        rows_c = rows_all[ND * BLK:]
     else:
-        NG, ND = own_ng, own_nd
-    n_groups, n_dense = NG, ND
+        order_by_deg = np.argsort(-deg, kind="stable")
+        group_edge_counts = []
+        n_groups = 0
+        while n_groups < MAX_GROUPS:
+            rows = order_by_deg[n_groups * BLK: (n_groups + 1) * BLK]
+            if rows.size == 0:
+                break
+            group_edges = int(deg[rows].sum())
+            if group_edges < min_group_edges:
+                break
+            group_edge_counts.append(group_edges)
+            n_groups += 1
+        if n_groups == 0 and not (allow_empty or force is not None):
+            return None, None
+        n_dense = 0
+        while (n_dense < min(n_groups, MAX_DENSE_GROUPS)
+               and group_edge_counts[n_dense] >= dense_floor):
+            n_dense += 1
 
-    k_slots = NG * BLK
-    rows_all = order_by_deg[: own_ng * BLK]
-    rows_d = rows_all[: own_nd * BLK]
-    rows_c = rows_all[own_nd * BLK:]
+        # Effective (static) group geometry: this part's own counts, or
+        # the forced cross-part union. Own dense groups keep slots
+        # [0, own_nd*BLK); own chunked groups shift up to start at
+        # ND*BLK — the gap in between is empty SENT slots (no rows, no
+        # edges).
+        own_nd, own_ng = n_dense, n_groups
+        if force is not None:
+            NG, ND = int(force["n_groups"]), int(force["n_dense"])
+            if own_nd > ND or own_ng - own_nd > NG - ND:
+                raise ValueError(
+                    "forced group geometry smaller than natural")
+        else:
+            NG, ND = own_ng, own_nd
+        n_groups, n_dense = NG, ND
+
+        k_slots = NG * BLK
+        rows_all = order_by_deg[: own_ng * BLK]
+        rows_d = rows_all[: own_nd * BLK]
+        rows_c = rows_all[own_nd * BLK:]
     hub_ids = np.full((k_slots,), SENT, dtype=ID_DTYPE)
     hub_ids[: rows_d.size] = rows_d
     hub_ids[ND * BLK: ND * BLK + rows_c.size] = rows_c
@@ -525,9 +547,24 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
             np.zeros((num_dst,), np.int64)
         t_indptr = np.zeros((num_dst + 1,), dtype=np.int64)
         np.cumsum(t_counts, out=t_indptr[1:])
-        tail_meta_dst, tail_dst_ell = build_ell(
-            t_indptr, t_src, t_eid, num_dst, n_tail,
-            min_slots=tail_min_slots)
+        if identity_force is not None:
+            # Rows pinned to id order with the superset graph's bucket
+            # meta (typed identity — see the selection block above).
+            from dgl1_tpu.graph import _build_ell_fixed_rows
+
+            meta_fx = identity_force["tail_meta_dst"]
+            n_fx = int(sum(nb for _, nb in meta_fx))
+            if n_tail and int(t_dst.max(initial=0)) >= k_slots + n_fx:
+                raise ValueError(
+                    "identity_force: tail edge to a row outside the "
+                    "superset tail range (meta not from a superset "
+                    "graph?)")
+            tail_meta_dst, tail_dst_ell = _build_ell_fixed_rows(
+                t_indptr, t_src, t_eid, meta_fx, k_slots, num_dst)
+        else:
+            tail_meta_dst, tail_dst_ell = build_ell(
+                t_indptr, t_src, t_eid, num_dst, n_tail,
+                min_slots=tail_min_slots)
 
         r_order = np.argsort(t_src, kind="stable")
         r_counts = np.bincount(t_src, minlength=num_src) if n_tail else \

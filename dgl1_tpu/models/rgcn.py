@@ -24,7 +24,7 @@ class RGCN(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, etypes, feat=None, deterministic: bool = True,
                  presorted: bool = False, etype_counts=None,
-                 rel_graphs=None):
+                 rel_graphs=None, union_graph=None):
         if feat is None:
             # Featureless entity classification: learned node embeddings.
             embed = self.param(
@@ -52,5 +52,6 @@ class RGCN(nn.Module):
                 activation=nn.relu if i != self.num_layers - 1 else None,
                 name=f"layer{i}",
             )(g, h, etypes, presorted=presorted, etype_counts=etype_counts,
-              rel_graphs=rel_graphs, deterministic=deterministic)
+              rel_graphs=rel_graphs, union_graph=union_graph,
+              deterministic=deterministic)
         return h

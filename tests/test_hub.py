@@ -481,3 +481,129 @@ print("OK")
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0 and "OK" in r.stdout, (r.stdout, r.stderr)
+
+
+def test_typed_union_graph_identity_and_oracle():
+    """Identity-rate typed path (VERDICT r4 #2): dgl.typed_union_graph
+    stacks relations into the source axis so ONE hub layout (with the
+    ordinary hub-first identity relabel) serves every relation; values
+    AND grads must match the per-edge numpy oracle, and the layout must
+    claim identity_expand on this hubby graph."""
+    import jax
+    import jax.numpy as jnp
+
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+
+    rng = np.random.default_rng(0)
+    n, R, F, O = 2000, 5, 16, 12
+    g = powerlaw_graph(n, 8, seed=2, hub=True)
+    e = g.num_edges()
+    et = rng.integers(0, R, e).astype(np.int64)
+    gu, perm = dgl.typed_union_graph(g, et, R, hub=True)
+    assert gu.hub_dst_meta is not None and gu.hub_dst_meta.identity_expand
+    assert gu.num_src_nodes() == R * n and gu.num_dst_nodes() == n
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+
+    X = rng.standard_normal((n, F)).astype(np.float32)
+    W = rng.standard_normal((R, F, O)).astype(np.float32)
+    src, dst = (np.asarray(a)[:e] for a in g.edges())
+    msg = np.einsum("ef,efo->eo", X[src].astype(np.float64),
+                    W[et].astype(np.float64))
+    ref = np.zeros((n, O), np.float64)
+    np.add.at(ref, dst, msg)
+
+    def union_fwd(Xj, Wj):
+        z = jnp.einsum("nf,rfo->rno", Xj, Wj).reshape(R * n, O)
+        return dgl.ops.gspmm(gu, "copy_lhs", "sum", z, None)
+
+    Xr = jnp.asarray(X[perm])  # node data rides the relabel
+    out = np.asarray(union_fwd(Xr, jnp.asarray(W)))[inv]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    wp = rng.standard_normal((n, O)).astype(np.float32)
+    gX, gW = jax.grad(
+        lambda a, b: jnp.sum(union_fwd(a, b) * jnp.asarray(wp[perm])),
+        argnums=(0, 1))(Xr, jnp.asarray(W))
+    gX_ref = np.zeros((n, F), np.float64)
+    gW_ref = np.zeros((R, F, O), np.float64)
+    for r in range(R):
+        m = et == r
+        tmp = np.zeros((n, O), np.float64)
+        np.add.at(tmp, src[m], wp[dst[m]].astype(np.float64))
+        gX_ref += tmp @ W[r].astype(np.float64).T
+        gW_ref[r] = (X[src[m]].astype(np.float64).T
+                     @ wp[dst[m]].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(gX)[inv], gX_ref,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gW), gW_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rgcn_union_graph_matches_rel_graphs():
+    """RelGraphConv(union_graph=) must reproduce the rel_graphs path
+    (same flax params, same output) on a relabel-consistent input."""
+    import jax
+    import jax.numpy as jnp
+
+    import dgl1_tpu as dgl
+    from dgl1_tpu.models import RGCN
+
+    rng = np.random.default_rng(1)
+    n, R = 800, 4
+    g = dgl.rand_graph(n, n * 6, seed=3)
+    e = g.num_edges()
+    et = rng.integers(0, R, e).astype(np.int64)
+    rel_graphs = dgl.typed_subgraphs(g, et, R)
+    gu, perm = dgl.typed_union_graph(g, et, R, relabel=False)
+    X = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    etj = jnp.asarray(et.astype(np.int32))
+
+    model = RGCN(num_nodes=n, hidden_feats=16, out_feats=6, num_rels=R,
+                 num_bases=2)
+    params = model.init(jax.random.PRNGKey(0), g, etj, X,
+                        rel_graphs=rel_graphs)
+    y_rel = model.apply(params, g, etj, X, rel_graphs=rel_graphs)
+    y_uni = model.apply(params, g, etj, X, union_graph=gu)
+    np.testing.assert_allclose(np.asarray(y_uni), np.asarray(y_rel),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_typed_subgraphs_identity_oracle():
+    """Identity-rate per-relation path (VERDICT r4 #2, the winning
+    design): typed_subgraphs(identity=True) pins every relation's hub
+    slots and tail stack rows to the parent's hub-first numbering —
+    ALL relations claim identity_expand and each SpMM stays
+    oracle-exact on values and grads (phantom slots/rows read zeros)."""
+    import jax
+    import jax.numpy as jnp
+
+    import dgl1_tpu as dgl
+    from dgl1_tpu.data.synthetic import powerlaw_graph
+
+    rng = np.random.default_rng(0)
+    n, R = 4000, 5
+    g = dgl.add_self_loop(powerlaw_graph(n, 8, seed=2))
+    e = g.num_edges()
+    et = rng.integers(0, R, e).astype(np.int64)
+    rel_graphs, perm = dgl.typed_subgraphs(g, et, R, identity=True)
+    assert len(rel_graphs) == R and perm.shape == (n,)
+    assert all(gr.hub_dst_meta is not None
+               and gr.hub_dst_meta.identity_expand for gr in rel_graphs)
+
+    X = rng.standard_normal((n, 16)).astype(np.float32)
+    for gr in rel_graphs:
+        y = np.asarray(dgl.ops.gspmm(gr, "copy_lhs", "sum",
+                                     jnp.asarray(X), None))
+        sr, dr = (np.asarray(a)[: gr.num_edges()] for a in gr.edges())
+        ref = np.zeros((n, 16), np.float64)
+        np.add.at(ref, dr, X[sr].astype(np.float64))
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+        gX = np.asarray(jax.grad(lambda x: jnp.sum(dgl.ops.gspmm(
+            gr, "copy_lhs", "sum", x, None) ** 2))(jnp.asarray(X)))
+        gref = np.zeros((n, 16), np.float64)
+        np.add.at(gref, sr, (2 * ref)[dr])
+        # Hub-row sums differ from the f64 oracle by f32 accumulation
+        # order (same tolerance as test_hub_grad_matches_xla).
+        np.testing.assert_allclose(gX, gref, rtol=1e-3, atol=1e-3)

@@ -126,6 +126,12 @@ def main():
     p.add_argument("--frac", type=float, default=1.0,
                    help="scale nodes/edges/seeds down for smoke runs")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--host-only", action="store_true",
+                   help="measure only the host sampler rate (worker-"
+                        "scaling sweeps; skips device compile/steps)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="per-worker queue depth; 0 = inline (no threads"
+                        ") — the unbiased serial sampler cost per batch")
     args = p.parse_args()
 
     import jax
@@ -150,7 +156,8 @@ def main():
     sampler = NeighborSampler(fanouts)
     loader = NodeDataLoader(g, train_ids, sampler,
                             batch_size=args.batch_size, shuffle=True,
-                            seed=0, num_workers=args.num_workers)
+                            seed=0, num_workers=args.num_workers,
+                            prefetch=args.prefetch)
     steps_per_epoch = -(-len(train_ids) // args.batch_size)
 
     # ---- host sampling rate ----
@@ -166,14 +173,26 @@ def main():
             break
     host_ms = (time.perf_counter() - t0) / max(done, 1) * 1e3
 
-    # ---- transfer time (tunnel artifact; reported, not folded in) ----
+    print(json.dumps({
+        "scale": args.scale, "num_workers": args.num_workers,
+        "batch_size": args.batch_size,
+        "host_sample_ms_per_batch": round(host_ms, 2),
+    }), flush=True)
     inp, out, blocks, mask = first
+
+    # ---- transfer time (tunnel artifact; reported, not folded in) ----
+    if args.host_only and args.scale != "papers100m":
+        return
     t0 = time.perf_counter()
-    blocks_d = jax.device_put(blocks)
-    inp_d = jax.device_put(jnp.asarray(inp))
-    mask_d = jax.device_put(jnp.asarray(mask))
-    jax.block_until_ready(jax.tree.leaves(blocks_d))
-    transfer_ms = (time.perf_counter() - t0) * 1e3
+    if args.host_only:
+        blocks_d = inp_d = mask_d = None
+        transfer_ms = 0.0
+    else:
+        blocks_d = jax.device_put(blocks)
+        inp_d = jax.device_put(jnp.asarray(inp))
+        mask_d = jax.device_put(jnp.asarray(mask))
+        jax.block_until_ready(jax.tree.leaves(blocks_d))
+        transfer_ms = (time.perf_counter() - t0) * 1e3
 
     # ---- host feature store (beyond-HBM scales: BASELINE config #5) ----
     n = g.num_nodes()
@@ -195,6 +214,37 @@ def main():
         for _ in range(4):
             x_host = store.pull(np.asarray(inp))
         pull_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+        # Worker-side feature prefetch (the overlap lever, PERF_NOTES
+        # r6): the SAME loader with pull_features= runs the store pull
+        # INSIDE the prefetch threads — steady-state drain then shows
+        # whether pull and sampling genuinely overlap (pipelined
+        # ms/batch vs the serial sample+pull sum).
+        loader_pf = NodeDataLoader(
+            g, train_ids, sampler, batch_size=args.batch_size,
+            shuffle=True, seed=0, num_workers=args.num_workers,
+            prefetch=args.prefetch,
+            pull_features=lambda inp: store.pull(np.asarray(inp)))
+        it2 = iter(loader_pf)
+        next(it2)
+        t0 = time.perf_counter()
+        done2 = 0
+        for _ in range(args.host_batches):
+            try:
+                next(it2)
+                done2 += 1
+            except StopIteration:
+                break
+        overlap_ms = (time.perf_counter() - t0) / max(done2, 1) * 1e3
+        print(json.dumps({
+            "scale": args.scale, "num_workers": args.num_workers,
+            "sample_ms": round(host_ms, 2), "pull_ms": round(pull_ms, 2),
+            "serial_sum_ms": round(host_ms + pull_ms, 2),
+            "worker_prefetched_pull_ms_per_batch": round(overlap_ms, 2),
+        }), flush=True)
+
+    if args.host_only:
+        return
 
     # ---- device step ----
     if beyond_hbm:

@@ -40,7 +40,8 @@ def make_graph(scale: str):
 
 
 def bench(model_name: str, scale: str, epochs: int = 20,
-          fwd_only: bool = False, huborder: bool = False):
+          fwd_only: bool = False, huborder: bool = False,
+          union: bool = False):
     import dgl1_tpu as dgl  # noqa: F401
     from dgl1_tpu.models import GAT, GCN, RGCN
 
@@ -57,11 +58,30 @@ def bench(model_name: str, scale: str, epochs: int = 20,
         g.edata["etype"] = jnp.asarray(
             rng.integers(0, num_rels, size=g.num_edges_padded())
             .astype(np.int32))
-        rel_graphs = dgl.typed_subgraphs(
-            g, np.asarray(g.edata["etype"])[: g.num_edges()], num_rels)
+        et_host = np.asarray(g.edata["etype"])[: g.num_edges()]
+        union_g = None
+        if union:
+            # Stacked-source union path (dgl.typed_union_graph) — kept
+            # for comparison; measured SLOWER than per-relation at R=8
+            # (R x source-space streams; PERF_NOTES r6).
+            union_g, _ = dgl.typed_union_graph(g, et_host, num_rels)
+            assert union_g.hub_dst_meta.identity_expand
+            rel_graphs = None
+        elif huborder:
+            # Identity-rate typed path (VERDICT r4 #2): per-relation
+            # layouts with the parent's PINNED hub/tail geometry — all
+            # R relations claim identity_expand (typed_subgraphs
+            # identity=True; features/labels random, no data shuffle).
+            rel_graphs, _ = dgl.typed_subgraphs(g, et_host, num_rels,
+                                                identity=True)
+            assert all(gr.hub_dst_meta.identity_expand
+                       for gr in rel_graphs)
+        else:
+            rel_graphs = dgl.typed_subgraphs(g, et_host, num_rels)
     else:
         g, n, in_f, classes = make_graph(scale)
         rel_graphs = None
+        union_g = None
         if huborder and g.hub_dst is not None:
             # Hub-first relabel: identity-expand layout for BOTH the
             # hub SpMM (fused-pad forward) and the attention merges
@@ -87,52 +107,60 @@ def bench(model_name: str, scale: str, epochs: int = 20,
 
     if model_name == "rgcn":
         etypes = jax.device_put(etypes)
-        rel_graphs = jax.device_put(rel_graphs)
-        jax.block_until_ready(jax.tree.leaves(rel_graphs))
+        if union:
+            union_g = jax.device_put(union_g)
+            jax.block_until_ready(jax.tree.leaves(union_g))
+        else:
+            rel_graphs = jax.device_put(rel_graphs)
+            jax.block_until_ready(jax.tree.leaves(rel_graphs))
         params = model.init(jax.random.PRNGKey(2), g, etypes, feat,
-                            rel_graphs=rel_graphs)
+                            rel_graphs=rel_graphs, union_graph=union_g)
     else:
         params = model.init(jax.random.PRNGKey(2), g, feat)
     opt = optax.adam(1e-2)
     opt_state = opt.init(params)
 
-    def loss_fn(params, g, rel_graphs):
+    def loss_fn(params, g, rel_graphs, union_g):
         if model_name == "rgcn":
             # TPU-native per-relation path: no per-edge feature tensor.
             logits = model.apply(params, g, etypes, feat,
-                                 rel_graphs=rel_graphs)
+                                 rel_graphs=rel_graphs,
+                                 union_graph=union_g)
         else:
             logits = model.apply(params, g, feat)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
 
     @jax.jit
-    def run(g, rel_graphs, params, opt_state):
+    def run(g, rel_graphs, union_g, params, opt_state):
         def body(i, carry):
             params, opt_state = carry
             if fwd_only:
                 # Perturb one leaf by the loss so the chain can't hoist.
                 leaves, tree = jax.tree.flatten(params)
-                leaves[0] = leaves[0] + loss_fn(params, g, rel_graphs) * 1e-12
+                leaves[0] = leaves[0] + loss_fn(params, g, rel_graphs,
+                                                union_g) * 1e-12
                 return jax.tree.unflatten(tree, leaves), opt_state
-            grads = jax.grad(loss_fn)(params, g, rel_graphs)
+            grads = jax.grad(loss_fn)(params, g, rel_graphs, union_g)
             updates, opt_state = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state
 
         return jax.lax.fori_loop(0, epochs, body, (params, opt_state))
 
     t0 = time.time()
-    out = run(g, rel_graphs, params, opt_state)
+    out = run(g, rel_graphs, union_g, params, opt_state)
     jax.block_until_ready(out)
     _ = float(jax.tree.leaves(out[0])[0].reshape(-1)[0])
     compile_s = time.time() - t0
     t0 = time.time()
-    out = run(g, rel_graphs, params, opt_state)
+    out = run(g, rel_graphs, union_g, params, opt_state)
     _ = float(jax.tree.leaves(out[0])[0].reshape(-1)[0])
     dt = (time.time() - t0) / epochs
 
     print(json.dumps({
-        "model": model_name, "scale": scale,
+        "model": model_name + ("+union" if union else "")
+        + ("+identity" if huborder and model_name == "rgcn" else ""),
+        "scale": scale,
         "nodes": n, "edges": g.num_edges(), "hidden": hidden,
         "ms_per_epoch": round(dt * 1e3, 2),
         "epochs_per_s": round(1.0 / dt, 1),
@@ -158,6 +186,11 @@ def main():
                    help="hub_order-relabel the graph first (identity-"
                         "expand layout; the preprocessing bench.py "
                         "applies to the power-law family)")
+    p.add_argument("--union", action="store_true",
+                   help="rgcn only: the identity-rate typed path — ONE "
+                        "bipartite hub SpMM over the relation-stacked "
+                        "source space (dgl.typed_union_graph) instead "
+                        "of per-relation SpMMs (PERF_NOTES r6)")
     args = p.parse_args()
     if args.precision != "f32":
         from dgl1_tpu.ops import set_matmul_precision
@@ -166,7 +199,7 @@ def main():
     models = ["gcn", "gat"] if args.model == "all" else [args.model]
     for mname in models:
         bench(mname, args.scale, args.epochs, args.fwd_only,
-              huborder=args.huborder)
+              huborder=args.huborder, union=args.union)
 
 
 if __name__ == "__main__":
