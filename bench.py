@@ -195,7 +195,12 @@ def main():
     # grad output) costs a measurable copy at this scale; the published
     # number must state BOTH the chain rate (what a harness pays) and
     # the pure kernel rate (chain minus the isolated carry chain) —
-    # decomposition methodology of tools/profile_hub_bwd.py.
+    # decomposition methodology of tools/profile_hub_bwd.py. CAVEAT
+    # (r6): with a CONSTANT cotangent (linear loss) XLA hoists part of
+    # the backward out of the loop, so the carry-ablated cell
+    # OVERSTATES the kernel; bwd_pass below is the honest isolated
+    # backward (loop-VARYING cotangent feeding back, no glue), and
+    # train_shape = E / (fwd_pass + bwd_pass) is the per-pass truth.
     def fwd_bwd_body(g, x):
         return jax.grad(
             lambda x: jnp.sum(dgl.ops.gspmm(g, "copy_lhs", "sum", x, None))
@@ -204,6 +209,16 @@ def main():
     dt_fb_chain = slope(fwd_bwd_body)
     dt_carry = slope(lambda g, x: x * 1.0001)
     dt_fb_pure = max(dt_fb_chain - dt_carry, 1e-9)
+
+    # Isolated backward pass: grad of <gspmm(x), c> wrt x is A^T c —
+    # the cotangent c IS the loop carry (varies every iteration, so
+    # nothing hoists), the linear forward is dead code, and the output
+    # replaces the carry (no keep-alive copy).
+    def bwd_body(g, c):
+        return jax.grad(lambda x: jnp.sum(
+            dgl.ops.gspmm(g, "copy_lhs", "sum", x, None) * c))(c)
+
+    dt_bwd = slope(bwd_body)
 
     edges_per_s = num_edges / dt
     roofline = HBM_BW["tpu" if on_tpu else "cpu"] / (FEAT_DIM * DTYPE_BYTES)
@@ -214,7 +229,9 @@ def main():
                 f"{backend}, engine={dgl.ops.get_engine()})",
         "vs_baseline": round(edges_per_s / roofline, 4),
         "fwd_bwd_chain_edges_per_s": round(num_edges / dt_fb_chain, 1),
-        "fwd_bwd_pure_edges_per_s": round(num_edges / dt_fb_pure, 1),
+        "fwd_bwd_pure_linear_edges_per_s": round(num_edges / dt_fb_pure, 1),
+        "bwd_pass_ms": round(dt_bwd * 1e3, 3),
+        "train_shape_edges_per_s": round(num_edges / (dt + dt_bwd), 1),
         "carry_ms": round(dt_carry * 1e3, 3),
         "relabel_ms": round(relabel_ms, 1),
     }))
