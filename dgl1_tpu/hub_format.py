@@ -576,8 +576,12 @@ def build_hub_format(csc_indptr: np.ndarray, csc_src: np.ndarray,
             min_slots=tail_min_slots,
         )
         if force is not None:
-            tail_meta_dst, tail_dst_ell = _inflate_ell(
-                tail_meta_dst, tail_dst_ell, force["tail_meta_dst"])
+            if identity_force is None:
+                # Pinned dst stacks (identity_force) are already
+                # uniform across parts — inflating would break the
+                # id-order positions.
+                tail_meta_dst, tail_dst_ell = _inflate_ell(
+                    tail_meta_dst, tail_dst_ell, force["tail_meta_dst"])
             tail_meta_src, tail_src_ell = _inflate_ell(
                 tail_meta_src, tail_src_ell, force["tail_meta_src"])
 

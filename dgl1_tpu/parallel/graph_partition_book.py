@@ -15,11 +15,19 @@ __all__ = ["GraphPartitionBook"]
 
 
 class GraphPartitionBook:
-    def __init__(self, part_assignment: np.ndarray, num_parts: int):
+    def __init__(self, part_assignment: np.ndarray, num_parts: int,
+                 order_key=None):
+        """``order_key``: optional per-node sort key — local ids within
+        each part follow ASCENDING key instead of global-id order (pass
+        ``-total_in_degree`` for the hub-first local numbering the
+        typed identity layouts pin to; ties break by global id)."""
         self.part = np.asarray(part_assignment).astype(np.int32)
         self.num_parts = int(num_parts)
         # local id = rank of the node among its part's nodes (sorted order).
-        order = np.argsort(self.part, kind="stable")
+        if order_key is not None:
+            order = np.lexsort((np.asarray(order_key), self.part))
+        else:
+            order = np.argsort(self.part, kind="stable")
         self._local = np.zeros_like(self.part, dtype=np.int64)
         counts = np.bincount(self.part, minlength=num_parts)
         starts = np.zeros(num_parts, dtype=np.int64)

@@ -269,6 +269,108 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _pinned_typed_geometry(hub_edges_all, etypes, dt, n_loc_dt,
+                           num_parts, max_buckets: int = 4,
+                           min_group_edges=None, dense_floor=None):
+    """Pinned hub/tail geometry for the typed identity sharded path:
+    ONE (NG, ND, tail bucket meta) shared by every relation with dst
+    ntype ``dt`` AND every part. Requires the partition books to order
+    local ids hub-first by total in-degree (``hub_identity=True``) —
+    hub slots are then local ids [0, NG*128) and the tail stack local
+    ids [NG*128, NG*128 + n_tail) in id order; per-position bucket
+    widths come from the MAX over (relation, part) degree. Returns
+    None when no part clears a hub group (callers keep the descriptor
+    expand)."""
+    from dgl1_tpu.graph import _ladder_rung
+    from dgl1_tpu.hub_format import BLK, CHUNK, MAX_DENSE_GROUPS, \
+        MAX_GROUPS
+
+    rels = [c for c in etypes if c[2] == dt and c in hub_edges_all]
+    if not rels:
+        return None
+    # Per-part totals + per-(relation, part) counts in local dst space.
+    tot = np.zeros((num_parts, n_loc_dt), np.int64)
+    per_rel = []
+    for c in rels:
+        lists, _ = hub_edges_all[c]
+        cnts = np.zeros((num_parts, n_loc_dt), np.int64)
+        for p, (_, ldst) in enumerate(lists):
+            if len(ldst):
+                cnts[p] = np.bincount(np.asarray(ldst, np.int64),
+                                      minlength=n_loc_dt)
+        per_rel.append(cnts)
+        tot += cnts
+    floor = (int(min_group_edges) if min_group_edges is not None
+             else max(4 * CHUNK, 1))
+    if dense_floor is None:
+        dense_floor = max(n_loc_dt // 2, 4 * CHUNK)
+    dense_floor = int(dense_floor)
+    nd_u = nc_u = 0
+    for p in range(num_parts):
+        deg = tot[p]
+        order = np.argsort(-deg, kind="stable")
+        ng = 0
+        gcounts = []
+        while ng < MAX_GROUPS:
+            rows = order[ng * BLK: (ng + 1) * BLK]
+            if rows.size == 0:
+                break
+            ge = int(deg[rows].sum())
+            if ge < floor:
+                break
+            gcounts.append(ge)
+            ng += 1
+        nd = 0
+        while nd < min(ng, MAX_DENSE_GROUPS) and gcounts[nd] >= dense_floor:
+            nd += 1
+        nd_u = max(nd_u, nd)
+        nc_u = max(nc_u, ng - nd)
+    ng_u = nd_u + nc_u
+    if ng_u == 0:
+        return None
+    k_slots = ng_u * BLK
+    # Tail rows: the books order local ids by descending total degree,
+    # so each part's nonzero-degree rows are a prefix.
+    nnz = (tot > 0).sum(axis=1)
+    n_tail = int(max(int(nnz.max(initial=0)) - k_slots, 0))
+    if n_tail == 0:
+        return {"n_groups": ng_u, "n_dense": nd_u, "tail_meta_dst": ()}
+    caps = np.zeros((n_tail,), np.int64)
+    for cnts in per_rel:
+        seg = cnts[:, k_slots: k_slots + n_tail]
+        np.maximum(caps, seg.max(axis=0), out=caps)
+    rungs = np.array([_ladder_rung(int(x)) if x else 1 for x in caps],
+                     np.int64)
+    # Run-length buckets over the rungs, merged (min added slots) down
+    # to <= max_buckets.
+    segs = []
+    for r in rungs:
+        if segs and segs[-1][0] == r:
+            segs[-1][1] += 1
+        else:
+            segs.append([int(r), 1])
+    segs = [(w, nb) for w, nb in segs]
+    while len(segs) > max_buckets:
+        costs = [max(segs[i][0], segs[i + 1][0])
+                 * (segs[i][1] + segs[i + 1][1])
+                 - segs[i][0] * segs[i][1] - segs[i + 1][0] * segs[i + 1][1]
+                 for i in range(len(segs) - 1)]
+        i = int(np.argmin(costs))
+        segs[i: i + 2] = [(max(segs[i][0], segs[i + 1][0]),
+                           segs[i][1] + segs[i + 1][1])]
+    # Cost guard (measured, PERF_NOTES r6): the pinned shared meta makes
+    # EVERY relation gather the UNION tail — on long-tail graphs that
+    # volume exceeds what killing the expand saves (typed sharded bench
+    # shape: 9.6 -> 47.7 ms/iter, a 5x regression), while hub-dominated
+    # graphs (tail slots << n_loc) win. Gate on tail slot volume vs the
+    # expand write volume the identity removes (~1.4 x n_loc).
+    slots = sum(w * nb for w, nb in segs)
+    if slots > n_loc_dt // 2:
+        return None
+    return {"n_groups": ng_u, "n_dense": nd_u,
+            "tail_meta_dst": tuple(segs)}
+
+
 def build_partitioned_hetero(
     hg: HeteroGraph,
     part: Dict[str, np.ndarray],
@@ -279,8 +381,21 @@ def build_partitioned_hetero(
     tiles: bool = False,
     hub=False,
     hub_dense_floor: Optional[int] = None,
+    hub_identity: bool = False,
 ) -> PartitionedHeteroGraph:
     """Build the typed halo plan from a per-ntype assignment.
+
+    ``hub_identity=True`` (with ``hub=...``): the identity-rate TYPED
+    sharded path (PERF_NOTES r6). Each ntype's per-part LOCAL ids are
+    ordered hub-first by total in-degree (the partition book's
+    ``order_key``), and every relation's per-part hub layout is built
+    with geometry PINNED to that shared numbering (hub slots = local
+    ids [0, NG*128), tail stack rows in id order with one bucket meta
+    across relations AND parts) — so every relation's local reduce
+    claims ``identity_expand`` and the fused-pad forward replaces the
+    descriptor expand. Phantom slots/rows absorb each (relation,
+    part)'s gaps. Falls back silently (identity stays False) if the
+    post-build predicate fails.
 
     Every relation's edges are owned by the destination's part (the
     reference's ``PartitionWithHalo`` placement): aggregation is local,
@@ -292,7 +407,18 @@ def build_partitioned_hetero(
     """
     from dgl1_tpu.parallel.graph_partition_book import GraphPartitionBook
 
-    books = {nt: GraphPartitionBook(part[nt], num_parts)
+    # Total in-degree per ntype over all relations (global) — also the
+    # hub-first local-numbering key for the typed identity layouts.
+    in_deg_g = {nt: np.zeros(hg.num_nodes(nt), np.int64)
+                for nt in hg.ntypes}
+    for c in hg.canonical_etypes:
+        rel = hg[c]
+        e = rel.num_edges()
+        np.add.at(in_deg_g[c[2]], np.asarray(rel.dst)[:e], 1)
+
+    books = {nt: GraphPartitionBook(
+        part[nt], num_parts,
+        order_key=(-in_deg_g[nt] if hub_identity else None))
              for nt in hg.ntypes}
     n_loc = {
         nt: _round_up(
@@ -348,14 +474,6 @@ def build_partitioned_hetero(
     in_deg = {nt: np.zeros((num_parts, n_loc[nt]), np.float32)
               for nt in hg.ntypes}
 
-    # Total in-degree per ntype over all relations (global).
-    in_deg_g = {nt: np.zeros(hg.num_nodes(nt), np.int64)
-                for nt in hg.ntypes}
-    for c in hg.canonical_etypes:
-        rel = hg[c]
-        e = rel.num_edges()
-        np.add.at(in_deg_g[c[2]], np.asarray(rel.dst)[:e], 1)
-
     halo_pos = {nt: [dict() for _ in range(num_parts)]
                 for nt in hg.ntypes}
     for nt in hg.ntypes:
@@ -380,6 +498,7 @@ def build_partitioned_hetero(
     hub_layouts = {} if hub else None
     hub_metas = {} if hub else None
     hub_rows = {} if hub else None
+    hub_edges_all = {}
     if tiles:
         from dgl1_tpu.graph import _build_tiles
         from dgl1_tpu.parallel.halo import _pad_tiles
@@ -431,6 +550,19 @@ def build_partitioned_hetero(
             tiles_fwd[c] = _pad_tiles(tf_list, n_loc[dt])
             tiles_rev[c] = _pad_tiles(tr_list, n_comb)
         if hub:
+            hub_edges_all[c] = (hub_edges_list, n_comb)
+
+    if hub:
+        pinned_by_dt = ({dt: _pinned_typed_geometry(
+            hub_edges_all, hg.canonical_etypes, dt, n_loc[dt],
+            num_parts,
+            min_group_edges=(None if hub is True else int(hub)),
+            dense_floor=hub_dense_floor)
+            for dt in {c[2] for c in hg.canonical_etypes}}
+            if hub_identity else {})
+        for c in hg.canonical_etypes:
+            st, _, dt = c
+            hub_edges_list, n_comb = hub_edges_all[c]
             # One row space per relation: num_src = num_dst = R so the
             # hub custom-vjp maps (R, F) -> (R, F); the reduce pads the
             # combined table in and slices owned rows out.
@@ -438,7 +570,8 @@ def build_partitioned_hetero(
             m_c, a_c = build_partitioned_hub(
                 hub_edges_list, r_c, r_c, e_loc[c],
                 min_group_edges=(None if hub is True else int(hub)),
-                dense_floor=hub_dense_floor)
+                dense_floor=hub_dense_floor,
+                identity_pinned=pinned_by_dt.get(dt))
             hub_layouts[c] = a_c
             hub_metas[c] = m_c
             hub_rows[c] = r_c if m_c is not None else 0

@@ -226,6 +226,7 @@ def build_partitioned_hub(
     min_group_edges: Optional[int] = None,
     dense_floor: Optional[int] = None,
     identity: bool = False,
+    identity_pinned: Optional[dict] = None,
 ) -> Tuple[Optional[hf.HubMeta], Optional[dict]]:
     """Build per-part hub layouts sharing ONE static geometry.
 
@@ -258,7 +259,8 @@ def build_partitioned_hub(
         m, a = hf.build_hub_format(
             indptr, s, eid, d, num_src, num_dst, len(s), num_padded,
             _build_ell, min_group_edges=min_group_edges,
-            dense_floor=dense_floor, allow_empty=True, gb_always=True)
+            dense_floor=dense_floor, allow_empty=True, gb_always=True,
+            identity_force=identity_pinned)
         naturals.append((m, a))
 
     if all(m.n_groups == 0 for m, _ in naturals):
@@ -290,11 +292,14 @@ def build_partitioned_hub(
         "has_diag": any(m.has_diag for m, _ in naturals),
         "covered": sum(m.covered for m, _ in naturals),
     }
-    if identity:
+    if identity or identity_pinned is not None:
         # Identity-relabel mode (k>1): the caller renumbered each
         # part's local dst space against THIS forced geometry
-        # (:func:`plan_identity_order`). The fused-pad forward copies
-        # the whole hub block, so every chunk-tier output block must be
+        # (:func:`plan_identity_order`) — or pinned it a priori
+        # (``identity_pinned``, the typed sharded path: hub slots =
+        # local ids [0, NG*BLK), tail stack in id order, shared across
+        # relations AND parts). The fused-pad forward copies the whole
+        # hub block, so every chunk-tier output block must be
         # initialized — extra no-op chunks (worst case one per group)
         # write zeros into blocks no real chunk touches.
         force["n_full_f"] += force["n_groups"]
@@ -322,7 +327,8 @@ def build_partitioned_hub(
         m, a = hf.build_hub_format(
             indptr, s, eid, d, num_src, num_dst, len(s), num_padded,
             _build_ell, min_group_edges=min_group_edges,
-            dense_floor=dense_floor, force=force)
+            dense_floor=dense_floor, force=force,
+            identity_force=identity_pinned)
         metas.append(m)
         arrays.append(a)
     if any(m != metas[0] for m in metas[1:]):
@@ -330,7 +336,7 @@ def build_partitioned_hub(
             "forced hub metas diverged across parts: "
             + "; ".join(repr(m) for m in metas))
     meta0 = metas[0]
-    if identity:
+    if identity or identity_pinned is not None:
         # Verify the phantom-identity predicate on every part's forced
         # layout; a pathological plan (hub-group tie crossing into
         # zero-degree rows) fails it and the layout safely keeps the

@@ -481,3 +481,70 @@ def test_sharded_rgcn_hub_engine_matches_oracle():
         np.testing.assert_allclose(np.asarray(gw[c]),
                                    np.asarray(gw_ref[c]),
                                    rtol=1e-4, atol=2e-4)
+
+
+def test_sharded_typed_identity_layouts_match_oracle():
+    """Typed identity sharded path (PERF_NOTES r6): hub_identity=True
+    orders each ntype's local ids hub-first by total in-degree and pins
+    every relation's per-part layout to that shared numbering — ALL
+    hub relations must claim identity_expand, and values AND grads must
+    still match the single-device oracle (phantom slots/rows absorb
+    per-(relation, part) gaps)."""
+    rng = np.random.default_rng(9)
+    e = 1200
+    hg = heterograph({
+        ("author", "writes", "paper"):
+            (rng.integers(0, 60, e), rng.integers(0, 6, e)),
+        ("paper", "cites", "paper"):
+            (rng.integers(0, 100, e), rng.integers(0, 8, e)),
+        ("author", "affiliated", "inst"):
+            (rng.integers(0, 60, e // 2), rng.integers(0, 20, e // 2)),
+    }, num_nodes_dict={"paper": 100, "author": 60, "inst": 20})
+    k = 4
+    part = hetero_partition_assignment(hg, k, part_method="random")
+    phg = build_partitioned_hetero(hg, part, k, hub=16,
+                                   hub_dense_floor=32, hub_identity=True)
+    assert phg.hub is not None
+    for c in phg.etypes:
+        assert phg.hub.get(c) is not None
+        assert phg.hub_meta[c].identity_expand, c
+
+    rng2 = np.random.default_rng(3)
+    f_in, f_out = 12, 6
+    feats = {nt: jnp.asarray(rng2.normal(
+        size=(hg.num_nodes(nt), f_in)).astype(np.float32))
+        for nt in hg.ntypes}
+    weights = {c: jnp.asarray(rng2.normal(
+        size=(f_in, f_out)).astype(np.float32) * 0.1)
+        for c in hg.canonical_etypes}
+    selfw = {nt: jnp.asarray(rng2.normal(
+        size=(f_in, f_out)).astype(np.float32) * 0.1)
+        for nt in hg.ntypes}
+
+    ref = rgcn_oracle(hg, feats, weights, selfw)
+    layer = make_sharded_rgcn_layer(phg, mesh8(k))
+    x = {nt: phg.shard_node_data(nt, feats[nt]) for nt in hg.ntypes}
+    out = jax.jit(lambda x, w, s: layer(x, w, s))(x, weights, selfw)
+    for nt in ref:
+        got = np.asarray(phg.unshard_node_data(nt, out[nt]))
+        np.testing.assert_allclose(got, np.asarray(ref[nt]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def loss_sharded(x, w):
+        o = layer(x, w, selfw)
+        return sum(jnp.sum(jnp.sin(v)) for v in o.values())
+
+    def loss_ref(feats, w):
+        o = rgcn_oracle(hg, feats, w, selfw)
+        return sum(jnp.sum(jnp.sin(v)) for v in o.values())
+
+    gx, gw = jax.grad(loss_sharded, argnums=(0, 1))(x, weights)
+    gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, weights)
+    for nt in feats:
+        got = np.asarray(phg.unshard_node_data(nt, gx[nt]))
+        np.testing.assert_allclose(got, np.asarray(gx_ref[nt]),
+                                   rtol=1e-3, atol=1e-3)
+    for c in weights:
+        np.testing.assert_allclose(np.asarray(gw[c]),
+                                   np.asarray(gw_ref[c]),
+                                   rtol=1e-3, atol=1e-3)

@@ -298,7 +298,7 @@ def main():
                    + ("prefilled halo" if prefilled else "per-step halo"),
         }), flush=True)
 
-    def run_rgcn():
+    def run_rgcn(identity=False):
         """Sharded typed R-GCN layer at mesh=1, mag-ish scale (169k
         nodes / ~4.4M typed edges / 8 relations) — fwd+bwd of
         make_sharded_rgcn_layer with per-relation hub layouts; compare
@@ -321,7 +321,15 @@ def main():
         hg = dgl.heterograph(edges, num_nodes_dict={"n": n_nt})
         e_tot = sum(hg[c].num_edges() for c in hg.canonical_etypes)
         part = {"n": np.zeros(n_nt, np.int32)}
-        phg = build_partitioned_hetero(hg, part, 1, hub=True)
+        phg = build_partitioned_hetero(hg, part, 1, hub=True,
+                                       hub_identity=identity)
+        n_ident = sum(1 for c in phg.etypes
+                      if phg.hub[c] is not None
+                      and phg.hub_meta[c].identity_expand)
+        if identity:
+            print(f"[rgcni] identity relations: {n_ident}/{rels} "
+                  f"(the cost guard falls back on long-tail graphs - "
+                  f"PERF_NOTES r6)", flush=True)
         n_hub = sum(1 for c in phg.etypes if phg.hub[c] is not None)
         f_in = f_out = 64
 
@@ -382,7 +390,8 @@ def main():
         t_hi = timed(make(hi))
         dt = (t_hi - t_lo) / (hi - lo)
         print(json.dumps({
-            "path": "typed_rgcn", "dir": "fwdbwd",
+            "path": "typed_rgcn" + ("_identity" if identity else ""),
+            "dir": "fwdbwd",
             "ms_per_iter": round(dt * 1e3, 3),
             "edges_per_s": round(e_tot / dt, 1),
             "gedges_per_s": round(e_tot / dt / 1e9, 3),
@@ -399,6 +408,9 @@ def main():
             continue
         if kind == "rgcn":
             run_rgcn()
+            continue
+        if kind == "rgcni":
+            run_rgcn(identity=True)
             continue
         for direction in ("fwd", "fwdbwd"):
             t0 = time.perf_counter()
