@@ -136,10 +136,9 @@ def _dot(a, b, dims, dt=jnp.float32):
 # mz = leaky(er_slot + mraw) is monotonic in mraw).
 # ----------------------------------------------------------------------
 
-def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float,
-                     in_id, out_id, first, seed,
-                     a_ref, b_ref, eid_ref, el_ref, erg_ref, ft_ref, r_ref,
-                     num_ref, den_ref, mraw_ref):
+def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float, h: int,
+                     el_in_ft: bool, in_id, out_id, first, seed,
+                     a_ref, b_ref, eid_ref, *blocks):
     """Fused numerator + denominator accumulation per hub group.
 
     Grid is (chunks,) with the whole feature width processed by an
@@ -148,6 +147,11 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float,
     group's output blocks are revisited consecutively across its chunks
     (legal Pallas accumulation — also what lets mraw_ref act as the
     running-max state for the online softmax)."""
+    if el_in_ft:
+        erg_ref, ft_ref, r_ref, num_ref, den_ref, mraw_ref = blocks
+    else:
+        el_ref, erg_ref, ft_ref, r_ref, num_ref, den_ref, mraw_ref = \
+            blocks
     t = pl.program_id(0)
     iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, BLK), 1)
     one_a = (a_ref[:][:, None] == iota).astype(jnp.float32)
@@ -161,7 +165,15 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float,
     one_bt = (b_ref[:][None, :] == iota_t).astype(jnp.float32)
     # el/er stay f32: sign(el+er) picks the leaky_relu branch, and a
     # bf16 kink-flip would change gradients discontinuously.
-    el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
+    if el_in_ft:
+        # el rides ft's top lanes — one gather serves both (lane-rotate
+        # to head alignment; garbage lanes are SAFE here: the online-max
+        # invariant bounds exp(z - mz) <= 1 per lane, scale <= 1).
+        ft_e = _dot(one_a, ft_ref[:], ((1,), (0,)), dt)
+        el_e = pltpu.roll(ft_e, h, 1)[:, :BLK]
+    else:
+        ft_e = None
+        el_e = _dot(one_a, el_ref[:], ((1,), (0,)))
     er_e = _dot(one_b, erg_ref[:], ((1,), (0,)))
     valid = a_ref[:].reshape(CHUNK, 1) >= 0
     # Exact max of el over this chunk's referenced sources, per head.
@@ -212,7 +224,8 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float,
     # FULL-WIDTH feature dots: one (CHUNK, f_pad) gather/expand replaces
     # n_fb per-stripe dots — per-chunk cost is dominated by per-dot
     # fixed overhead, not FLOPs (PERF_NOTES r6).
-    ft_e = _dot(one_a, ft_ref[:], ((1,), (0,)), dt)
+    if ft_e is None:
+        ft_e = _dot(one_a, ft_ref[:], ((1,), (0,)), dt)
     p_exp = _dot(p_num, r_ref[:], ((1,), (0,)), dt)
     num_partial = _dot(one_bt, p_exp * ft_e, ((1,), (0,)), dt)
 
@@ -228,21 +241,25 @@ def _attn_fwd_kernel(slope: float, dt, n_fb: int, drop: float,
 
 
 def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
-                   f_pad, dt=jnp.float32, drop=0.0, seed=None):
+                   f_pad, dt=jnp.float32, drop=0.0, seed=None, h=0,
+                   el_in_ft=False):
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
+    in_specs = [
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+        pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
+    ] + ([] if el_in_ft else [
+        pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (i[t], 0)),
+    ]) + [
+        pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
+        pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (i[t], 0)),
+        pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (0, 0)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
-            pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
-            pl.BlockSpec((CHUNK,), lambda t, i, o, f, sd: (t,)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (i[t], 0)),
-            pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
-            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (i[t], 0)),
-            pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((BLK, f_pad), lambda t, i, o, f, sd: (o[t], 0)),
             pl.BlockSpec((BLK, BLK), lambda t, i, o, f, sd: (o[t], 0)),
@@ -251,8 +268,10 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
     )
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    el_args = () if el_in_ft else (el_pad,)
     num, den, mraw = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, slope, dt, n_fb, drop),
+        functools.partial(_attn_fwd_kernel, slope, dt, n_fb, drop, h,
+                          el_in_ft),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_groups * BLK, f_pad), jnp.float32),
@@ -261,7 +280,7 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
         ],
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], seed,
-      lay["a"], lay["b"], lay["eid"], el_pad, er_g, ft_pad, r)
+      lay["a"], lay["b"], lay["eid"], *el_args, er_g, ft_pad, r)
     return num, den, mraw
 
 
@@ -274,8 +293,8 @@ def _attn_fwd_call(slope, lay, el_pad, er_g, ft_pad, r, n_groups,
 
 def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
                      drop: float, h: int, d: int, ck: int, ss: int,
-                     packed: bool, in_id, out_id, first, seed,
-                     a_ref, b_ref, eid_ref, el_ref, *blocks_and_rest):
+                     packed: bool, el_in_ft: bool, in_id, out_id, first,
+                     seed, a_ref, b_ref, eid_ref, *blocks_and_rest):
     """Backward chunk pass, grid (chunks,), unrolled in-kernel feature
     loop (per-step grid overhead was a measured cost).
 
@@ -300,6 +319,8 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
     fb-outer layout summed g_e per 128-lane stripe and read back just
     stripe 0 — wrong whenever one head's features spanned more than 128
     lanes.)"""
+    if not el_in_ft:
+        el_ref, *blocks_and_rest = blocks_and_rest
     if packed:
         pack_ref, ft_ref, ct_ref, *rest = blocks_and_rest
     else:
@@ -343,7 +364,14 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         one_bt = (b_s[None, :] == iota_t).astype(jnp.float32)
         one_s, one_h = (one_b, one_a) if to_src else (one_a, one_b)
         one_st, one_ht = (one_bt, one_at) if to_src else (one_at, one_bt)
-        el_e = _dot(one_s, el_ref[:], ((1,), (0,)))  # f32: kink-critical
+        if el_in_ft:
+            # el rides ft's top lanes (same window-side selector).
+            ft_e = _dot(one_s, ft_ref[:], ((1,), (0,)), dt)
+            el_e = pltpu.roll(ft_e, h, 1)[:, :BLK]
+        else:
+            ft_e = None
+            # f32: kink-critical
+            el_e = _dot(one_s, el_ref[:], ((1,), (0,)))
         if packed:
             pack_e = _dot(one_h, pack_ref[:], ((1,), (0,)))
             er_e = pack_e  # lanes [0:h); higher lanes are dead garbage
@@ -379,7 +407,8 @@ def _attn_bwd_kernel(slope: float, to_src: bool, dt, n_fb: int,
         # per-chunk cost is dominated by per-dot fixed overhead, not
         # FLOPs (PERF_NOTES r6) — one (ss, f_pad) gather replaces
         # n_fb stripe gathers.
-        ft_e = _dot(one_s, ft_ref[:], ((1,), (0,)), dt)
+        if ft_e is None:
+            ft_e = _dot(one_s, ft_ref[:], ((1,), (0,)), dt)
         ct_e = _dot(one_h, ct_ref[:], ((1,), (0,)), dt)
         geacc = _dot(ft_e * ct_e, rt_full, ((1,), (0,)), dt)
 
@@ -487,9 +516,11 @@ def _bwd_stream_size(ck: int) -> int:
 
 def _attn_bwd_call(slope, to_src, lay, el_pad, group_blocks,
                    ft_pad, ct_g, h, d, n_out_blocks, f_pad,
-                   dt=jnp.float32, drop=0.0, seed=None, ck=CHUNK):
+                   dt=jnp.float32, drop=0.0, seed=None, ck=CHUNK,
+                   el_in_ft=False):
     """``group_blocks``: ONE packed [er|lse|rho] (rows, BLK) block when
-    3h <= BLK, else the (er, lse, rho) triple (see _attn_bwd_kernel)."""
+    3h <= BLK, else the (er, lse, rho) triple (see _attn_bwd_kernel).
+    ``el_in_ft``: el rides ft_pad's top lanes (el_pad ignored)."""
     n_chunks = lay["in_id"].shape[0]
     n_fb = f_pad // BLK
     packed = len(group_blocks) == 1
@@ -509,8 +540,9 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, group_blocks,
         pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
         pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
         pl.BlockSpec((ck,), lambda t, i, o, f, sd: (t,)),
+    ] + ([] if el_in_ft else [
         pl.BlockSpec((BLK, BLK), win),       # el (window side)
-    ] + [
+    ]) + [
         pl.BlockSpec((BLK, BLK), grp)        # pack | (er, lse, rho)
         for _ in group_blocks
     ] + [
@@ -542,14 +574,16 @@ def _attn_bwd_call(slope, to_src, lay, el_pad, group_blocks,
         in_specs=in_specs,
         out_specs=out_specs,
     )
+    el_args = () if el_in_ft else (el_pad,)
     outs = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, slope, to_src, dt, n_fb,
-                          drop, h, d, ck, _bwd_stream_size(ck), packed),
+                          drop, h, d, ck, _bwd_stream_size(ck), packed,
+                          el_in_ft),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(lay["in_id"], lay["out_id"], lay["first"], seed,
-      lay["a"], lay["b"], lay["eid"], el_pad, *group_blocks,
+      lay["a"], lay["b"], lay["eid"], *el_args, *group_blocks,
       ft_pad, ct_g)
     if to_src:
         return outs[0], outs[1], outs[2]
@@ -603,6 +637,13 @@ class _Static(NamedTuple):
     meta: HubMeta
     prec: str = "f32"  # ops.precision matmul mode, captured at trace time
     attn_drop: float = 0.0
+    # el rides the ft block's unused lanes [f_pad - h:) when h*d + h <=
+    # f_pad (e.g. single-head output layers): one fewer gather dot and
+    # one fewer (BLK, BLK) operand stream per sub-block in BOTH chunk
+    # kernels. Only in "f32" mode — compiled el is 1-pass-rounded either
+    # way (PERF_NOTES r6 numerics audit), but "bf16" mode casts the ft
+    # operand explicitly and would round el TWICE.
+    el_in_ft: bool = False
 
 
 def _float0_like(tree):
@@ -696,14 +737,21 @@ def _attn_forward(static, hub, el2, er2, ft2, seed):
     f_pad = _round_up(f, BLK)
     rows_pad = hub["dense_c"].shape[0]
 
-    el_pad = _pad_2d(el2, rows_pad, BLK)
-    ft_pad = _pad_2d(ft2, rows_pad, f_pad)
+    if static.el_in_ft:
+        el_pad = None
+        ft_pad = _pad_2d(jnp.concatenate([
+            ft2, jnp.zeros((ft2.shape[0], f_pad - f - h), ft2.dtype),
+            el2.astype(ft2.dtype)], axis=1), rows_pad, f_pad)
+    else:
+        el_pad = _pad_2d(el2, rows_pad, BLK)
+        ft_pad = _pad_2d(ft2, rows_pad, f_pad)
     er_g = _hub_rows_128(er2, hub["hub_ids"], m.n_groups)
     r = _replication_r(h, d, f_pad)
 
     num_hub, den_hub, mraw_hub = _attn_fwd_call(
         static.slope, hub["full_fwd"], el_pad, er_g, ft_pad, r,
         m.n_groups, f_pad, _dtype_of(static), static.attn_drop, seed,
+        h=h, el_in_ft=static.el_in_ft,
     )
 
     # Node-level softmax shift (num_dst, H): hub rows take the fwd
@@ -779,8 +827,14 @@ def _bwd(static, res, ct):
     # sum_e a_e <ct_d, ft_s> — node-level, no per-edge reduction needed.
     rho = jnp.sum(ct2.reshape(-1, h, d) * out3, axis=2)  # (num_dst, h)
 
-    el_pad = _pad_2d(el2, rows_pad, BLK)
-    ft_pad = _pad_2d(ft2, rows_pad, f_pad)
+    if static.el_in_ft:
+        el_pad = None
+        ft_pad = _pad_2d(jnp.concatenate([
+            ft2, jnp.zeros((ft2.shape[0], f_pad - f - h), ft2.dtype),
+            el2.astype(ft2.dtype)], axis=1), rows_pad, f_pad)
+    else:
+        el_pad = _pad_2d(el2, rows_pad, BLK)
+        ft_pad = _pad_2d(ft2, rows_pad, f_pad)
     # Softmax log-normalizer: acoef = exp(z - mz)/den = exp(z - lse).
     # Folding den into the shift node-level deletes a gather dot, an
     # operand-block stream and the max/div from every bwd sub-block.
@@ -805,7 +859,8 @@ def _bwd(static, res, ct):
     gft_hub, gel_hub, gerp = _attn_bwd_call(
         slope, True, lay_b, el_pad, group_blocks,
         ft_pad, ct_g, h, d, m.n_win, f_pad, _dtype_of(static),
-        static.attn_drop, seed, ck=CHUNK // split)
+        static.attn_drop, seed, ck=CHUNK // split,
+        el_in_ft=static.el_in_ft)
     win_rows = jnp.repeat(hub["win_mask_full"], BLK,
                           total_repeat_length=m.n_win * BLK)
     gft_hub = jnp.where(win_rows[:, None], gft_hub, 0.0)
@@ -817,7 +872,8 @@ def _bwd(static, res, ct):
         (ger_hub,) = _attn_bwd_call(
             slope, False, hub["full_fwd"], el_pad, group_blocks,
             ft_pad, ct_g, h, d, m.n_groups, f_pad,
-            _dtype_of(static), static.attn_drop, seed)
+            _dtype_of(static), static.attn_drop, seed,
+            el_in_ft=static.el_in_ft)
 
     # ---- tail (compact slot space; diag-stripped view when present) ----
     meta_d, meta_s, n_rows, tk, has_diag = _atail(static, hub)
@@ -944,6 +1000,7 @@ def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2,
         return None
     from dgl1_tpu.ops.precision import get_matmul_precision
 
+    f_pad = _round_up(h * d, BLK)
     static = _Static(
         slope=float(negative_slope),
         num_src=g.num_src_nodes(),
@@ -953,6 +1010,12 @@ def gat_attention(g: Graph, el, er, ft, negative_slope: float = 0.2,
         meta=g.hub_dst_meta,
         prec=get_matmul_precision(),
         attn_drop=float(attn_drop),
+        # Measured NEUTRAL at arxiv scale (96.0 vs 95.0 ms — the packed
+        # ft operand's concat materialization eats the saved gather
+        # dot; PERF_NOTES r6) — opt-in only.
+        el_in_ft=(_os.environ.get("DGL1_TPU_EL_IN_FT") == "1"
+                  and h * d + h <= f_pad
+                  and get_matmul_precision() == "f32"),
     )
     ft2 = ft.reshape(ft.shape[0], h * d)
     return _gat_attention(static, g.hub_dst, el2, er2, ft2, seed).reshape(

@@ -382,3 +382,50 @@ def test_fused_grads_with_bwd_split(monkeypatch):
     for a, b, name in zip(gf, gc, ["el", "er", "ft"]):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
                                    err_msg=f"grad_{name}")
+
+
+def test_fused_el_in_ft_packing_matches_default():
+    """DGL1_TPU_EL_IN_FT=1 (el rides ft's top lanes — opt-in, measured
+    neutral at model scale, PERF_NOTES r6) must match the default path
+    on values and grads."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+import dgl1_tpu as dgl
+from dgl1_tpu.data.synthetic import powerlaw_graph
+from dgl1_tpu.ops.attention import gat_attention
+
+rng = np.random.default_rng(0)
+n, h, d = 2048, 2, 60   # h*d + h <= f_pad -> packing engages
+g = powerlaw_graph(n, 8, seed=1, hub=True)
+el = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+er = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+ft = jnp.asarray(rng.standard_normal((n, h, d)).astype(np.float32))
+y = gat_attention(g, el, er, ft)
+gel, ger, gft = jax.grad(lambda a, b, c: jnp.sum(
+    gat_attention(g, a, b, c) ** 2), argnums=(0, 1, 2))(el, er, ft)
+np.savez("OUTPATH", y=np.asarray(y), gel=np.asarray(gel),
+         ger=np.asarray(ger), gft=np.asarray(gft))
+print("OK")
+"""
+    import tempfile
+
+    outs = {}
+    with tempfile.TemporaryDirectory() as td:
+        for mode in ("0", "1"):
+            env = dict(os.environ)
+            env["DGL1_TPU_EL_IN_FT"] = mode
+            path = os.path.join(td, f"out{mode}.npz")
+            r = subprocess.run(
+                [sys.executable, "-c", code.replace("OUTPATH", path)],
+                env=env, capture_output=True, text=True, timeout=300)
+            assert r.returncode == 0 and "OK" in r.stdout, (
+                r.stdout, r.stderr)
+            outs[mode] = np.load(path)
+        for k in ("y", "gel", "ger", "gft"):
+            np.testing.assert_allclose(outs["1"][k], outs["0"][k],
+                                       rtol=1e-5, atol=1e-5)
