@@ -141,16 +141,25 @@ def main():
                       * res["out"].reshape(-1, h, d), axis=2)
         el_pad = A._pad_2d(res["el2"], rows_pad, A.BLK)
         ft_pad = A._pad_2d(res["ft2"], rows_pad, f_pad)
-        er_g = A._hub_rows_128(res["er2"], hub_d["hub_ids"], m.n_groups)
-        mz_g = A._hub_rows_128(res["mz"], hub_d["hub_ids"], m.n_groups)
-        den_g = A._hub_rows_128(res["den"], hub_d["hub_ids"], m.n_groups)
-        rho_g = A._hub_rows_128(rho, hub_d["hub_ids"], m.n_groups)
+        # r6 kernel contract: er/lse/rho ride one packed block when
+        # 3h <= 128 (lse = mz + log den — see ops/attention._bwd).
+        lse = res["mz"] + jnp.log(res["den"])
+        if 3 * h <= A.BLK:
+            group_blocks = (A._hub_rows_128(
+                jnp.concatenate([res["er2"], lse, rho], axis=1),
+                hub_d["hub_ids"], m.n_groups),)
+        else:
+            group_blocks = (
+                A._hub_rows_128(res["er2"], hub_d["hub_ids"],
+                                m.n_groups),
+                A._hub_rows_128(lse, hub_d["hub_ids"], m.n_groups),
+                A._hub_rows_128(rho, hub_d["hub_ids"], m.n_groups))
         ct_g = A._pad_2d(
             jnp.take(ct2, hub_d["hub_ids"], axis=0, mode="fill",
                      fill_value=0.0), m.n_groups * A.BLK, f_pad)
         gft, gel, gerp = A._attn_bwd_call(
-            0.2, True, hub_d["full_bwd"], el_pad, er_g, mz_g, den_g,
-            rho_g, ft_pad, ct_g, h, d, m.n_win, f_pad, jnp.float32, 0.0,
+            0.2, True, hub_d["full_bwd"], el_pad, group_blocks,
+            ft_pad, ct_g, h, d, m.n_win, f_pad, jnp.float32, 0.0,
             seed)
         return gft + gel.sum() + gerp.sum()
 
