@@ -984,7 +984,8 @@ def typed_subgraphs(g: Graph, etypes, num_rels: int,
     from dgl1_tpu import hub_format as hf
     from dgl1_tpu.graph import _build_ell
 
-    g2 = reorder_graph(g, node_permute_algo="hub")
+    g2 = (reorder_graph(g, node_permute_algo="hub")
+          if g.hub_dst is not None else g)
     if g2.hub_dst_meta is None or not g2.hub_dst_meta.identity_expand:
         import warnings
 

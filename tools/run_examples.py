@@ -44,6 +44,9 @@ EXAMPLES = {
     "train_hetero_link_pred.py": (["--epochs", "3"], 400),
     "train_han.py": (["--epochs", "30"], 400),
     "train_rgcn.py": (["--epochs", "40"], 400),
+    # Identity-rate typed path flag (engages on hub-bearing graphs;
+    # exercises the graceful fallback on the synthetic AIFB stand-in).
+    "train_rgcn.py#identity": (["--epochs", "40", "--identity"], 400),
     "train_rgcn_link_pred.py": (["--epochs", "5"], 500),
     "train_rgcn_sampled.py": (["--epochs", "2"], 600),
     "train_rgcn_dist.py": (["--parts", "2", "--epochs", "40"], 500),
