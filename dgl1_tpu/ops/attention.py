@@ -68,6 +68,19 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _tail_fuse() -> bool:
+    """Tail payload fusion (default on): the launch-bound tail block
+    rides ONE copy_rhs ell_stack/ell_reduce over a tile-aligned
+    (T, f_pad + BLK) payload ``[p*ft | 0 | p]`` instead of a mul
+    num-stack plus a copy_rhs den-stack (two slot gathers + two reduce
+    chains collapse to one; the per-edge product reuses a single
+    explicit src/dst gather). Trailing dims stay 128-multiples — the
+    r6 (slots, h, d+1) attempt broke XLA's (8,128) tiling and
+    regressed 95 -> 114.7 ms. ``DGL1_TPU_TAIL_FUSE=0`` restores the
+    split calls for A/B."""
+    return _os.environ.get("DGL1_TPU_TAIL_FUSE", "1") != "0"
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -695,11 +708,17 @@ def _atail(static, hub):
 
 
 def _tail_p(static, tk, el2, er2, mz):
-    """Per-tail-edge softmax numerators in compact tail-slot space."""
+    """Per-tail-edge softmax numerators in compact tail-slot space.
+
+    The two dst-side (H)-wide gathers (er, mz) ride ONE concatenated
+    gather — each jnp.take is a separate ~0.2ms launch on TPU and the
+    tail block is launch-bound (PERF_NOTES r6)."""
     ts, td = tk["tail_src"], tk["tail_dst"]
+    h = er2.shape[1]
     el_t = jnp.take(el2, ts, axis=0, mode="fill", fill_value=0.0)
-    er_t = jnp.take(er2, td, axis=0, mode="fill", fill_value=0.0)
-    mz_t = jnp.take(mz, td, axis=0, mode="fill", fill_value=0.0)
+    packed = jnp.take(jnp.concatenate([er2, mz], axis=1), td,
+                      axis=0, mode="fill", fill_value=0.0)
+    er_t, mz_t = packed[:, :h], packed[:, h:]
     z = _leaky(el_t + er_t, static.slope)
     valid = (ts != SENT).reshape(-1, 1)
     return jnp.where(valid, jnp.exp(z - mz_t), 0.0)  # (T_pad, H)
@@ -777,10 +796,27 @@ def _attn_forward(static, hub, el2, er2, ft2, seed):
     p_num_t = (p_t * _tail_mask(static, tk["tail_eid"], seed)
                if static.attn_drop > 0.0 else p_t)
     ft3 = ft2.reshape(-1, h, d)
-    num_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
-                          "mul", "sum", ft3, p_num_t[:, :, None])
-    den_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
-                          "copy_rhs", "sum", None, p_t)
+    if _tail_fuse():
+        # One tile-aligned payload [p*ft | 0 | p] through one copy_rhs
+        # stack: same per-slot values (product per compact edge, then
+        # the eid slot gather) with the idx-sentinel padding mask the
+        # copy_rhs path already applies; see _tail_fuse.
+        ft_ts = jnp.take(ft2, tk["tail_src"], axis=0, mode="fill",
+                         fill_value=0.0)
+        prod = (p_num_t[:, :, None]
+                * ft_ts.reshape(-1, h, d)).reshape(-1, f)
+        pay = jnp.concatenate([
+            _pad_2d(prod, prod.shape[0], f_pad),
+            _pad_2d(p_t.astype(prod.dtype), p_t.shape[0], BLK)], axis=1)
+        fused_nd = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
+                             "copy_rhs", "sum", None, pay)
+        num_stack = fused_nd[:, :f]
+        den_stack = fused_nd[:, f_pad:f_pad + h].astype(p_t.dtype)
+    else:
+        num_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
+                              "mul", "sum", ft3, p_num_t[:, :, None])
+        den_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
+                              "copy_rhs", "sum", None, p_t)
 
     num = _merge_t_inv(m, hub, num_stack.reshape(-1, f),
                        num_hub[:, :f], static.num_dst, 0.0)
@@ -911,10 +947,26 @@ def _bwd(static, res, ct):
 
     rev = {"idx": tk["r_idx"], "eid": tk["r_eid_c"],
            "inv_perm": tk["r_inv"]}
-    gft_tail = ell_reduce(meta_s, rev, "mul", "sum",
-                          ct3, a_num_t[:, :, None], static.num_src)
-    gel_tail = ell_reduce(meta_s, rev, "copy_rhs", "sum",
-                          None, q_t, static.num_src)
+    if _tail_fuse():
+        # One tile-aligned payload [a_num*ct | 0 | q] through one
+        # copy_rhs reduce over the reverse ELL — reuses the ct_td rows
+        # already gathered for g_t instead of re-gathering ct3 per
+        # slot; see _tail_fuse.
+        f_pad_t = _round_up(f, BLK)
+        prod_b = (a_num_t[:, :, None] * ct_td).reshape(-1, f)
+        pay_b = jnp.concatenate([
+            _pad_2d(prod_b, prod_b.shape[0], f_pad_t),
+            _pad_2d(q_t.astype(prod_b.dtype), q_t.shape[0], BLK)],
+            axis=1)
+        fused_b = ell_reduce(meta_s, rev, "copy_rhs", "sum", None,
+                             pay_b, static.num_src)
+        gft_tail = fused_b[:, :f]
+        gel_tail = fused_b[:, f_pad_t:f_pad_t + h].astype(q_t.dtype)
+    else:
+        gft_tail = ell_reduce(meta_s, rev, "mul", "sum",
+                              ct3, a_num_t[:, :, None], static.num_src)
+        gel_tail = ell_reduce(meta_s, rev, "copy_rhs", "sum",
+                              None, q_t, static.num_src)
     ger_stack = ell_stack(meta_d, tk["t_idx"], tk["t_eid_c"],
                           "copy_rhs", "sum", None, q_t)
 
